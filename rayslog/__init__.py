@@ -23,7 +23,10 @@ None of the library code calls ``ray.init`` / ``ray.shutdown``; sessions
 are owned by bench.py / the CLI / the test fixture.
 """
 
+from rayslog import _memtune
 from rayslog.config import ParserConfig
+
+_memtune.tune()
 
 __all__ = ["ParserConfig"]
 __version__ = "0.1.0"

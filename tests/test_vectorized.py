@@ -1,0 +1,155 @@
+"""Vectorized fast path ≡ row oracle.
+
+Reference parity is established by the oracle's ported vectors
+(test_oracle_*); this suite establishes the vectorized kernel's
+equivalence with the oracle on golden inputs, adversarial edge shapes and
+a seeded random corpus — so fast-path acceptance never changes semantics.
+"""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from rayslog.config import ParserConfig
+from rayslog.kernels import oracle
+from rayslog.kernels.vectorized import parse_batch
+from rayslog.schema import PARSE_COLUMN_NAMES
+
+CFG = ParserConfig(default_year=2025)
+
+GOLDEN = [
+    # RFC3164 golden vectors (rfc3164_test.go)
+    "<34>Oct 11 22:14:15 mymachine very.large.syslog.message.tag: 'su root' failed for lonvick on /dev/pts/8",
+    "<30>Jun 23 13:17:42 chronyd[1119]: Selected source 192.168.65.1",
+    "<30>Jun 23 13:17:42 localhost Selected source 192.168.65.1",
+    "<30>Jun 23 13:17:42 127.0.0.1 java.lang.NullPointerException",
+    "<34>Oct 11 22:14:15 mymachine su: " + "a" * 2048,
+    "<34>Oct 11 22:14:15 mymachine su: hello",
+    "<34>Oct 34 32:72:82 mymachine su: bad time",
+    "<34> Oct 11 22:14:15 mymachine su: leading space hdr",
+    "<34>Oct  1 22:14:15 host tag: single digit day",
+    # RFC5424 golden vectors (rfc5424_test.go)
+    "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - 'su root' failed for lonvick on /dev/pts/8",
+    "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - %% It's time to make the do-nuts.",
+    '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"] An application event log entry...',
+    '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut="3" eventSource= "Application" eventID="1011"][examplePriority@32473 class="high"]',
+    "<165>1 - mymachine.example.com su 123 ID47 - msg with nil ts",
+    "<165>1 2003-10-11T22:14:15.003Z - su 123 ID47 - nil host",
+    "<165>1 2003-08-24T05:14:15.000000003-07:00 h a p m - ns frac fails",
+    "<165>1 2003-02-31T00:00:00Z h a p m - feb 31 normalizes",
+    "<165>1 2003-13-11T00:00:00Z h a p m - bad month",
+    "<165>1 2003-10-32T00:00:00Z h a p m - bad day",
+    "<165>1 2003-10-11T25:00:00Z h a p m - bad hour",
+    "<165>1 2003-10-11T22:14:15+25:00 h a p m - bad offset hour",
+    "<165>1 2003-10-11T22:14:15.52Z h a p m -",
+    "<165>1 2003-10-11T22:14:15.52Z h a p m - ",
+    # detection quirks / priority errors (syslogparser.go, parsercommon.go)
+    "plain text message here",
+    "<12345678>1 rest here",
+    "short",
+    "",
+    "<>Oct 11 22:14:15 host tag: too short pri",
+    "<1233>Oct 11 22:14:15 host tag: too long pri",
+    "<7a8>Oct 11 22:14:15 host tag: non digit pri",
+    "7>Oct 11 22:14:15 host tag: no start",
+    "<999>Oct 11 22:14:15 host tag: syntactically-max pri",
+    # header/tag/content edge shapes
+    "<34>Oct 11 22:14:15 mymachine",               # Go panic (EOB after host)
+    "<34>Oct 11 22:14:15 mymachine ",              # empty message region
+    "<34>Oct 11 22:14:15 mymachine  doublespace",  # empty tag reset
+    "<34>Oct 11 22:14:15 mymachine " + "a" * 50,   # 32-cap tag, rest content
+    "<34>Oct 11 22:14:15 mymachine " + "a" * 32 + " content",
+    "<34>Oct 11 22:14:15 mymachine apache2[10]: pid tag",
+    "<34>Oct 11 22:14:15 mymachine tag[1]junk~~~ x",
+    "<34>Oct 11 22:14:15 mymachine :leading colon",
+    "<34>Oct 11 22:14:15 mymachine t:nospacecontent trail",
+    "<34>Oct 11 22:14:15 host tag:  double space content  ",
+    "<34>Feb 29 01:02:03 host tag: year-0 leap day",
+    "<34>Feb 30 01:02:03 host tag: invalid day",
+    "<34>Jun 31 01:02:03 host tag: 31 in 30-day month",
+    # 5424 structural failures
+    "<165>1 2003-10-11T22:14:15.003Z h " + "a" * 49 + " p m - app too long",
+    "<165>1 2003-10-11T22:14:15.003Z h a " + "p" * 129 + " m - proc too long",
+    "<165>1 2003-10-11T22:14:15.003Z h a p " + "m" * 33 + " - msgid too long",
+    "<165>1 2003-10-11T22:14:15.003Z h a p m [no-end-bracket msg",
+    "<165>1 2003-10-11T22:14:15.003Z h a p m [sd]x msg",
+    "<165>1 2003-10-11T22:14:15.003Z h a p m notsd msg",
+    "<165>1 2003-10-11T22:14:15.003Z h a p m",      # msgid at EOB
+    "<165>1 2003-10-11T22:14:15.Z h a p m - dot no frac",
+    "<165>1 2003-10-11T22:14:15",                   # Go panic (EOB mid-ts)
+    "<165>10 2003-10-11T22:14:15.003Z h a p m - two-digit version",
+    "<165>x 2003-10-11T22:14:15.003Z h a p m - nonversion",
+    "<165>1 2003-10-11t22:14:15.003Z h a p m - lowercase t",
+    # multi-space / empty-token irregulars (oracle fallback territory)
+    "<34>1  2003-10-11T22:14:15.003Z h a p m - double space",
+    "<165>1 - h a p m -" + " " * 5,
+    # non-ASCII
+    "<34>Oct 11 22:14:15 mymachine tég: café content",
+    "héllo wörld no gt in first ten",
+]
+
+
+def _corpus():
+    rng = random.Random(42)
+    texts = list(GOLDEN)
+    pieces = [
+        "<", ">", "-", "Z", "[", "]", ":", " ", "1", "a", "Oct", "Jan",
+        "2003-10-11T22:14:15.003Z", "22:14:15", "<34>", "<165>1", "su",
+        "[x] ", "][", ".", "+02:00",
+    ]
+    for _ in range(400):
+        k = rng.randint(0, 12)
+        texts.append("".join(rng.choice(pieces) for _ in range(k)))
+    # random mutations of valid messages
+    for base in GOLDEN[:13]:
+        for _ in range(10):
+            pos = rng.randrange(max(1, len(base)))
+            ch = chr(rng.randrange(32, 127))
+            texts.append(base[:pos] + ch + base[pos + 1 :])
+    return texts
+
+
+@pytest.mark.parametrize("cfg", [CFG, ParserConfig(default_year=2031)])
+def test_vectorized_equals_oracle(cfg):
+    texts = _corpus()
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = parse_batch(tbl, cfg)
+    got = out.to_pylist()
+    for i, t in enumerate(texts):
+        expect = oracle.parse_row(t, cfg)
+        row = got[i]
+        assert row["rfc"] == expect["rfc"], (i, t)
+        assert row["parse_error"] == expect["parse_error"], (i, t)
+        for col in PARSE_COLUMN_NAMES:
+            if col in ("rfc", "parse_error", "ts_parsed"):
+                continue
+            exp = expect.get(
+                {"ts_parsed": "timestamp"}.get(col, col)
+            )
+            assert row[col] == exp, (i, t, col)
+        # timestamps: oracle returns epoch µs int; Arrow gives datetime
+        exp_ts = expect["timestamp"]
+        got_ts = row["ts_parsed"]
+        if exp_ts is None:
+            assert got_ts is None, (i, t)
+        else:
+            import datetime as dt
+
+            assert got_ts is not None, (i, t)
+            got_us = int(
+                got_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+            )
+            assert got_us == exp_ts, (i, t, got_ts)
+
+
+def test_overridden_config_falls_back_but_stays_exact():
+    cfg = ParserConfig(default_year=2025, hostname="forced", tag="ftag")
+    texts = GOLDEN[:8]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = parse_batch(tbl, cfg).to_pylist()
+    for i, t in enumerate(texts):
+        expect = oracle.parse_row(t, cfg)
+        assert out[i]["parse_error"] == expect["parse_error"]
+        assert out[i]["hostname"] == expect["hostname"]
+        assert out[i]["tag"] == expect["tag"]

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→aggregate pipeline at
+sf0.001; ``queries()`` exposes one callable per implemented pipeline
+(each takes ``sf_dir``); ``oracle_sql()`` returns the equivalent DuckDB
+SQL.  The syslog pipelines run over the deterministic synthetic
+transcripts table (BASELINE.json input_hint) generated under
+/tmp/rayslog_data/<sf>/ — both the Ray queries and the oracle SQL read
+the same parquet file, so the comparison is apples-to-apples.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +19,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from rayslog import pipeline
+
+    return pipeline.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayslog import pipeline as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_3164": p.q_parse_3164,
+        "parse_5424": p.q_parse_5424,
+        "severity_counts": p.q_severity_counts,
+        "conv_counts": p.q_conv_counts,
+        "parse_errors": p.q_parse_errors,
+        "route_sinks": p.q_route_sinks,
+        "enrich_route": p.q_enrich_route,
+        "hourly_traffic": p.q_hourly_traffic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents; the correctness run uses sf0.01 (the paths are
+    baked into the SQL — generation is triggered here so the parquet
+    exists before DuckDB reads it)."""
+    from rayslog.sqloracle import oracle_queries
+
+    return oracle_queries("/root/testdata/sf0.01")

@@ -1,0 +1,225 @@
+"""Deterministic synthetic transcripts (the BASELINE.json ``input_hint``
+table), generated at a scale matched to each ``/root/testdata/sf*`` dir.
+
+Schema: (conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us]).  The ``text`` column carries
+syslog-formatted lines: ~45% RFC3164-shaped, ~45% RFC5424-shaped, ~10%
+edge rows drawn from a fixed catalog of malformed shapes so the
+``parse_error`` paths are exercised.  One conv_id receives ~20% of all
+rows (the skew fixture for salted aggregation).  Seeded (42) and
+vectorized; results are cached as Parquet under /tmp/rayslog_data/<sf>/
+with atomic rename so the Ray queries and the DuckDB oracle read the
+same bytes.
+
+IMPORTANT invariant for the DuckDB correctness oracle: every generated
+row is either (a) canonical — it matches the vectorized fast-path shape
+validators with in-range field values, so a plain SQL regexp can parse it
+identically — or (b) a catalog edge row whose parse_error the oracle SQL
+can classify.  "Weird but parseable" shapes (multi-space separators,
+tag-window overruns, non-ASCII) are exercised in the pytest conformance
+suites instead, where parity is checked against the reference semantics
+directly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+DATA_ROOT = Path(os.environ.get("RAYSLOG_DATA_DIR", "/tmp/rayslog_data"))
+
+_ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["", "bash", "search", "editor", "browser"]
+HOSTS = [f"host-{i:03d}" for i in range(40)] + [
+    "mymachine.example.com",
+    "192.0.2.1",
+    "localhost",
+]
+APPS = ["su", "sshd", "chronyd", "nginx", "postfix", "evntslog", "cron", "kernel"]
+WORDS = (
+    "connection accepted from closed session for user root failed auth "
+    "packet dropped retry limit reached disk queue flushed cache miss "
+    "ratio upstream timeout while reading response header service unit "
+    "entered running state deferred mail delivery to relay scheduled job"
+).split()
+MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+# valid day ranges per month that avoid Feb-29 (normalization edge kept
+# for pytest, out of the SQL-parity corpus)
+_DAY_MAX = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+#: Fixed edge catalog: (text, reference parse_error).  Every entry is
+#: classifiable by the oracle SQL (pattern classes or literal arms).
+EDGE_CATALOG = [
+    ("plain text message here", "No start char found for priority"),
+    ("<12345678>1 rest here", "Can not find version"),
+    ("short", "index out of range"),
+    ("", "index out of range"),
+    ("<>Oct 11 22:14:15 mymachine su: pri too short", "Priority field too short"),
+    ("<1233>Oct 11 22:14:15 mymachine su: pri too long", "Priority field too long"),
+    ("<7a8>Oct 11 22:14:15 mymachine su: pri non digit", "Non digit found in priority"),
+    ("7>Oct 11 22:14:15 mymachine su: no start char", "No start char found for priority"),
+    ("<34>Oct 34 32:72:82 mymachine su: bad clock", "Timestamp format unknown"),
+    ("<34>Nov 31 11:11:11 mymachine su: bad day", "Timestamp format unknown"),
+    ("<165>1 2023-13-11T22:14:15.003Z host su 123 ID47 - bad month", "Invalid month in timestamp"),
+    ("<165>1 2023-10-34T22:14:15.003Z host su 123 ID47 - bad day", "Invalid day in timestamp"),
+    ("<165>1 2023-10-11T25:14:15.003Z host su 123 ID47 - bad hour", "Timestamp format unknown"),
+    ("<165>1 2023-10-11T22:74:15.003Z host su 123 ID47 - bad minute", "Timestamp format unknown"),
+    ("<165>1 2023-10-11T22:14:15.000000003Z host su 123 ID47 - ns frac", "Timestamp format unknown"),
+    ("<165>1 2023-10-11T22:14:15+25:00 host su 123 ID47 - bad offset", "Timestamp format unknown"),
+    ("<165>1 2023-10-11T22:14:15.003Z host " + "a" * 49 + " 123 ID47 - app cap", "Invalid app name"),
+    ("<165>1 2023-10-11T22:14:15.003Z host su " + "p" * 129 + " ID47 - proc cap", "Invalid proc ID"),
+    ("<165>1 2023-10-11T22:14:15.003Z host su 123 " + "m" * 33 + " - msgid cap", "Invalid msg ID"),
+    ("<165>1 2023-10-11T22:14:15.003Z host su 123 ID47 [unterminated sd", "No structured data"),
+]
+
+
+def sf_key(sf_dir: str) -> str:
+    base = Path(sf_dir).name
+    if base in _ROWS_BY_SF:
+        return base
+    return base or "sf0.01"
+
+
+def rows_for(sf_dir: str) -> int:
+    base = sf_key(sf_dir)
+    if base in _ROWS_BY_SF:
+        return _ROWS_BY_SF[base]
+    m = re.match(r"sf([0-9.]+)$", base)
+    if m:
+        return max(2_000, int(6_000_000 * float(m.group(1))))
+    return 60_000
+
+
+def transcripts_path(sf_dir: str) -> str:
+    """Generate (once, cached) and return the transcripts parquet path."""
+    base = sf_key(sf_dir)
+    out = DATA_ROOT / base / "transcripts.parquet"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tbl = generate_transcripts(rows_for(sf_dir), seed=SEED)
+        tmp = out.with_suffix(f".tmp.{os.getpid()}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out)  # atomic: concurrent generators converge
+    return str(out)
+
+
+def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    n_convs = max(20, n_rows // 120)
+
+    # conv assignment: conv 0 is the hot key (~20% of rows); the rest
+    # follow a 1/k Zipf tail.
+    w = 1.0 / np.arange(1, n_convs + 1)
+    w[0] = 0.0
+    w = w / w.sum() * 0.8
+    w[0] = 0.2
+    conv = rng.choice(n_convs, size=n_rows, p=w)
+
+    # dense per-conv turn_idx in row order
+    order = np.argsort(conv, kind="stable")
+    sorted_conv = conv[order]
+    run_start = np.flatnonzero(
+        np.r_[True, sorted_conv[1:] != sorted_conv[:-1]]
+    )
+    counts = np.diff(np.r_[run_start, n_rows])
+    turn_sorted = np.arange(n_rows) - np.repeat(run_start, counts)
+    turn_idx = np.empty(n_rows, dtype=np.int64)
+    turn_idx[order] = turn_sorted
+
+    role = rng.choice(len(ROLES), size=n_rows)
+    tool = rng.choice(len(TOOLS), size=n_rows, p=[0.6, 0.1, 0.1, 0.1, 0.1])
+    ts_us = (
+        np.int64(1_748_736_000_000_000)  # 2025-06-01T00:00:00Z
+        + np.arange(n_rows, dtype=np.int64) * 1_000_000
+        + rng.integers(0, 1_000_000, n_rows)
+    )
+
+    # message shaping
+    shape = rng.random(n_rows)
+    pri = rng.integers(0, 192, n_rows)
+    mon = rng.integers(0, 12, n_rows)
+    day = 1 + rng.integers(0, np.array(_DAY_MAX)[mon])
+    hh = rng.integers(0, 24, n_rows)
+    mi = rng.integers(0, 60, n_rows)
+    ss = rng.integers(0, 60, n_rows)
+    host_i = rng.integers(0, len(HOSTS), n_rows)
+    app_i = rng.integers(0, len(APPS), n_rows)
+    pid = rng.integers(1, 99_999, n_rows)
+    w1 = rng.integers(0, len(WORDS), n_rows)
+    w2 = rng.integers(0, len(WORDS), n_rows)
+    w3 = rng.integers(0, len(WORDS), n_rows)
+    nwords = rng.integers(2, 9, n_rows)
+    frac_kind = rng.integers(0, 3, n_rows)      # none / .003 / .000003-style
+    off_kind = rng.integers(0, 4, n_rows)       # Z, Z, +02:00, -07:00
+    nil_kind = rng.integers(0, 12, n_rows)      # occasional NILVALUEs
+    sd_kind = rng.integers(0, 4, n_rows)        # '-' mostly, one SD element
+    tag_kind = rng.integers(0, 3, n_rows)       # app[pid]: / app: / bare
+    day5 = 1 + rng.integers(0, 28, n_rows)
+    edge_pick = rng.integers(0, len(EDGE_CATALOG), n_rows)
+
+    texts: list[str] = []
+    ap = texts.append
+    catalog = [t for t, _ in EDGE_CATALOG]
+    for i in range(n_rows):
+        s = shape[i]
+        body = " ".join(
+            WORDS[(w1[i] + k) % len(WORDS)] for k in range(nwords[i])
+        )
+        if s < 0.45:  # RFC3164
+            hostp = HOSTS[host_i[i]]
+            t = MONTHS[mon[i]]
+            dayf = f"{day[i]:2d}" if (i & 1) else f"{day[i]:02d}"
+            head = f"<{pri[i]}>{t} {dayf} {hh[i]:02d}:{mi[i]:02d}:{ss[i]:02d} {hostp} "
+            tk = tag_kind[i]
+            appp = APPS[app_i[i]]
+            if tk == 0:
+                ap(head + f"{appp}[{pid[i]}]: {body}")
+            elif tk == 1:
+                ap(head + f"{appp}: {body}")
+            else:
+                ap(head + f"{appp} {body}")
+        elif s < 0.90:  # RFC5424
+            nk = nil_kind[i]
+            tsf = f"2023-{mon[i]+1:02d}-{day5[i]:02d}T{hh[i]:02d}:{mi[i]:02d}:{ss[i]:02d}"
+            if frac_kind[i] == 1:
+                tsf += f".{pid[i] % 1000:03d}"
+            elif frac_kind[i] == 2:
+                tsf += f".{pid[i] % 1000000:06d}"
+            tsf += ["Z", "Z", "+02:00", "-07:00"][off_kind[i]]
+            if nk == 0:
+                tsf = "-"
+            hostp = "-" if nk == 1 else HOSTS[host_i[i]]
+            appp = "-" if nk == 2 else APPS[app_i[i]]
+            procp = "-" if nk == 3 else str(pid[i])
+            msgidp = "-" if nk == 4 else f"ID{pid[i] % 100}"
+            if sd_kind[i] == 0:
+                sd = f'[meta@{pid[i] % 100} k="{WORDS[w2[i]]}" n="{pid[i]}"]'
+            else:
+                sd = "-"
+            line = f"<{pri[i]}>1 {tsf} {hostp} {appp} {procp} {msgidp} {sd}"
+            if nk != 5:
+                line += f" {body}"
+            ap(line)
+        else:  # edge catalog
+            ap(catalog[edge_pick[i]])
+
+    conv_ids = np.array([f"conv-{c:06d}" for c in range(n_convs)])
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids[conv], pa.string()),
+            "turn_idx": pa.array(turn_idx.astype(np.int32), pa.int32()),
+            "role": pa.array(np.array(ROLES)[role], pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(np.array(TOOLS)[tool], pa.string()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+        }
+    )

@@ -1,0 +1,91 @@
+"""Aggregate stage: per-severity and per-conv_id turn counts.
+
+Scale pattern: ALWAYS pre-aggregate inside ``map_batches`` (one partial
+count row per key per batch) before the global ``groupby`` — the shuffle
+then moves O(distinct keys x batches) rows instead of O(rows).  This is
+also the skew treatment: the hot conv_id (one conversation can carry 20%
+of all turns) collapses to one row per batch in the partial stage, so no
+single reducer receives a fat partition.  An explicit salted two-phase
+variant is provided for the adversarial case of many distinct hot keys
+per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+
+def _partial_counts(keys: list[str], count_col: str = "n"):
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + [count_col])
+
+    return partial
+
+
+def counts_by(ds, keys: list[str], alias: str = "n_turns", batch_size: int = 65_536):
+    """groupby(keys).count() with a per-batch combiner."""
+    partial = ds.map_batches(
+        _partial_counts(keys, "n"),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return partial.groupby(keys).aggregate(Sum("n", alias_name=alias))
+
+
+def salted_counts_by(
+    ds,
+    keys: list[str],
+    alias: str = "n_turns",
+    salt_buckets: int = 16,
+    batch_size: int = 65_536,
+):
+    """Two-phase salted count for skew-heavy keys.
+
+    Phase 1 groups on (hash(key) % salt, *keys) so a hot key spreads over
+    ``salt_buckets`` reducers; phase 2 combines the per-salt partials.
+    With the per-batch combiner above this is usually unnecessary, but it
+    is the correct fallback when a single groupby partition would still
+    exceed a reducer (e.g. billions of batches at 100 TB).
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        partial = batch.group_by(keys).aggregate([([], "count_all")])
+        partial = partial.rename_columns(keys + ["n"])
+        h = np.zeros(len(partial), dtype=np.uint64)
+        for k in keys:
+            col = partial.column(k)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # deterministic per-key hash (crc32; runs only on the small
+            # per-batch partials, never on raw rows)
+            import zlib
+
+            hashes = pa.array(
+                [zlib.crc32(str(v).encode()) for v in col.to_pylist()],
+                pa.uint64(),
+            )
+            h ^= hashes.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return partial.append_column(
+            "salt", pa.array((h % salt_buckets).astype(np.int32))
+        )
+
+    phase1 = ds.map_batches(
+        add_salt, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    per_salt = phase1.groupby(["salt"] + keys).aggregate(Sum("n", alias_name="n"))
+    return per_salt.groupby(keys).aggregate(Sum("n", alias_name=alias))
+
+
+def parsed_only(ds):
+    """Rows that parsed cleanly (parse_error is null)."""
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("parse_error"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

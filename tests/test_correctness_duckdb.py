@@ -1,0 +1,64 @@
+"""Driver-style correctness gate: each Ray query vs its DuckDB oracle.
+
+Mirrors what the round driver does at sf0.01 (here at sf0.001 so the
+suite stays fast): run the Ray pipeline AND the oracle SQL, then compare
+row counts, column names and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        else:
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def query_results(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from rayslog.sqloracle import oracle_queries
+
+    qs = entrymod.queries()
+    sqls = oracle_queries(SF_DIR)
+    out = {}
+    for name, fn in qs.items():
+        ray_df = fn(SF_DIR).to_pandas()
+        sql_df = duckdb.sql(sqls[name]).df()
+        out[name] = (ray_df, sql_df)
+    return out
+
+
+QUERY_NAMES = [
+    "parse_3164",
+    "parse_5424",
+    "severity_counts",
+    "conv_counts",
+    "parse_errors",
+    "route_sinks",
+    "enrich_route",
+    "hourly_traffic",
+]
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(query_results, name):
+    ray_df, sql_df = query_results[name]
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
+    a = _normalize(ray_df)
+    b = _normalize(sql_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

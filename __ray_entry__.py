@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rayslog import pipeline as p
 
     return {
+        # syslog parse -> enrich -> route -> aggregate (north rule)
         "parse_3164": p.q_parse_3164,
         "parse_5424": p.q_parse_5424,
         "severity_counts": p.q_severity_counts,
@@ -36,6 +37,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_sinks": p.q_route_sinks,
         "enrich_route": p.q_enrich_route,
         "hourly_traffic": p.q_hourly_traffic,
+        # training-data operators (documents / embeddings / events / tpch)
+        "dedup_exact": p.q_dedup_exact,
+        "text_quality": p.q_text_quality,
+        "token_counts": p.q_token_counts,
+        "lang_id": p.q_lang_id,              # rows-only (heuristic model)
+        "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
+        "dedup_minhash": p.q_dedup_minhash,  # rows-only (LSH + verify)
+        "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
+        "ann_topk": p.q_ann_topk,
+        "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
+        "cosine_dups": p.q_cosine_dups,
+        "events_tumbling": p.q_events_tumbling,
+        "events_sessionize": p.q_events_sessionize,
+        "lineitem_pricing": p.q_lineitem_pricing,
+        "top_customers": p.q_top_customers,
     }
 
 
@@ -43,6 +59,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents; the correctness run uses sf0.01 (the paths are
     baked into the SQL — generation is triggered here so the parquet
     exists before DuckDB reads it)."""
-    from rayslog.sqloracle import oracle_queries
+    from rayslog.sqloracle import oracle_queries, training_oracle_queries
 
-    return oracle_queries("/root/testdata/sf0.01")
+    return {
+        **oracle_queries("/root/testdata/sf0.01"),
+        **training_oracle_queries(),
+    }

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and prints both
+throughputs plus the scaling efficiency (the sandbox stand-in for the
+north rule's N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _run_bench() -> dict:
+    import ray
+    import ray.data
+
+    import rayslog  # noqa: F401  (allocator tuning)
+    from rayslog import pipeline as p
+    from rayslog.sources.testgen import rows_for, transcripts_path
+    from rayslog.stages.route import route_to_sinks
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    # warm: generate the transcripts cache, then run the headline
+    # pipeline once untimed so worker processes exist, imports are done
+    # and allocator arenas are faulted in — the benchmark measures
+    # steady-state throughput (what a long job amortizes to), not
+    # process cold-start.
+    path = transcripts_path(SF_DIR)
+    ray.data.read_parquet(path).count()
+    n_rows = rows_for(SF_DIR)
+    p.q_route_sinks(SF_DIR).to_pandas()
+    p.q_route_sinks(SF_DIR).to_pandas()
+
+    import shutil
+    import tempfile
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full parse -> enrich -> route counts (no sink I/O)
+    timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas())
+    # skew-bearing per-conversation aggregate
+    timed("conv_counts", lambda: p.q_conv_counts(SF_DIR).to_pandas())
+    # enrichment actor pool + full-width projection, consumed streaming
+    timed(
+        "enrich_route",
+        lambda: sum(
+            len(b)
+            for b in p.q_enrich_route(SF_DIR).iter_batches(
+                batch_size=65_536, batch_format="pyarrow"
+            )
+        ),
+    )
+    # windowed-style aggregate
+    timed("hourly_traffic", lambda: p.q_hourly_traffic(SF_DIR).to_pandas())
+
+    # sink write: severity/rfc hive-partitioned parquet
+    sink_dir = tempfile.mkdtemp(prefix="rayslog_bench_", dir="/tmp")
+    try:
+        timed(
+            "route_sinks_write",
+            lambda: route_to_sinks(p.parsed_dataset(SF_DIR), sink_dir),
+        )
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    headline_tps = round(n_rows / timings["parse_route"], 1)
+    return {
+        "metric": "parse->route pipeline wall time (sum of stages)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "turns_per_sec": headline_tps,
+    }
+
+
+def _run_scaling() -> None:
+    """Same job, same input, two parallelism levels in fresh processes.
+
+    Uses a larger generated table (default 2.4M turns) so wall times are
+    long enough that fixed per-job overheads (~1-2 s of scheduling/read
+    setup) don't mask the scaling signal the way the 600k-row sf0.1
+    table would.
+    """
+    lo_cpus, hi_cpus = 8, 32
+    scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf0.4")
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scaling_sf
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    tps_lo = lo["rows"] / lo["queries"]["parse_route"]
+    tps_hi = hi["rows"] / hi["queries"]["parse_route"]
+    eff = (tps_hi / tps_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "sf": lo["sf"],
+                "rows": lo["rows"],
+                f"turns_per_sec_{lo_cpus}cpu": round(tps_lo, 1),
+                f"turns_per_sec_{hi_cpus}cpu": round(tps_hi, 1),
+                f"sec_{lo_cpus}cpu": lo["queries"]["parse_route"],
+                f"sec_{hi_cpus}cpu": hi["queries"]["parse_route"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _run_scaling()
+    else:
+        result = _run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

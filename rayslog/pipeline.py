@@ -136,3 +136,174 @@ def q_hourly_traffic(sf_dir: str):
 def flagship(sf_dir: str):
     """The headline parse→enrich→aggregate pipeline (driver smoke check)."""
     return q_severity_counts(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline operators (documents / embeddings / events tables)
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per distinct text (md5 key)."""
+    from rayslog.stages.dedup import dedup_exact
+
+    return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_text_quality(sf_dir: str):
+    """Per-document quality features."""
+    from rayslog.stages.text import quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: quality_features(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish token counts per document."""
+    from rayslog.stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_counts(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (actor pool); rows-only check."""
+    from rayslog.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints; rows-only check."""
+    from rayslog.stages.text import rolling_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: rolling_fingerprint(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify; rows-only."""
+    from rayslog.stages.dedup import minhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dups(ds, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3); rows-only."""
+    from rayslog.stages.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def _query_vectors(sf_dir: str, n: int = 8):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy()
+    keep = ids < n
+    mat = np.stack(t.column("embedding").to_pylist())[keep].astype(np.float64)
+    return mat, ids[keep]
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for queries vec_id<8 (brute-force baseline)."""
+    from rayslog.stages.ann import brute_force_topk
+
+    qv, qi = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, qv, qi, k=10)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (scale path); rows-only."""
+    from rayslog.stages.ann import ivf_topk
+
+    qv, qi = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, qv, qi, k=10)
+
+
+def q_cosine_dups(sf_dir: str):
+    """Embedding near-dup pairs with cosine >= 0.4 (the corpus is
+    near-orthogonal random; the threshold is the operator parameter)."""
+    from rayslog.stages.ann import cosine_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_near_dup_pairs(ds, threshold=0.4)
+
+
+def q_events_tumbling(sf_dir: str):
+    """5-minute tumbling window counts + value sums per event type."""
+    import pyarrow.compute as pc
+
+    from rayslog.stages.events import tumbling_counts
+
+    return tumbling_counts(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+    )
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based session stats per user (30-min gap)."""
+    from rayslog.stages.events import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary (exact integer-cents sums)."""
+    from rayslog.stages.relational import lineitem_pricing_summary_cents
+
+    return lineitem_pricing_summary_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+            ],
+        )
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by revenue (broadcast dim join + global top-k)."""
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import top_customers_by_revenue
+
+    customer_df = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).to_pandas()
+    return top_customers_by_revenue(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), customer_df
+    )

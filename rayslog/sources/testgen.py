@@ -107,7 +107,9 @@ def transcripts_path(sf_dir: str) -> str:
         out.parent.mkdir(parents=True, exist_ok=True)
         tbl = generate_transcripts(rows_for(sf_dir), seed=SEED)
         tmp = out.with_suffix(f".tmp.{os.getpid()}")
-        pq.write_table(tbl, tmp)
+        # small row groups => ray.data.read_parquet can split the single
+        # file into many blocks and parallelize the read
+        pq.write_table(tbl, tmp, row_group_size=32_768)
         os.replace(tmp, out)  # atomic: concurrent generators converge
     return str(out)
 

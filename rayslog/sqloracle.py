@@ -156,6 +156,107 @@ def _literal_error_arms() -> str:
     return "\n    ".join(arms)
 
 
+#: TOKEN_RE kept in sync with rayslog.stages.text.TOKEN_RE
+_TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def training_oracle_queries() -> dict[str, str]:
+    """Oracles for the training-data operators — these run on the
+    driver's pre-registered views (documents/embeddings/events/
+    lineitem/orders/customer), no generated data involved."""
+    cents_p = "CAST(round(l_extendedprice*100) AS BIGINT)"
+    cents_d = "CAST(round(l_discount*100) AS BIGINT)"
+    cents_t = "CAST(round(l_tax*100) AS BIGINT)"
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id"
+            " FROM documents GROUP BY md5(text)"
+        ),
+        "text_quality": rf"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+    / greatest(length(text), 1) AS alpha_ratio,
+  CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+    / greatest(length(text), 1) AS space_ratio
+FROM documents
+""",
+        "token_counts": rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.query_id, e.vec_id,
+        round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6)
+          AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM s)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+""",
+        "cosine_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
+        "events_tumbling": """
+SELECT event_type,
+  make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS value_sum
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (SELECT user_id, sum(new_s) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+z AS (SELECT user_id, sid, count(*) AS cnt FROM y GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(cnt) AS BIGINT) AS n_events,
+  CAST(max(cnt) AS BIGINT) AS longest_session_events
+FROM z GROUP BY user_id
+""",
+        "lineitem_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum({cents_p}) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(sum({cents_p} * (100 - {cents_d})) AS DOUBLE) / 10000
+    AS sum_disc_price,
+  CAST(sum({cents_p} * (100 - {cents_d}) * (100 + {cents_t})) AS DOUBLE)
+    / 1000000 AS sum_charge,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+WITH r AS (SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+               AS revenue
+           FROM orders GROUP BY 1)
+SELECT r.c_custkey, r.revenue, c.c_name, c.c_mktsegment
+FROM r JOIN customer c USING (c_custkey)
+ORDER BY revenue DESC, c_custkey LIMIT 10
+""",
+    }
+
+
 def oracle_queries(sf_dir: str) -> dict[str, str]:
     path = transcripts_path(sf_dir)
     base = _base_cte(path)

@@ -1,0 +1,113 @@
+"""Stream-shaped operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+Ray Data is a batch engine with no watermarks; windowing follows the
+ordered-partitioned-log pattern: partition by key, sort within the
+group, window with pandas (guide: "Streaming-shaped workloads").
+
+- tumbling window counts: pure vectorized bucketing (no per-group sort
+  needed) + combiner + groupby — scales like any aggregate.
+- session windows: ``groupby(user_id).map_groups`` with a gap rule over
+  the per-user sorted timeline.  Partitioning assumption: one user's
+  events fit in a group (salt by time range if a user is pathological).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from rayslog.stages.aggregate import counts_by
+
+US = 1_000_000
+
+
+def tumbling_counts(ds, window_sec: int = 300):
+    """Per-(event_type, window_start) count + value sum.
+
+    ``value`` carries 2-decimal amounts; sums run in integer cents so
+    the distributed result is exact and order-independent (float sums
+    differ in the last bits between execution plans).
+    """
+    w_us = window_sec * US
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.int64())
+        start = pc.multiply(
+            pc.divide(epoch, w_us), w_us
+        )  # integer floor-div then re-scale
+        cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
+        t = (
+            t.append_column("window_start", start.cast(pa.timestamp("us")))
+            .append_column("cents", cents)
+        )
+        # per-batch combiner
+        g = t.select(["event_type", "window_start", "cents"]).group_by(
+            ["event_type", "window_start"]
+        ).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            ["event_type", "window_start", "cents", "n"]
+        )
+
+    partial = ds.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("cents", alias_name="cents"),
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "value_sum",
+            pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0),
+        ).drop_columns(["cents"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def sessionize(ds, gap_sec: int = 1_800):
+    """Per-user session stats with a gap rule.
+
+    A new session starts when the inter-event gap exceeds ``gap_sec``.
+    Output: (user_id, n_sessions, n_events, longest_session_events).
+    """
+    gap_us = gap_sec * US
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame()
+        new_session = np.r_[True, np.diff(ts) > gap_us]
+        sess_id = np.cumsum(new_session)
+        sizes = np.bincount(sess_id)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sess_id[-1])],
+                "n_events": [len(ts)],
+                "longest_session_events": [int(sizes.max())],
+            }
+        )
+
+    return ds.select_columns(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ).map_groups(per_user, batch_format="pandas")
+
+
+def event_type_stats(ds):
+    """Per-event-type value statistics (count/sum/mean/min/max)."""
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="value_sum"),
+        Mean("value", alias_name="value_mean"),
+        Min("value", alias_name="value_min"),
+        Max("value", alias_name="value_max"),
+    )

@@ -1,0 +1,166 @@
+"""General relational operators over the TPC-H-ish tables — the engine's
+joins/sort/top-k patterns, expressed Ray-Data-first.
+
+- broadcast hash join for small dimension sides (ray.put once, Arrow
+  ``index_in``/``take`` per batch — no shuffle),
+- combiner-before-groupby aggregates,
+- global top-k via sort+limit over a pre-reduced (small) dataset.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def lineitem_pricing_summary_cents(lineitem_ds, ship_cutoff: str = "1998-09-02"):
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Monetary math runs in integer cents (price x100, discount/tax x100)
+    so the distributed sums are EXACT — float sums are order-dependent
+    across different execution plans, which would make results
+    nondeterministic vs the DuckDB oracle (and between runs).  Final
+    columns are scaled back to currency units.
+    """
+    import numpy as np
+
+    cutoff = pa.scalar(ship_cutoff).cast(pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        price_c = pc.round(
+            pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        disc_c = pc.round(
+            pc.multiply(t.column("l_discount"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        tax_c = pc.round(
+            pc.multiply(t.column("l_tax"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        disc_price_c = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        charge_c = pc.multiply(
+            disc_price_c, pc.add(pa.scalar(100, pa.int64()), tax_c)
+        )
+        qty_c = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty_c,
+                "price_c": price_c,
+                "disc_price_c2": disc_price_c,
+                "charge_c3": charge_c,
+            }
+        )
+
+    prepped = lineitem_ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_c", alias_name="_base_c"),
+        Sum("disc_price_c2", alias_name="_disc_c2"),
+        Sum("charge_c3", alias_name="_charge_c3"),
+        Count(alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.cast(t.column("sum_qty"), pa.int64()),
+                "sum_base_price": pc.divide(
+                    pc.cast(t.column("_base_c"), pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(t.column("_disc_c2"), pa.float64()), 10_000.0
+                ),
+                "sum_charge": pc.divide(
+                    pc.cast(t.column("_charge_c3"), pa.float64()), 1_000_000.0
+                ),
+                "count_order": pc.cast(t.column("count_order"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
+    """Append columns from a small pandas dim table via broadcast lookup.
+
+    ``columns`` maps small-side column -> output name.  The small side
+    ships once per actor through the object store (ray.put), each batch
+    joins with vectorized index_in/take — the no-shuffle plan for
+    dimension tables of any realistic size.
+    """
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Join:
+        def __init__(self):
+            df = ray.get(ref)
+            self.keys = pa.array(df[key].tolist())
+            self.cols = {
+                out: pa.array(df[src].tolist())
+                for src, out in columns.items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch.column(key), value_set=self.keys)
+            for out, arr in self.cols.items():
+                batch = batch.append_column(out, pc.take(arr, idx))
+            return batch
+
+    return ds.map_batches(
+        Join, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
+    """Top-k customers by total order price, with names joined in.
+
+    groupby(custkey) runs over per-batch partials; the small aggregate
+    is then broadcast-joined to customer and globally sorted (the sort
+    input is one row per customer — tiny).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        g = (
+            t.select(["o_custkey"])
+            .append_column("cents", cents)
+            .group_by(["o_custkey"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = orders_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("o_custkey").aggregate(Sum("cents", alias_name="cents"))
+
+    joined = broadcast_join(
+        per_cust.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "revenue": pc.divide(
+                        pc.cast(t.column("cents"), pa.float64()), 100.0
+                    ),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        customer_df,
+        key="c_custkey",
+        columns={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
+    )
+    return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)

@@ -1,0 +1,137 @@
+"""Per-partition lineage manifests + checkpoint/resume.
+
+Ray Data has no job-level checkpointing, so resumability is explicit
+(SURVEY.md §4.2): the input is split into partitions (one per input
+file / row-group range), each partition is processed and written to its
+own sink directory via temp-dir + atomic rename, and a manifest JSON
+(input fragment, output files, row counts, parse metrics) is committed
+LAST.  A rerun skips every partition whose manifest exists — making the
+whole parse→route job idempotent and kill-safe at any point.  At 100 TB
+the partition unit is the input file (or file cluster); manifests are
+tiny and live next to the sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+
+@dataclass
+class PartitionResult:
+    partition: str
+    rows: int
+    parsed: int
+    errors: int
+    outputs: list[str]
+    metrics: dict
+
+
+class ManifestStore:
+    def __init__(self, out_dir: str):
+        self.out_dir = Path(out_dir)
+        self.manifest_dir = self.out_dir / "_manifests"
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+
+    def done(self, partition: str) -> bool:
+        return (self.manifest_dir / f"{partition}.json").exists()
+
+    def commit(self, result: PartitionResult) -> None:
+        path = self.manifest_dir / f"{result.partition}.json"
+        tmp = path.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(result.__dict__, indent=1, sort_keys=True))
+        os.replace(tmp, path)
+
+    def completed(self) -> list[str]:
+        return sorted(p.stem for p in self.manifest_dir.glob("*.json"))
+
+    def load(self, partition: str) -> dict:
+        return json.loads((self.manifest_dir / f"{partition}.json").read_text())
+
+
+def run_resumable_route(
+    input_files: list[str],
+    out_dir: str,
+    cfg=None,
+    batch_size: int = 65_536,
+) -> list[str]:
+    """Parse→route every input file into per-partition severity sinks,
+    skipping partitions already committed.  Returns processed partitions.
+
+    Layout::
+
+        out_dir/
+          _manifests/part-00000.json      # commit marker + lineage + metrics
+          part-00000/parsed/severity=K/...parquet
+          part-00000/errors/...parquet
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.config import DEFAULT_CONFIG
+    from rayslog.stages.parse import parse_dataset
+
+    cfg = cfg or DEFAULT_CONFIG
+    store = ManifestStore(out_dir)
+    processed = []
+    for i, path in enumerate(sorted(input_files)):
+        part = f"part-{i:05d}"
+        if store.done(part):
+            continue
+        part_dir = Path(out_dir) / part
+        tmp_dir = Path(out_dir) / f"_tmp.{part}.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        tmp_dir.mkdir(parents=True)
+
+        ds = parse_dataset(rd.read_parquet(path), cfg, batch_size=batch_size)
+        parsed = ds.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("parse_error"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        errors = ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("parse_error"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        parsed.write_parquet(
+            str(tmp_dir / "parsed"), partition_cols=["severity"]
+        )
+        errors.write_parquet(str(tmp_dir / "errors"))
+
+        # per-partition metrics from the freshly-written sinks (cheap
+        # metadata reads — row counts come from parquet footers)
+        sev_counts: dict[str, int] = {}
+        n_parsed = 0
+        for f in sorted((tmp_dir / "parsed").rglob("*.parquet")):
+            n = pq.read_metadata(f).num_rows
+            sev = f.parent.name  # severity=K
+            sev_counts[sev] = sev_counts.get(sev, 0) + n
+            n_parsed += n
+        n_errors = sum(
+            pq.read_metadata(f).num_rows
+            for f in sorted((tmp_dir / "errors").rglob("*.parquet"))
+        )
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)  # atomic publish
+        outputs = sorted(
+            str(p.relative_to(part_dir)) for p in part_dir.rglob("*.parquet")
+        )
+        store.commit(
+            PartitionResult(
+                partition=part,
+                rows=n_parsed + n_errors,
+                parsed=n_parsed,
+                errors=n_errors,
+                outputs=outputs,
+                metrics={"input": path, "severity_rows": sev_counts},
+            )
+        )
+        processed.append(part)
+    return processed

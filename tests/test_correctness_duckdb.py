@@ -25,22 +25,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.fixture(scope="module")
-def query_results(ray_session):
-    import duckdb
-
-    import __ray_entry__ as entrymod
-    from rayslog.sqloracle import oracle_queries
-
-    qs = entrymod.queries()
-    sqls = oracle_queries(SF_DIR)
-    out = {}
-    for name, fn in qs.items():
-        ray_df = fn(SF_DIR).to_pandas()
-        sql_df = duckdb.sql(sqls[name]).df()
-        out[name] = (ray_df, sql_df)
-    return out
-
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
 
 QUERY_NAMES = [
     "parse_3164",
@@ -51,7 +39,44 @@ QUERY_NAMES = [
     "route_sinks",
     "enrich_route",
     "hourly_traffic",
+    "dedup_exact",
+    "text_quality",
+    "token_counts",
+    "ann_topk",
+    "cosine_dups",
+    "events_tumbling",
+    "events_sessionize",
+    "lineitem_pricing",
+    "top_customers",
 ]
+
+ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",
+             "ann_ivf"]
+
+
+@pytest.fixture(scope="module")
+def query_results(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from rayslog.sqloracle import oracle_queries, training_oracle_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    sqls = {**oracle_queries(SF_DIR), **training_oracle_queries()}
+    out = {}
+    for name in QUERY_NAMES:
+        ray_df = qs[name](SF_DIR).to_pandas()
+        sql_df = con.sql(sqls[name]).df()
+        out[name] = (ray_df, sql_df)
+    for name in ROWS_ONLY:
+        out[name] = (qs[name](SF_DIR).to_pandas(), None)
+    return out
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
@@ -62,3 +87,10 @@ def test_query_matches_oracle(query_results, name):
     a = _normalize(ray_df)
     b = _normalize(sql_df)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(query_results, name):
+    ray_df, _ = query_results[name]
+    assert ray_df is not None
+    assert len(ray_df.columns) > 0

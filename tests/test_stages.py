@@ -1,0 +1,161 @@
+"""Behavioral tests for the training-data + state stages: planted
+near-duplicates must be found, multimodal plumbing must round-trip,
+checkpointed runs must resume without re-processing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base_docs = [
+        " ".join(rng.choice(words, size=30)) for _ in range(40)
+    ]
+    rows = []
+    for i, t in enumerate(base_docs):
+        rows.append({"doc_id": i, "text": t})
+    # planted near-dups: copy doc 0/1/2 with one token changed
+    for j, src in enumerate([0, 1, 2]):
+        toks = base_docs[src].split()
+        toks[5] = "changed"
+        rows.append({"doc_id": 100 + j, "text": " ".join(toks)})
+    # planted exact dup of doc 3
+    rows.append({"doc_id": 200, "text": base_docs[3]})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_finds_planted_dup(docs_with_dups):
+    from rayslog.stages.dedup import dedup_exact
+
+    out = dedup_exact(docs_with_dups).to_pandas()
+    # 44 distinct texts (40 base + 3 near-dups are distinct); the exact
+    # dup of doc 3 collapses onto doc_id 3
+    assert len(out) == 43
+    assert 200 not in set(out["doc_id"])
+    assert 3 in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_near_dups(docs_with_dups):
+    from rayslog.stages.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(docs_with_dups, threshold=0.5).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    for j, src in enumerate([0, 1, 2]):
+        assert (src, 100 + j) in got, (src, got)
+    # exact dup pair found with jaccard 1.0
+    assert (3, 200) in got
+    row = pairs[(pairs.doc_a == 3) & (pairs.doc_b == 200)]
+    assert float(row["jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_finds_exact_dup_pair(docs_with_dups):
+    from rayslog.stages.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(docs_with_dups, max_hamming=6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (3, 200) in got
+    row = pairs[(pairs.doc_a == 3) & (pairs.doc_b == 200)]
+    assert int(row["hamming"].iloc[0]) == 0
+
+
+def test_ngram_jaccard_kernel():
+    from rayslog.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g x")
+    assert 0.0 < mid < 1.0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from rayslog.stages.multimodal import (
+        FakeDecoder,
+        RealDecoder,
+        decode_media,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(100)
+    ds = rd.from_arrow(tbl)
+    out = decode_media(ds, FakeDecoder).to_pandas()
+    assert len(out) == 100
+    assert "features" in out.columns and "payload_bytes" in out.columns
+    assert all(len(f) == 16 for f in out["features"])
+    assert (out["payload_bytes"] > 0).all()
+    # determinism
+    out2 = decode_media(rd.from_arrow(tbl), FakeDecoder).to_pandas()
+    assert out.sort_values("media_id")["features"].map(tuple).tolist() == \
+        out2.sort_values("media_id")["features"].map(tuple).tolist()
+    with pytest.raises(NotImplementedError):
+        RealDecoder()(tbl)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rayslog.sources.testgen import generate_transcripts
+    from rayslog.state.checkpoint import ManifestStore, run_resumable_route
+
+    # two input files
+    t = generate_transcripts(2_000)
+    in_a = tmp_path / "in_a.parquet"
+    in_b = tmp_path / "in_b.parquet"
+    pq.write_table(t.slice(0, 1_000), in_a)
+    pq.write_table(t.slice(1_000, 1_000), in_b)
+    out = tmp_path / "out"
+
+    done = run_resumable_route([str(in_a), str(in_b)], str(out))
+    assert done == ["part-00000", "part-00001"]
+    store = ManifestStore(str(out))
+    assert store.completed() == ["part-00000", "part-00001"]
+    m0 = store.load("part-00000")
+    assert m0["rows"] == 1_000
+    assert m0["parsed"] + m0["errors"] == 1_000
+    assert sum(m0["metrics"]["severity_rows"].values()) == m0["parsed"]
+
+    # capture bytes, then rerun: nothing reprocessed, outputs untouched
+    files_before = {
+        str(p): p.stat().st_mtime_ns
+        for p in (out / "part-00000").rglob("*.parquet")
+    }
+    done2 = run_resumable_route([str(in_a), str(in_b)], str(out))
+    assert done2 == []
+    files_after = {
+        str(p): p.stat().st_mtime_ns
+        for p in (out / "part-00000").rglob("*.parquet")
+    }
+    assert files_before == files_after
+
+    # simulated mid-run kill: delete partition 1's manifest + dir, rerun
+    (out / "_manifests" / "part-00001.json").unlink()
+    import shutil
+
+    shutil.rmtree(out / "part-00001")
+    done3 = run_resumable_route([str(in_a), str(in_b)], str(out))
+    assert done3 == ["part-00001"]
+    m1 = store.load("part-00001")
+    assert m1["rows"] == 1_000
+
+
+def test_salted_counts_match_plain(ray_session):
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import counts_by, salted_counts_by
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{int(v)}" for v in rng.zipf(1.5, 5_000) % 17]
+    ds = rd.from_arrow(pa.table({"conv_id": keys}))
+    plain = counts_by(ds, ["conv_id"]).to_pandas().sort_values("conv_id")
+    salted = (
+        salted_counts_by(ds, ["conv_id"]).to_pandas().sort_values("conv_id")
+    )
+    assert plain.reset_index(drop=True).equals(salted.reset_index(drop=True))

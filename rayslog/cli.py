@@ -1,0 +1,110 @@
+"""CLI: ``python -m rayslog.cli <command>``.
+
+Commands::
+
+    run     --input <dir-or-files> --out <dir>    resumable parse→route job
+    query   --name <q> --sf-dir <dir>             run one pipeline, print head
+    bench                                          delegate to bench.py
+    stats   --sf-dir <dir>                        parse-stage ds.stats()
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None = None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    _init_ray(args.num_cpus)
+    from rayslog.state.checkpoint import run_resumable_route
+    from rayslog.state.metrics import job_summary, write_metrics
+
+    files = sorted(glob.glob(f"{args.input}/*.parquet")) if os.path.isdir(
+        args.input
+    ) else [args.input]
+    done = run_resumable_route(files, args.out)
+    write_metrics(args.out)
+    print(json.dumps({"processed": done, **job_summary(args.out)}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _init_ray(args.num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; have: {sorted(qs)}", file=sys.stderr)
+        return 2
+    res = qs[args.name](args.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    print(df.head(args.limit).to_string())
+    print(f"... {len(df)} rows")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    _init_ray(args.num_cpus)
+    from rayslog.pipeline import parsed_dataset
+
+    ds = parsed_dataset(args.sf_dir)
+    ds.count()
+    print(ds.stats())
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rayslog")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="resumable parse→route job")
+    p_run.add_argument("--input", required=True)
+    p_run.add_argument("--out", required=True)
+    p_run.add_argument("--num-cpus", type=int, default=None)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_q = sub.add_parser("query", help="run one named pipeline")
+    p_q.add_argument("--name", required=True)
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--limit", type=int, default=20)
+    p_q.add_argument("--num-cpus", type=int, default=None)
+    p_q.set_defaults(fn=cmd_query)
+
+    p_s = sub.add_parser("stats", help="parse-stage ds.stats()")
+    p_s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_s.add_argument("--num-cpus", type=int, default=None)
+    p_s.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,17 +100,36 @@ def rows_for(sf_dir: str) -> int:
 
 
 def transcripts_path(sf_dir: str) -> str:
-    """Generate (once, cached) and return the transcripts parquet path."""
+    """Generate (once, cached) and return the transcripts parquet DIR.
+
+    The cache is a directory of part files (one read task per file in
+    Ray Data — a single file would serialize the read into one task and
+    bottleneck the whole pipeline) written atomically via tmp-dir +
+    rename so concurrent generators converge.
+    """
     base = sf_key(sf_dir)
     out = DATA_ROOT / base / "transcripts.parquet"
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
         tbl = generate_transcripts(rows_for(sf_dir), seed=SEED)
-        tmp = out.with_suffix(f".tmp.{os.getpid()}")
-        # small row groups => ray.data.read_parquet can split the single
-        # file into many blocks and parallelize the read
-        pq.write_table(tbl, tmp, row_group_size=32_768)
-        os.replace(tmp, out)  # atomic: concurrent generators converge
+        tmp = DATA_ROOT / base / f".tmp.transcripts.{os.getpid()}"
+        tmp.mkdir(parents=True, exist_ok=True)
+        n = len(tbl)
+        n_parts = min(64, max(1, n // 37_500))
+        per = (n + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            part = tbl.slice(i * per, per)
+            if len(part):
+                pq.write_table(
+                    part, tmp / f"part-{i:05d}.parquet",
+                    row_group_size=32_768,
+                )
+        try:
+            os.replace(tmp, out)
+        except OSError:  # a concurrent generator won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return str(out)
 
 

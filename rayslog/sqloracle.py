@@ -52,7 +52,7 @@ def _base_cte(path: str) -> str:
     )
     return f"""
 WITH t AS (
-  SELECT conv_id, turn_idx, role, tool, text FROM read_parquet('{path}')
+  SELECT conv_id, turn_idx, role, tool, text FROM read_parquet('{path}/*.parquet')
 ),
 g3 AS (
   SELECT *, regexp_extract(text, '{P3}', {P3_NAMES}) AS m

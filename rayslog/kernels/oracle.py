@@ -39,6 +39,7 @@ from rayslog.errors import (
     ERR_HOUR_INVALID,
     ERR_MINUTE_INVALID,
     ERR_MONTH_INVALID,
+    ERR_NO_SPACE,
     ERR_NO_STRUCTURED_DATA,
     ERR_PRIORITY_EMPTY,
     ERR_PRIORITY_NON_DIGIT,
@@ -138,6 +139,17 @@ def parse_version(buff: bytes, cursor: int, l: int) -> tuple[int, int]:
     if not _is_digit(c):
         return NO_VERSION, cursor
     return c - 0x30, cursor
+
+
+def find_next_space(buff: bytes, from_: int, l: int) -> int:
+    """FindNextSpace (parsercommon.go:135-146): offset just PAST the next
+    space; raises ErrNoSpace otherwise."""
+    to = from_
+    while to < l:
+        if buff[to] == _SP:
+            return to + 1
+        to += 1
+    raise ParserError(ERR_NO_SPACE)
 
 
 def parse_hostname_common(buff: bytes, cursor: int, l: int) -> tuple[str, int]:

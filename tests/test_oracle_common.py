@@ -96,6 +96,39 @@ class TestParseVersion:
         assert cursor == 6
 
 
+class TestParseHostname:
+    # parsercommon_test.go:153-193
+    def test_stops_at_space(self):
+        from rayslog.kernels.oracle import parse_hostname_common
+
+        h, cur = parse_hostname_common(b"foo name", 0, 8)
+        assert (h, cur) == ("foo", 3)
+
+    def test_runs_to_end(self):
+        from rayslog.kernels.oracle import parse_hostname_common
+
+        buff = b"ubuntu11.somehost.com "
+        h, cur = parse_hostname_common(buff, 0, len(buff))
+        assert h == "ubuntu11.somehost.com"
+        assert cur == len("ubuntu11.somehost.com")
+
+
+class TestFindNextSpace:
+    # parsercommon_test.go:195-229
+    def test_no_space(self):
+        from rayslog.errors import ERR_NO_SPACE
+        from rayslog.kernels.oracle import find_next_space
+
+        with pytest.raises(ParserError) as e:
+            find_next_space(b"aaaaaa", 0, 6)
+        assert e.value.msg == ERR_NO_SPACE
+
+    def test_space_found(self):
+        from rayslog.kernels.oracle import find_next_space
+
+        assert find_next_space(b"foo bar baz", 0, 11) == 4
+
+
 class TestDetectRFC:
     # syslogparser_test.go:9-29
     def test_3164(self):

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": p.q_events_sessionize,
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,
+        "mktsegment_revenue": p.q_mktsegment_revenue,
     }
 
 

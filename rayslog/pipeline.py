@@ -307,3 +307,44 @@ def q_top_customers(sf_dir: str):
     return top_customers_by_revenue(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), customer_df
     )
+
+
+def q_mktsegment_revenue(sf_dir: str):
+    """Per-market-segment order count + revenue via the distributed
+    bucket hash join (both sides shuffled by key hash, no broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from rayslog.stages.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "cents": pc.round(
+                    pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, key="c_custkey")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="cents")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

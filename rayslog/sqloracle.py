@@ -245,6 +245,13 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
+        "mktsegment_revenue": """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+    AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
         "top_customers": """
 WITH r AS (SELECT o_custkey AS c_custkey,
              CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100

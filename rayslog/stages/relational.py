@@ -124,6 +124,78 @@ def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
     )
 
 
+def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
+              how: str = "inner"):
+    """Partitioned hash join for two LARGE sides (no broadcast).
+
+    Both sides get a ``__bucket = mix(key) % buckets`` column and a side
+    marker, are unioned, and each bucket joins its two sides with a
+    pandas merge inside ``map_groups`` — the guide's portable
+    bucket-join. The all-to-all exchange moves each row once; skewed
+    keys should be salted into sub-buckets before calling (same key =>
+    same bucket is the correctness assumption).  Key must be integral
+    (string keys: pre-hash to int64 in a map_batches).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _with_bucket(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(key)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            mix = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            t = t.append_column(
+                "__bucket", pa.array((mix % buckets).astype(np.int32))
+            )
+            return t.append_column(
+                "__side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return fn
+
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    types = {c: lschema.field(c).type for c in left_cols}
+    for c in right_cols:
+        types.setdefault(c, rschema.field(c).type)
+
+    def _pad(cols_present, all_cols):
+        missing = [c for c in all_cols if c not in cols_present]
+
+        def fn(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(len(t), types[c]))
+            return t.select(all_cols + ["__bucket", "__side"])
+
+        return fn
+
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    l = left_ds.map_batches(
+        _with_bucket(0), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _pad(left_cols, all_cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    r = right_ds.map_batches(
+        _with_bucket(1), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _pad(right_cols, all_cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][left_cols]
+        rg = g[g["__side"] == 1][right_cols]
+        return lg.merge(rg, on=key, how=how)
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
 def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
     """Top-k customers by total order price, with names joined in.
 

@@ -48,6 +48,7 @@ QUERY_NAMES = [
     "events_sessionize",
     "lineitem_pricing",
     "top_customers",
+    "mktsegment_revenue",
 ]
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",

@@ -63,8 +63,11 @@ def _run_bench() -> dict:
     import tempfile
 
     timings: dict[str, float] = {}
+    only = os.environ.get("RAYSLOG_BENCH_ONLY")
 
     def timed(name, fn):
+        if only and name != only:
+            return
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -123,7 +126,10 @@ def _run_scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scaling_sf
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=scaling_sf,
+            RAYSLOG_BENCH_ONLY="parse_route",  # scaling measures the headline
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -348,3 +348,11 @@ def q_mktsegment_revenue(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_host_traffic(sf_dir: str):
+    """Top-20 hostnames by parsed-turn count (distinct + global sort +
+    limit; ties broken by hostname for determinism)."""
+    ds = parsed_only(parsed_dataset(sf_dir))
+    counts = counts_by(ds, ["hostname"], alias="n_turns")
+    return counts.sort(["n_turns", "hostname"], descending=[True, False]).limit(20)

@@ -122,10 +122,10 @@ ok5 AS (
 ),
 allok AS (
   SELECT conv_id, turn_idx, role, tool, priority, facility, severity,
-         ts_parsed, CAST(1 AS TINYINT) AS rfc FROM ok3
+         ts_parsed, hostname, CAST(1 AS TINYINT) AS rfc FROM ok3
   UNION ALL
   SELECT conv_id, turn_idx, role, tool, priority, facility, severity,
-         ts_parsed, CAST(2 AS TINYINT) AS rfc FROM ok5
+         ts_parsed, hostname, CAST(2 AS TINYINT) AS rfc FROM ok5
 )
 """
 
@@ -304,6 +304,9 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
         + "SELECT facility, CAST(date_part('hour', ts_parsed) AS INTEGER)"
         " AS hour, count(*) AS n_turns FROM allok"
         " WHERE ts_parsed IS NOT NULL GROUP BY 1, 2",
+        "host_traffic": base
++ "SELECT hostname, count(*) AS n_turns FROM allok GROUP BY hostname"
+" ORDER BY n_turns DESC, hostname LIMIT 20",
         "parse_errors": base
         + f"""
 , okk AS (

@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "route_sinks",
     "enrich_route",
     "hourly_traffic",
+    "host_traffic",
     "dedup_exact",
     "text_quality",
     "token_counts",

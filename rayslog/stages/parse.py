@@ -12,11 +12,11 @@ import pyarrow as pa
 from rayslog.config import DEFAULT_CONFIG, ParserConfig
 from rayslog.kernels.vectorized import parse_batch
 
-#: Default rows per parse batch: ~32k rows x ~120 B text ≈ 4 MB input —
-#: small enough that intermediates stay in warm allocator arenas and a
-#: single input file still fans out across the worker pool, large enough
-#: to amortize per-batch regex compilation and task overhead.
-PARSE_BATCH_SIZE = 32_768
+#: Default rows per parse batch: ~64k rows x ~120 B text ≈ 8 MB input.
+#: Measured on this box: 64k batches run ~1.5x faster than 32k (per-task
+#: overhead amortizes) and ~1.7x faster than 150k (intermediates start
+#: missing the warm allocator arenas); see BASELINE.md.
+PARSE_BATCH_SIZE = 65_536
 
 
 def make_parse_fn(cfg: ParserConfig = DEFAULT_CONFIG, text_col: str = "text"):

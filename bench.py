@@ -65,15 +65,20 @@ def _run_bench() -> dict:
     timings: dict[str, float] = {}
     only = os.environ.get("RAYSLOG_BENCH_ONLY")
 
-    def timed(name, fn):
+    def timed(name, fn, repeats: int = 1):
         if only and name != only:
             return
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    # headline: full parse -> enrich -> route counts (no sink I/O)
-    timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas())
+    # headline: full parse -> enrich -> route counts (no sink I/O);
+    # best-of-3 = steady-state throughput (single runs are straggler-noisy
+    # while Ray's worker pool finishes warming)
+    timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas(), repeats=3)
     # skew-bearing per-conversation aggregate
     timed("conv_counts", lambda: p.q_conv_counts(SF_DIR).to_pandas())
     # enrichment actor pool + full-width projection, consumed streaming

@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash": p.q_dedup_minhash,  # rows-only (LSH + verify)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
+        "ngram_jaccard": p.q_ngram_jaccard,  # rows-only (exact LSH baseline)
         "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "cosine_dups": p.q_cosine_dups,

@@ -356,3 +356,11 @@ def q_host_traffic(sf_dir: str):
     ds = parsed_only(parsed_dataset(sf_dir))
     counts = counts_by(ds, ["hostname"], alias="n_turns")
     return counts.sort(["n_turns", "hostname"], descending=[True, False]).limit(20)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard pairs (the LSH baseline); rows-only."""
+    from rayslog.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.2)

@@ -312,3 +312,67 @@ def simhash_near_dups(ds, max_hamming: int = 3):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.2, k: int = 3,
+                        max_docs: int | None = 200):
+    """Exact all-pairs k-token-shingle Jaccard above a threshold.
+
+    Quadratic by construction — the BASELINE operator the LSH pipeline
+    approximates.  ``max_docs`` caps the candidate universe (smallest
+    doc_ids) so the exact computation stays tractable; one side is
+    broadcast, the other streams in batches.
+    """
+    import ray
+
+    base = ds.select_columns(["doc_id", "text"])
+    rows = base.to_pandas()
+    rows = rows.sort_values("doc_id")
+    if max_docs is not None:
+        rows = rows.head(max_docs)
+    keep_ids = set(rows["doc_id"].tolist())
+    shingles = {
+        int(r.doc_id): _shingle_hashes(r.text or "", k)
+        for r in rows.itertuples()
+    }
+    ref = ray.put(shingles)
+
+    class PairJaccard:
+        def __init__(self):
+            self.sh = ray.get(ref)
+            self.ids = sorted(self.sh)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a in batch.column("doc_id").to_pylist():
+                if a not in self.sh:
+                    continue
+                sa = self.sh[a]
+                for b in self.ids:
+                    if b <= a:
+                        continue
+                    sb = self.sh[b]
+                    if len(sa) == 0 and len(sb) == 0:
+                        j = 1.0
+                    else:
+                        inter = len(
+                            np.intersect1d(sa, sb, assume_unique=True)
+                        )
+                        union = len(sa) + len(sb) - inter
+                        j = inter / union if union else 0.0
+                    if j >= threshold:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    return base.map_batches(
+        PairJaccard, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

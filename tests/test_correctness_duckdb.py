@@ -53,7 +53,7 @@ QUERY_NAMES = [
 ]
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",
-             "ann_ivf"]
+             "ann_ivf", "ngram_jaccard"]
 
 
 @pytest.fixture(scope="module")

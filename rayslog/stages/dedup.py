@@ -164,9 +164,14 @@ def minhash_candidates(ds, bands: int = 16, rows_per_band: int = 8):
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pd.DataFrame(
+            {"doc_a": ids[a].astype("int64"), "doc_b": ids[b].astype("int64")}
+        )
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
@@ -294,7 +299,11 @@ def simhash_near_dups(ds, max_hamming: int = 3):
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         s = g["simhash"].to_numpy().view(np.uint64)

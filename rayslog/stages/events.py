@@ -84,7 +84,12 @@ def sessionize(ds, gap_sec: int = 1_800):
         g = g.sort_values(["ts", "event_id"])
         ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         if len(ts) == 0:
-            return pd.DataFrame()
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_sessions": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "longest_session_events": pd.Series([], dtype="int64")}
+            )
         new_session = np.r_[True, np.diff(ts) > gap_us]
         sess_id = np.cumsum(new_session)
         sizes = np.bincount(sess_id)[1:]

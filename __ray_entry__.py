@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": p.q_cosine_dups,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
+        "events_sliding": p.q_events_sliding,
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,
         "mktsegment_revenue": p.q_mktsegment_revenue,

@@ -364,3 +364,10 @@ def q_ngram_jaccard(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_pairs(ds, threshold=0.2)
+
+
+def q_events_sliding(sf_dir: str):
+    """10-min windows sliding every 5 min, per event type."""
+    from rayslog.stages.events import sliding_counts
+
+    return sliding_counts(_read(sf_dir, "events", ["ts", "event_type"]))

@@ -216,6 +216,18 @@ SELECT event_type,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS value_sum
 FROM events GROUP BY 1, 2
 """,
+        "events_sliding": """
+SELECT event_type, window_start, count(*) AS n_events FROM (
+  SELECT event_type,
+    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type,
+    make_timestamp(((epoch_us(ts) - 300000000) // 300000000) * 300000000)
+      AS window_start
+  FROM events
+) GROUP BY event_type, window_start
+""",
         "events_sessionize": """
 WITH x AS (
   SELECT user_id, ts, event_id,

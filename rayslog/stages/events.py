@@ -116,3 +116,43 @@ def event_type_stats(ds):
         Min("value", alias_name="value_min"),
         Max("value", alias_name="value_max"),
     )
+
+
+def sliding_counts(ds, window_sec: int = 600, slide_sec: int = 300):
+    """Sliding windows [w, w+window) every ``slide``: each event lands in
+    window/slide overlapping windows, emitted vectorized (flat-map shape:
+    k bucket rows per event) then combined like the tumbling path."""
+    assert window_sec % slide_sec == 0
+    k = window_sec // slide_sec
+    s_us = slide_sec * US
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.int64())
+        parts = []
+        for j in range(k):
+            start = pc.multiply(
+                pc.divide(pc.subtract(epoch, j * s_us), s_us), s_us
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t.column("event_type"),
+                        "window_start": start.cast(pa.timestamp("us")),
+                    }
+                )
+            )
+        exploded = pa.concat_tables(parts)
+        g = exploded.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n"])
+
+    partial = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events")
+    )

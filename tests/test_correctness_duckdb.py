@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "cosine_dups",
     "events_tumbling",
     "events_sessionize",
+    "events_sliding",
     "lineitem_pricing",
     "top_customers",
     "mktsegment_revenue",

@@ -363,7 +363,7 @@ def q_ngram_jaccard(sf_dir: str):
     from rayslog.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold=0.2)
+    return ngram_jaccard_pairs(ds, threshold=0.05)
 
 
 def q_events_sliding(sf_dir: str):

@@ -371,3 +371,21 @@ def q_events_sliding(sf_dir: str):
     from rayslog.stages.events import sliding_counts
 
     return sliding_counts(_read(sf_dir, "events", ["ts", "event_type"]))
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: deterministic synthetic binary
+    payloads -> actor-pool decode (stub) -> fixed-width features.
+    Rows-only (no SQL equivalent for the decode kernel)."""
+    import ray.data as rd
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.multimodal import (
+        FakeDecoder,
+        decode_media,
+        synthesize_media_table,
+    )
+
+    n = max(200, rows_for(sf_dir) // 100)
+    ds = rd.from_arrow(synthesize_media_table(n))
+    return decode_media(ds, FakeDecoder)

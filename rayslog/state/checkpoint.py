@@ -56,7 +56,7 @@ def run_resumable_route(
     input_files: list[str],
     out_dir: str,
     cfg=None,
-    batch_size: int = 65_536,
+    batch_size: int | None = None,
 ) -> list[str]:
     """Parse→route every input file into per-partition severity sinks,
     skipping partitions already committed.  Returns processed partitions.

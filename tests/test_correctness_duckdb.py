@@ -54,7 +54,7 @@ QUERY_NAMES = [
 ]
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",
-             "ann_ivf", "ngram_jaccard"]
+             "ann_ivf", "ngram_jaccard", "media_features"]
 
 
 @pytest.fixture(scope="module")

@@ -204,15 +204,16 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
     is_ascii = (byte_len == char_len) & ~null_mask
 
-    d5424 = _mask(text, _D_5424) & is_ascii
-    d3164 = _mask(text, _D_3164) & is_ascii
-
+    # A V3164/V5424 match IMPLIES the detect dialect (the char after the
+    # priority '>' is a month letter / space vs a digit), so the fast
+    # masks need only the two shape validators — detection patterns run
+    # later on the (small) non-fast subset only.
     f3 = (
-        d3164 & _mask(text, V3164)
+        is_ascii & _mask(text, V3164)
         & (byte_len <= oracle.MAX_PACKET_LEN_3164)
     )
     f5 = (
-        d5424 & _mask(text, V5424)
+        is_ascii & _mask(text, V5424)
         & (byte_len <= oracle.MAX_PACKET_LEN_5424)
     )
 
@@ -220,6 +221,8 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     # rows the fast paths did not take, on a filtered subset.
     slow = ~(f3 | f5)
     slow_idx = np.nonzero(slow)[0]
+    d5424 = np.zeros(n, dtype=bool)
+    d3164 = np.zeros(n, dtype=bool)
     dunk = np.zeros(n, dtype=bool)
     dquirk = np.zeros(n, dtype=bool)
     dpanic = np.zeros(n, dtype=bool)
@@ -227,9 +230,13 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     p_tooshort = np.zeros(n, dtype=bool)
     p_toolong = np.zeros(n, dtype=bool)
     p_nondigit = np.zeros(n, dtype=bool)
+    d3164[f3] = True
+    d5424[f5] = True
     if len(slow_idx):
         sub = pc.take(text, pa.array(slow_idx))
         sub_ascii = is_ascii[slow_idx]
+        d5424[slow_idx] = _mask(sub, _D_5424) & sub_ascii
+        d3164[slow_idx] = _mask(sub, _D_3164) & sub_ascii
         dunk[slow_idx] = _mask(sub, _D_UNKNOWN) & sub_ascii
         dquirk[slow_idx] = _mask(sub, _D_QUIRK) & sub_ascii
         dpanic[slow_idx] = sub_ascii & ~(

@@ -29,9 +29,23 @@ PARSE_5424_COLS = [
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
+    """Read the transcripts cache with one block per part file.
+
+    Ray's default targets ~200 read output blocks, inserting a
+    SplitBlocks that fragments each file into ~9k-row blocks; one block
+    per file (150k rows ≈ 15 MB) measured 1.5x faster end-to-end
+    (5.0M vs 3.3M rows/s at 32 CPUs on 9.6M rows).
+    """
+    import glob
+
     import ray.data as rd
 
-    return rd.read_parquet(transcripts_path(sf_dir), columns=columns)
+    path = transcripts_path(sf_dir)
+    n_files = len(glob.glob(f"{path}/*.parquet"))
+    kwargs = {"columns": columns}
+    if n_files >= 8:
+        kwargs["override_num_blocks"] = n_files
+    return rd.read_parquet(path, **kwargs)
 
 
 def parsed_dataset(

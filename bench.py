@@ -48,15 +48,33 @@ def _run_bench() -> dict:
             logging_level="ERROR",
         )
 
-    # warm: generate the transcripts cache, then run the headline
-    # pipeline once untimed so worker processes exist, imports are done
-    # and allocator arenas are faulted in — the benchmark measures
-    # steady-state throughput (what a long job amortizes to), not
-    # process cold-start.
+    # warm: generate the transcripts cache, then fault in EVERY worker's
+    # allocator arenas deterministically (one concurrent parse task per
+    # CPU — pipeline-level warm runs load-balance AWAY from cold workers
+    # and leave stragglers), plus one pipeline pass for the read/shuffle
+    # paths.  The benchmark measures steady-state throughput (what a
+    # long job amortizes to), not process cold-start.
     path = transcripts_path(SF_DIR)
     ray.data.read_parquet(path).count()
     n_rows = rows_for(SF_DIR)
-    for _ in range(3):
+
+    from rayslog.config import DEFAULT_CONFIG
+    from rayslog.kernels.vectorized import parse_batch
+    from rayslog.sources.testgen import generate_transcripts
+
+    warm_tbl = generate_transcripts(150_000, seed=7).select(
+        ["conv_id", "turn_idx", "text"]
+    )
+
+    @ray.remote(num_cpus=1)
+    def _warm_worker(tbl):
+        for _ in range(2):
+            parse_batch(tbl, DEFAULT_CONFIG)
+        return 0
+
+    ref = ray.put(warm_tbl)
+    ray.get([_warm_worker.remote(ref) for _ in range(NUM_CPUS)])
+    for _ in range(2):
         p.q_route_sinks(SF_DIR).to_pandas()
 
     import shutil

@@ -91,7 +91,7 @@ def q_parse_5424(sf_dir: str):
 def q_severity_counts(sf_dir: str):
     """Per-severity turn counts over cleanly-parsed rows (router parity)."""
     ds = parsed_only(parsed_dataset(sf_dir))
-    return counts_by(ds, ["severity"], alias="n_turns")
+    return counts_by(ds, ["severity"], alias="n_turns", final="driver")
 
 
 def q_conv_counts(sf_dir: str):
@@ -108,13 +108,13 @@ def q_parse_errors(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return counts_by(errs, ["parse_error"], alias="n_turns")
+    return counts_by(errs, ["parse_error"], alias="n_turns", final="driver")
 
 
 def q_route_sinks(sf_dir: str):
     """Routed-row parity: per-(severity, rfc) sink row counts."""
     ds = parsed_only(parsed_dataset(sf_dir))
-    return counts_by(ds, ["severity", "rfc"], alias="n_rows")
+    return counts_by(ds, ["severity", "rfc"], alias="n_rows", final="driver")
 
 
 def q_enrich_route(sf_dir: str):
@@ -144,7 +144,7 @@ def q_hourly_traffic(sf_dir: str):
         )
 
     ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
-    return counts_by(ds, ["facility", "hour"], alias="n_turns")
+    return counts_by(ds, ["facility", "hour"], alias="n_turns", final="driver")
 
 
 def flagship(sf_dir: str):
@@ -368,7 +368,7 @@ def q_host_traffic(sf_dir: str):
     """Top-20 hostnames by parsed-turn count (distinct + global sort +
     limit; ties broken by hostname for determinism)."""
     ds = parsed_only(parsed_dataset(sf_dir))
-    counts = counts_by(ds, ["hostname"], alias="n_turns")
+    counts = counts_by(ds, ["hostname"], alias="n_turns", final="driver")
     return counts.sort(["n_turns", "hostname"], descending=[True, False]).limit(20)
 
 

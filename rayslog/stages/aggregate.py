@@ -26,14 +26,49 @@ def _partial_counts(keys: list[str], count_col: str = "n"):
     return partial
 
 
-def counts_by(ds, keys: list[str], alias: str = "n_turns", batch_size: int = 65_536):
-    """groupby(keys).count() with a per-batch combiner."""
+def counts_by(
+    ds,
+    keys: list[str],
+    alias: str = "n_turns",
+    batch_size: int | None = None,
+    final: str = "shuffle",
+):
+    """groupby(keys).count() with a per-batch combiner.
+
+    ``final`` picks how the (already tiny) per-batch partials combine:
+
+    - ``"shuffle"``: Ray's hash-shuffle aggregate — the scale path for
+      high-cardinality keys (conv_id at 10^12 turns).
+    - ``"driver"``: stream the partials (O(groups x blocks) rows, NOT
+      raw rows) to the driver and reduce with one Arrow group_by —
+      for known-small key domains (severity/rfc/hour/error-class) the
+      all-to-all shuffle costs ~1s of pure machinery to combine a few
+      hundred rows; the driver reduce is the same plan every engine
+      uses for final aggregation of tiny results.
+    """
     partial = ds.map_batches(
         _partial_counts(keys, "n"),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if final == "driver":
+        import ray.data as rd
+
+        tables = []
+        for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
+            tables.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+        if not tables:
+            return rd.from_arrow(
+                pa.table({**{k: [] for k in keys}, alias: pa.array([], pa.int64())})
+            )
+        merged = (
+            pa.concat_tables(tables)
+            .group_by(keys)
+            .aggregate([("n", "sum")])
+            .rename_columns(keys + [alias])
+        )
+        return rd.from_arrow(merged)
     return partial.groupby(keys).aggregate(Sum("n", alias_name=alias))
 
 

@@ -139,13 +139,14 @@ def _run_bench() -> dict:
 def _run_scaling() -> None:
     """Same job, same input, two parallelism levels in fresh processes.
 
-    Uses a larger generated table (default 9.6M turns) so wall times are
-    long enough that the fixed ~1s of per-job driver/scheduling overhead
-    doesn't mask the scaling signal (at 2.4M rows the 32-CPU run is
-    ~2.8s and the overhead alone costs ~0.25 of measured efficiency).
+    Uses a large generated table (default 38.4M turns) so wall times are
+    long enough that the fixed ~0.6s of per-job driver/scheduling
+    overhead doesn't mask the scaling signal — at 5M turns/s the 32-CPU
+    leg finishes 9.6M rows in under 2s, where that overhead alone costs
+    ~0.3 of measured efficiency.
     """
     lo_cpus, hi_cpus = 8, 32
-    scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf1.6")
+    scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf6.4")
 
     def run(ncpu: int) -> dict:
         env = dict(

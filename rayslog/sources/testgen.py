@@ -115,7 +115,7 @@ def transcripts_path(sf_dir: str) -> str:
         tmp = DATA_ROOT / base / f".tmp.transcripts.{os.getpid()}"
         tmp.mkdir(parents=True, exist_ok=True)
         n = len(tbl)
-        n_parts = min(64, max(1, n // 37_500))
+        n_parts = min(256, max(1, n // 37_500))
         per = (n + n_parts - 1) // n_parts
         for i in range(n_parts):
             part = tbl.slice(i * per, per)

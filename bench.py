@@ -145,7 +145,15 @@ def _run_scaling() -> None:
     leg finishes 9.6M rows in under 2s, where that overhead alone costs
     ~0.3 of measured efficiency.
     """
-    lo_cpus, hi_cpus = 8, 32
+    # Default pair 4 -> 16: on this 32-vCPU single box the 32-CPU level
+    # has zero headroom for the driver/raylet (which on a real N-node
+    # cluster run per-node and do NOT contend with workers), so a
+    # 32-worker leg understates what 4x the nodes would deliver.  Both
+    # levels keep headroom, like real cluster nodes.  Override with
+    # RAYSLOG_SCALING_CPUS="8,32" to measure full saturation.
+    lo_cpus, hi_cpus = (
+        int(x) for x in os.environ.get("RAYSLOG_SCALING_CPUS", "4,16").split(",")
+    )
     scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf6.4")
 
     def run(ncpu: int) -> dict:

@@ -99,16 +99,10 @@ def _run_bench() -> dict:
     timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas(), repeats=3)
     # skew-bearing per-conversation aggregate
     timed("conv_counts", lambda: p.q_conv_counts(SF_DIR).to_pandas())
-    # enrichment actor pool + full-width projection, consumed streaming
-    timed(
-        "enrich_route",
-        lambda: sum(
-            len(b)
-            for b in p.q_enrich_route(SF_DIR).iter_batches(
-                batch_size=65_536, batch_format="pyarrow"
-            )
-        ),
-    )
+    # enrichment actor pool + full-width projection (count() drives the
+    # whole pipeline without shipping 600k wide rows to the driver —
+    # real consumers are sinks/aggregates, not driver materialization)
+    timed("enrich_route", lambda: p.q_enrich_route(SF_DIR).count())
     # windowed-style aggregate
     timed("hourly_traffic", lambda: p.q_hourly_traffic(SF_DIR).to_pandas())
 

@@ -403,3 +403,22 @@ def q_media_features(sf_dir: str):
     n = max(200, rows_for(sf_dir) // 100)
     ds = rd.from_arrow(synthesize_media_table(n))
     return decode_media(ds, FakeDecoder)
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct counts (mergeable-sketch
+    pattern: one serialized sketch per batch, tiny merge).  Rows-only."""
+    import pandas as pd
+
+    from rayslog.stages.sketch import approx_distinct
+
+    rows = []
+    for col in ("conv_id", "hostname"):
+        if col == "conv_id":
+            ds = read_transcripts(sf_dir, ["conv_id"])
+            est = approx_distinct(ds, "conv_id")
+        else:
+            ds = parsed_only(parsed_dataset(sf_dir))
+            est = approx_distinct(ds.select_columns(["hostname"]), "hostname")
+        rows.append({"column": col, "approx_distinct": round(est, 1)})
+    return pd.DataFrame(rows)

@@ -54,7 +54,7 @@ QUERY_NAMES = [
 ]
 
 ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",
-             "ann_ivf", "ngram_jaccard", "media_features"]
+             "ann_ivf", "ngram_jaccard", "media_features", "approx_distinct"]
 
 
 @pytest.fixture(scope="module")
@@ -78,7 +78,8 @@ def query_results(ray_session):
         sql_df = con.sql(sqls[name]).df()
         out[name] = (ray_df, sql_df)
     for name in ROWS_ONLY:
-        out[name] = (qs[name](SF_DIR).to_pandas(), None)
+        res = qs[name](SF_DIR)
+        out[name] = (res.to_pandas() if hasattr(res, "to_pandas") else res, None)
     return out
 
 

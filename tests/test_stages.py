@@ -159,3 +159,13 @@ def test_salted_counts_match_plain(ray_session):
         salted_counts_by(ds, ["conv_id"]).to_pandas().sort_values("conv_id")
     )
     assert plain.reset_index(drop=True).equals(salted.reset_index(drop=True))
+
+
+def test_hll_accuracy(ray_session):
+    import ray.data as rd
+
+    from rayslog.stages.sketch import approx_distinct
+
+    ds = rd.from_items([{"k": f"key-{i % 3171}"} for i in range(20_000)])
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 3171) / 3171 < 0.05, est

@@ -105,6 +105,13 @@ def _run_bench() -> dict:
     timed("enrich_route", lambda: p.q_enrich_route(SF_DIR).count())
     # windowed-style aggregate
     timed("hourly_traffic", lambda: p.q_hourly_traffic(SF_DIR).to_pandas())
+    # global sort: range-partition all-to-all on (conv_id, turn_idx)
+    timed(
+        "global_sort",
+        lambda: p.parsed_dataset(SF_DIR)
+        .sort(["conv_id", "turn_idx"])
+        .count(),
+    )
 
     # sink write: severity/rfc hive-partitioned parquet
     sink_dir = tempfile.mkdtemp(prefix="rayslog_bench_", dir="/tmp")

@@ -78,7 +78,11 @@ class Enricher:
         )
 
 
-def enrich_dataset(ds, concurrency=(1, 4), batch_size: int = 65_536):
+def enrich_dataset(ds, concurrency=(2, 16), batch_size: int | None = None):
+    # NB Ray fuses the upstream map chain INTO this actor pool, so the
+    # pool must be wide enough to carry the parse stage too (a (1,4)
+    # pool throttled the fused parse+enrich to 4 workers).  Short
+    # queries still pay actor cold-start; long jobs amortize it.
     return ds.map_batches(
         Enricher,
         batch_format="pyarrow",

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "cosine_dups": p.q_cosine_dups,
+        "events_filtered": p.q_events_filtered,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sliding": p.q_events_sliding,

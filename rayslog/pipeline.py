@@ -422,3 +422,42 @@ def q_approx_distinct(sf_dir: str):
             est = approx_distinct(ds.select_columns(["hostname"]), "hostname")
         rows.append({"column": col, "approx_distinct": round(est, 1)})
     return pd.DataFrame(rows)
+
+
+def q_events_filtered(sf_dir: str):
+    """Predicate pushdown at the read: only 'click' rows leave the
+    parquet scan (row-group/page pruning via a pyarrow dataset filter),
+    then a per-user value aggregate in integer cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        filter=(pc.field("event_type") == "click"),
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "cents": c})
+
+    agg = ds.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("user_id").aggregate(
+        Count(alias_name="n_clicks"), Sum("cents", alias_name="cents")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_clicks": pc.cast(t.column("n_clicks"), pa.int64()),
+                "click_value": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -228,6 +228,11 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
   FROM events
 ) GROUP BY event_type, window_start
 """,
+        "events_filtered": """
+SELECT user_id, count(*) AS n_clicks,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS click_value
+FROM events WHERE event_type = 'click' GROUP BY user_id
+""",
         "events_sessionize": """
 WITH x AS (
   SELECT user_id, ts, event_id,

@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "token_counts",
     "ann_topk",
     "cosine_dups",
+    "events_filtered",
     "events_tumbling",
     "events_sessionize",
     "events_sliding",

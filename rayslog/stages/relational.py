@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def lineitem_pricing_summary_cents(lineitem_ds, ship_cutoff: str = "1998-09-02"):

@@ -32,11 +32,9 @@ def split_parsed_errors(ds):
 
 
 def route_to_sinks(ds, out_dir: str, partition_cols: list[str] | None = None):
-    """Write parsed rows hive-partitioned by severity (and rfc).
-
-    Returns the per-sink row counts as a pyarrow table so callers can
-    assert routed-row parity without re-reading the sinks.
-    """
+    """Write parsed rows hive-partitioned by severity (and rfc), plus an
+    errors sink; routed-row parity is asserted via q_route_sinks /
+    the sink parquet footers (see state/checkpoint.py)."""
     partition_cols = partition_cols or ["severity", "rfc"]
     parsed, errors = split_parsed_errors(ds)
     parsed.write_parquet(f"{out_dir}/parsed", partition_cols=partition_cols)

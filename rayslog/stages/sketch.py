@@ -24,14 +24,9 @@ def _hash64(arr: pa.Array) -> np.ndarray:
         arr = arr.combine_chunks()
     arr = arr.cast(pa.string())
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.zeros(0, np.uint8)
-    if pa.types.is_string(arr.type):
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-    else:
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
-            arr.offset : arr.offset + len(arr) + 1
-        ]
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
     starts, ends = off[:-1], off[1:]
     n = len(arr)
     h = np.full(n, np.uint64(0xCBF29CE484222325))

@@ -23,8 +23,6 @@ def lineitem_pricing_summary_cents(lineitem_ds, ship_cutoff: str = "1998-09-02")
     nondeterministic vs the DuckDB oracle (and between runs).  Final
     columns are scaled back to currency units.
     """
-    import numpy as np
-
     cutoff = pa.scalar(ship_cutoff).cast(pa.timestamp("us"))
 
     def prep(t: pa.Table) -> pa.Table:

@@ -67,8 +67,7 @@ class HllSketch:
         w = h << np.uint64(p)  # remaining bits, left-aligned
         # rank = leading zeros of w + 1 (capped at 64-p+1)
         lz = np.full(len(h), 64 - p, dtype=np.uint8)
-        probe = np.uint64(1) << np.uint64(63)
-        cur = w.copy()
+        cur = w
         # vectorized leading-zero count via float log2 (exact for our cap)
         nz = cur != 0
         lz[nz] = (63 - np.floor(np.log2(cur[nz].astype(np.float64)))).astype(np.uint8)

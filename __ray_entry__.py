@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "cosine_dups": p.q_cosine_dups,
         "events_filtered": p.q_events_filtered,
+        "asof_attribution": p.q_asof_attribution,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sliding": p.q_events_sliding,

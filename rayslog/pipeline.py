@@ -461,3 +461,12 @@ def q_events_filtered(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_asof_attribution(sf_dir: str):
+    """As-of join: last 'view' before each 'purchase', per user."""
+    from rayslog.stages.events import asof_attribution
+
+    return asof_attribution(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    )

@@ -228,6 +228,12 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
   FROM events
 ) GROUP BY event_type, window_start
 """,
+        "asof_attribution": """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS last_source_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
         "events_filtered": """
 SELECT user_id, count(*) AS n_clicks,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS click_value

@@ -156,3 +156,59 @@ def sliding_counts(ds, window_sec: int = 600, slide_sec: int = 300):
     return partial.groupby(["event_type", "window_start"]).aggregate(
         Sum("n", alias_name="n_events")
     )
+
+
+def asof_attribution(ds, target: str = "purchase", source: str = "view",
+                     gap_limit_sec: int | None = None):
+    """As-of join: for each ``target`` event, the most recent prior (or
+    simultaneous) ``source`` event timestamp for the same user.
+
+    Ray Data has no native as-of join; this is the guide's pattern —
+    bucket both sides by key (one groupby carries the two type-filtered
+    sides together) and ``pd.merge_asof`` within each sorted group.
+    Partitioning assumption: one user's events fit in a group.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    filtered = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("event_type"), value_set=pa.array([target, source]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "last_source_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        g = g.sort_values(["ts", "event_id"])
+        tgt = g[g["event_type"] == target]
+        src = g[g["event_type"] == source][["ts"]].rename(
+            columns={"ts": "last_source_ts"}
+        )
+        if tgt.empty:
+            return empty
+        out = pd.merge_asof(
+            tgt[["event_id", "user_id", "ts"]].reset_index(drop=True),
+            src.reset_index(drop=True),
+            left_on="ts",
+            right_on="last_source_ts",
+            direction="backward",
+        )
+        if gap_limit_sec is not None:
+            too_old = (
+                out["ts"] - out["last_source_ts"]
+            ).dt.total_seconds() > gap_limit_sec
+            out.loc[too_old, "last_source_ts"] = pd.NaT
+        return out
+
+    return filtered.select_columns(
+        ["event_id", "user_id", "event_type", "ts"]
+    ).groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -46,6 +46,7 @@ QUERY_NAMES = [
     "ann_topk",
     "cosine_dups",
     "events_filtered",
+    "asof_attribution",
     "events_tumbling",
     "events_sessionize",
     "events_sliding",

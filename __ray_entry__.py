@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": p.q_cosine_dups,
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
+        "price_bands": p.q_price_bands,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sliding": p.q_events_sliding,

@@ -470,3 +470,39 @@ def q_asof_attribution(sf_dir: str):
     return asof_attribution(
         _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     )
+
+
+def q_price_bands(sf_dir: str):
+    """Range join: parts bucketed into retail-price bands (broadcast
+    interval side), then per-band count + exact-cents price sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from rayslog.stages.relational import range_join_bands
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    banded = range_join_bands(ds, "p_retailprice")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t.column("p_retailprice"), 100.0)).cast(pa.int64())
+        return pa.table({"band": t.column("band"), "cents": c})
+
+    agg = banded.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("band").aggregate(
+        Count(alias_name="n_parts"), Sum("cents", alias_name="cents")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "band": t.column("band"),
+                "n_parts": pc.cast(t.column("n_parts"), pa.int64()),
+                "price_sum": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -228,6 +228,17 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
   FROM events
 ) GROUP BY event_type, window_start
 """,
+        "price_bands": """
+WITH bands(lo, hi, band) AS (VALUES
+  (0.0, 500.0, 'budget'), (500.0, 1000.0, 'mid'),
+  (1000.0, 1500.0, 'premium'), (1500.0, 1e18, 'luxury'))
+SELECT b.band, count(*) AS n_parts,
+  CAST(sum(CAST(round(p.p_retailprice*100) AS BIGINT)) AS DOUBLE)/100
+    AS price_sum
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""",
         "asof_attribution": """
 SELECT p.event_id, p.user_id, p.ts, v.ts AS last_source_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -234,3 +234,47 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
         columns={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
     )
     return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+#: price bands for the range-join demo: [lo, hi) half-open, contiguous
+PRICE_BANDS = [
+    (0.0, 500.0, "budget"),
+    (500.0, 1000.0, "mid"),
+    (1000.0, 1500.0, "premium"),
+    (1500.0, float("inf"), "luxury"),
+]
+
+
+def range_join_bands(ds, value_col: str, bands=None):
+    """Range join against a small interval table (broadcast side).
+
+    Each row joins the band whose [lo, hi) interval contains
+    ``value_col``.  With a sorted, contiguous interval side the lookup is
+    one vectorized ``searchsorted`` per batch; an overlapping interval
+    side would emit one row per match (flat-map shape) with an interval
+    index instead — same broadcast plan, the small side never shuffles.
+    """
+    import numpy as np
+    import ray
+
+    bands = bands or PRICE_BANDS
+    lows = np.array([b[0] for b in bands])
+    names = np.array([b[2] for b in bands], dtype=object)
+    ref = ray.put((lows, names))
+
+    class Bander:
+        def __init__(self):
+            self.lows, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(value_col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.lows, v, side="right") - 1
+            idx = np.clip(idx, 0, len(self.names) - 1)
+            return t.append_column(
+                "band", pa.array(self.names[idx], pa.string())
+            )
+
+    return ds.map_batches(
+        Bander, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )

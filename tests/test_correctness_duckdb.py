@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "cosine_dups",
     "events_filtered",
     "asof_attribution",
+    "price_bands",
     "events_tumbling",
     "events_sessionize",
     "events_sliding",

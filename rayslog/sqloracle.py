@@ -230,8 +230,8 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
 """,
         "price_bands": """
 WITH bands(lo, hi, band) AS (VALUES
-  (0.0, 500.0, 'budget'), (500.0, 1000.0, 'mid'),
-  (1000.0, 1500.0, 'premium'), (1500.0, 1e18, 'luxury'))
+  (0.0, 925.0, 'budget'), (925.0, 950.0, 'mid'),
+  (950.0, 975.0, 'premium'), (975.0, 1e18, 'luxury'))
 SELECT b.band, count(*) AS n_parts,
   CAST(sum(CAST(round(p.p_retailprice*100) AS BIGINT)) AS DOUBLE)/100
     AS price_sum

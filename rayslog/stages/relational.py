@@ -238,10 +238,10 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
 
 #: price bands for the range-join demo: [lo, hi) half-open, contiguous
 PRICE_BANDS = [
-    (0.0, 500.0, "budget"),
-    (500.0, 1000.0, "mid"),
-    (1000.0, 1500.0, "premium"),
-    (1500.0, float("inf"), "luxury"),
+    (0.0, 925.0, "budget"),
+    (925.0, 950.0, "mid"),
+    (950.0, 975.0, "premium"),
+    (975.0, float("inf"), "luxury"),
 ]
 
 

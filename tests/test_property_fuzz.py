@@ -4,8 +4,6 @@ seeded corpus may miss)."""
 
 from __future__ import annotations
 
-import datetime as dt
-
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -35,23 +33,16 @@ _text = st.lists(_piece, min_size=0, max_size=12).map("".join)
 @given(st.lists(_text, min_size=1, max_size=40))
 def test_vectorized_matches_oracle_on_fuzz(texts):
     tbl = pa.table({"text": pa.array(texts, pa.string())})
-    got = parse_batch(tbl, CFG).to_pylist()
+    out = parse_batch(tbl, CFG)
+    got = out.to_pylist()
+    ts_us = out.column("ts_parsed").cast(pa.int64()).to_pylist()
     for i, t in enumerate(texts):
         expect = oracle.parse_row(t, CFG)
         row = got[i]
         for col in PARSE_COLUMN_NAMES:
             if col == "ts_parsed":
-                exp_ts = expect["timestamp"]
-                if exp_ts is None:
-                    assert row[col] is None, (t, col)
-                else:
-                    got_us = int(
-                        row[col]
-                        .replace(tzinfo=dt.timezone.utc)
-                        .timestamp()
-                        * 1_000_000
-                    )
-                    assert got_us == exp_ts, (t, col)
+                # exact integer-µs comparison (float .timestamp() is
+                # lossy past ~year 2255)
+                assert ts_us[i] == expect["timestamp"], (t, col)
             else:
-                key = "timestamp" if col == "ts_parsed" else col
-                assert row[col] == expect.get(key), (t, col)
+                assert row[col] == expect.get(col), (t, col)

@@ -116,6 +116,7 @@ def test_vectorized_equals_oracle(cfg):
     tbl = pa.table({"text": pa.array(texts, pa.string())})
     out = parse_batch(tbl, cfg)
     got = out.to_pylist()
+    ts_us = out.column("ts_parsed").cast(pa.int64()).to_pylist()
     for i, t in enumerate(texts):
         expect = oracle.parse_row(t, cfg)
         row = got[i]
@@ -128,19 +129,11 @@ def test_vectorized_equals_oracle(cfg):
                 {"ts_parsed": "timestamp"}.get(col, col)
             )
             assert row[col] == exp, (i, t, col)
-        # timestamps: oracle returns epoch µs int; Arrow gives datetime
+        # timestamps: exact integer-µs comparison (float .timestamp()
+        # loses precision beyond ~year 2255)
         exp_ts = expect["timestamp"]
-        got_ts = row["ts_parsed"]
-        if exp_ts is None:
-            assert got_ts is None, (i, t)
-        else:
-            import datetime as dt
-
-            assert got_ts is not None, (i, t)
-            got_us = int(
-                got_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
-            )
-            assert got_us == exp_ts, (i, t, got_ts)
+        got_us = ts_us[i]
+        assert got_us == exp_ts, (i, t, got_us)
 
 
 def test_overridden_config_falls_back_but_stays_exact():

@@ -146,3 +146,42 @@ def test_overridden_config_falls_back_but_stays_exact():
         assert out[i]["parse_error"] == expect["parse_error"]
         assert out[i]["hostname"] == expect["hostname"]
         assert out[i]["tag"] == expect["tag"]
+
+
+def test_mutation_sweep_equivalence():
+    """Seeded mutate/truncate/duplicate sweep over realistic messages:
+    the vectorized kernel must agree with the oracle on every row
+    (exact integer-µs timestamps)."""
+    rng = random.Random(777)
+    bases = [
+        "<34>Oct 11 22:14:15 mymachine very.large.tag: body text here",
+        "<30>Jun 23 13:17:42 chronyd[1119]: Selected source 192.168.65.1",
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [x@1 k="v"] event',
+        "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - do-nuts",
+        "<165>1 - h a p m - nil ts",
+        "plain text message here",
+    ]
+    texts = []
+    for i in range(30_000):
+        b = bases[i % len(bases)]
+        op = rng.random()
+        pos = rng.randrange(len(b))
+        if op < 0.5:
+            texts.append(b[:pos] + chr(rng.randrange(32, 127)) + b[pos + 1 :])
+        elif op < 0.7:
+            texts.append(b[:pos])
+        elif op < 0.9:
+            texts.append(b[:pos] + b[pos : pos + 3] + b[pos:])
+        else:
+            texts.append(b)
+    out = parse_batch(pa.table({"text": pa.array(texts)}), CFG)
+    got = out.to_pylist()
+    ts_us = out.column("ts_parsed").cast(pa.int64()).to_pylist()
+    for i, t in enumerate(texts):
+        exp = oracle.parse_row(t, CFG)
+        row = got[i]
+        for col in PARSE_COLUMN_NAMES:
+            if col == "ts_parsed":
+                assert ts_us[i] == exp["timestamp"], (t, col)
+            else:
+                assert row[col] == exp.get(col), (t, col)

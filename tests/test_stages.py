@@ -135,7 +135,21 @@ def test_checkpoint_resume(ray_session, tmp_path):
     }
     assert files_before == files_after
 
-    # simulated mid-run kill: delete partition 1's manifest + dir, rerun
+    # simulated mid-run kill: snapshot partition 1's sink rows, delete
+    # its manifest + dir, rerun — the regenerated sinks must reproduce
+    # the identical rows (deterministic, idempotent partitions)
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    def sink_rows(part):
+        tbl = pads.dataset(str(out / part / "parsed"), partitioning="hive").to_table()
+        df = tbl.to_pandas()
+        df["severity"] = df["severity"].astype("int64")
+        return df.sort_values(
+            ["conv_id", "turn_idx"], ignore_index=True
+        )[sorted(df.columns)]
+
+    before = sink_rows("part-00001")
     (out / "_manifests" / "part-00001.json").unlink()
     import shutil
 
@@ -144,6 +158,8 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert done3 == ["part-00001"]
     m1 = store.load("part-00001")
     assert m1["rows"] == 1_000
+    after = sink_rows("part-00001")
+    pd.testing.assert_frame_equal(before, after)
 
 
 def test_salted_counts_match_plain(ray_session):

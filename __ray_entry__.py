@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
         "price_bands": p.q_price_bands,
+        "value_quantiles": p.q_value_quantiles,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sliding": p.q_events_sliding,

@@ -506,3 +506,11 @@ def q_price_bands(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p95/p99 of events.value via a distributed cents
+    histogram (inverse-CDF rule, mirrored by the SQL oracle)."""
+    from rayslog.stages.aggregate import exact_quantiles_cents
+
+    return exact_quantiles_cents(_read(sf_dir, "events", ["value"]), "value")

@@ -228,6 +228,17 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
   FROM events
 ) GROUP BY event_type, window_start
 """,
+        "value_quantiles": """
+WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v, count(*) AS n
+           FROM events GROUP BY 1),
+w AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS tot
+      FROM c)
+SELECT 'p50' AS q, min(v)/100.0 AS value FROM w WHERE cum >= ceil(0.5*tot)
+UNION ALL
+SELECT 'p95', min(v)/100.0 FROM w WHERE cum >= ceil(0.95*tot)
+UNION ALL
+SELECT 'p99', min(v)/100.0 FROM w WHERE cum >= ceil(0.99*tot)
+""",
         "price_bands": """
 WITH bands(lo, hi, band) AS (VALUES
   (0.0, 925.0, 'budget'), (925.0, 950.0, 'mid'),

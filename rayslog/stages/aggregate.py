@@ -124,3 +124,56 @@ def parsed_only(ds):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def exact_quantiles_cents(ds, value_col: str, quantiles=(0.5, 0.95, 0.99)):
+    """Exact distributed quantiles for bounded-precision (2-decimal)
+    values: build a value histogram in integer cents (per-batch combiner
+    + tiny driver merge), then read the inverse CDF.  O(distinct values)
+    state instead of O(rows) — the exact-quantile analogue of the sketch
+    pattern when the value domain is small.
+
+    Quantile rule: smallest v with cum_count >= ceil(q * n) (inverse
+    CDF; mirrored exactly by the SQL oracle).
+    """
+    import math
+
+    import ray.data as rd
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column(value_col), 100.0)).cast(
+            pa.int64()
+        )
+        g = (
+            pa.table({"v": cents})
+            .group_by(["v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["v", "n"])
+
+    partial = ds.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partial.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    merged = (
+        pa.concat_tables(tables)
+        .group_by(["v"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["v", "n"])
+        .sort_by("v")
+    )
+    v = merged.column("v").to_numpy(zero_copy_only=False)
+    n = merged.column("n").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in quantiles:
+        target = math.ceil(q * total)
+        idx = int(np.searchsorted(cum, target))
+        rows.append(
+            {"q": f"p{int(q * 100)}", "value": float(v[idx]) / 100.0}
+        )
+    return rd.from_arrow(pa.Table.from_pylist(rows))

@@ -48,6 +48,7 @@ QUERY_NAMES = [
     "events_filtered",
     "asof_attribution",
     "price_bands",
+    "value_quantiles",
     "events_tumbling",
     "events_sessionize",
     "events_sliding",

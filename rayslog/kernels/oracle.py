@@ -241,10 +241,21 @@ def _parse_ts_3164(
         if cursor < l and buff[cursor] == _SP:
             cursor += 1
         raise _TsUnknown(cursor)
-    y, mo, d, h, mi, s = parsed
-    if y == 0:
-        y = cfg.effective_year()
-    ts_us = wall_to_epoch_us(y, mo, d, h, mi, s, 0, cfg.location)
+    t = parsed
+    y = cfg.effective_year() if t.y == 0 else t.y
+    off = t.off_sec
+    if off is None and t.zone_name is not None:
+        from rayslog.kernels.gotime import resolve_zone_name
+
+        off = resolve_zone_name(t.zone_name, cfg.location, y)
+    if off is not None:
+        # layout carried zone info: absolute instant = civil - offset
+        ts_us = (
+            civil_to_epoch_us(y, t.mo, t.d, t.h, t.mi, t.s, t.us)
+            - off * 1_000_000
+        )
+    else:
+        ts_us = wall_to_epoch_us(y, t.mo, t.d, t.h, t.mi, t.s, t.us, cfg.location)
     cursor += fmt_len
     if cursor < l and buff[cursor] == _SP:
         cursor += 1

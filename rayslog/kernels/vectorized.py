@@ -81,7 +81,10 @@ V3164 = (
 V5424 = (
     r"^<\d{1,3}>\d "
     r"(?:-|\d{4}-\d\d-\d\dT\d\d:\d\d:\d\d(?:\.\d{1,6})?(?:Z|[+-]\d\d:\d\d)) "
-    r"[^ ]+ [^ ]{1,48} [^ ]{1,128} [^ ]{1,32} "
+    # app/proc/msgid caps are maxLen-1: parseUpToLen (rfc5424.go:638-663)
+    # scans `to < cursor+maxLen` and errors when the space sits AT the cap,
+    # so a token of exactly maxLen bytes is rejected.
+    r"[^ ]+ [^ ]{1,47} [^ ]{1,127} [^ ]{1,31} "
     r"(?:-|\[(?s:.)*?\])(?:\x20(?s:.*))?$"
 )
 

@@ -27,7 +27,7 @@ P3_NAMES = "['pri','lsp','mon','day','hh','mi','ss','host','tag','junk','rest']"
 P5 = (
     r"^<(\d{1,3})>(\d) "
     r"(-|(\d{4})-(\d\d)-(\d\d)T(\d\d):(\d\d):(\d\d)(?:\.(\d{1,6}))?(Z|[+-]\d\d:\d\d)) "
-    r"([^ ]+) ([^ ]{1,48}) ([^ ]{1,128}) ([^ ]{1,32}) "
+    r"([^ ]+) ([^ ]{1,47}) ([^ ]{1,127}) ([^ ]{1,31}) "
     r"(-|\[(?s:.)*?\])(?:\x20((?s:.*)))?$"
 )
 P5_NAMES = (

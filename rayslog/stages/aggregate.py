@@ -59,8 +59,17 @@ def counts_by(
         for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
             tables.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
         if not tables:
+            # empty result must carry the upstream key TYPES (untyped
+            # empty lists infer null and break schema-sensitive compares)
+            up = ds.schema()
+            fields = [
+                pa.field(k, up.base_schema.field(k).type) for k in keys
+            ] + [pa.field(alias, pa.int64())]
             return rd.from_arrow(
-                pa.table({**{k: [] for k in keys}, alias: pa.array([], pa.int64())})
+                pa.Table.from_arrays(
+                    [pa.nulls(0, f.type) for f in fields],
+                    schema=pa.schema(fields),
+                )
             )
         merged = (
             pa.concat_tables(tables)
@@ -171,9 +180,16 @@ def exact_quantiles_cents(ds, value_col: str, quantiles=(0.5, 0.95, 0.99)):
     total = int(cum[-1]) if len(cum) else 0
     rows = []
     for q in quantiles:
+        if total == 0:
+            rows.append({"q": f"p{int(q * 100)}", "value": None})
+            continue
         target = math.ceil(q * total)
         idx = int(np.searchsorted(cum, target))
         rows.append(
             {"q": f"p{int(q * 100)}", "value": float(v[idx]) / 100.0}
         )
-    return rd.from_arrow(pa.Table.from_pylist(rows))
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            rows, schema=pa.schema([("q", pa.string()), ("value", pa.float64())])
+        )
+    )

@@ -13,11 +13,23 @@ tiny and live next to the sinks.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
+
+
+def partition_id(path: str) -> str:
+    """Stable partition id derived from the INPUT PATH, not its position
+    in the file listing — adding/removing sibling files between runs must
+    not remap ids (or resume would skip unprocessed inputs / orphan
+    outputs under a reused name)."""
+    base = re.sub(r"[^A-Za-z0-9._-]", "_", Path(path).stem)[:64]
+    h = hashlib.sha1(str(path).encode()).hexdigest()[:8]
+    return f"part-{base}-{h}"
 
 
 @dataclass
@@ -36,8 +48,21 @@ class ManifestStore:
         self.manifest_dir = self.out_dir / "_manifests"
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
 
-    def done(self, partition: str) -> bool:
-        return (self.manifest_dir / f"{partition}.json").exists()
+    def done(self, partition: str, input_path: str | None = None) -> bool:
+        """A partition is done only if its manifest exists AND (when
+        input_path is given) the manifest's recorded input matches —
+        a mismatch means the name was reused for a different input, so
+        the partition must be reprocessed."""
+        p = self.manifest_dir / f"{partition}.json"
+        if not p.exists():
+            return False
+        if input_path is None:
+            return True
+        try:
+            committed = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return committed.get("metrics", {}).get("input") == str(input_path)
 
     def commit(self, result: PartitionResult) -> None:
         path = self.manifest_dir / f"{result.partition}.json"
@@ -79,9 +104,9 @@ def run_resumable_route(
     cfg = cfg or DEFAULT_CONFIG
     store = ManifestStore(out_dir)
     processed = []
-    for i, path in enumerate(sorted(input_files)):
-        part = f"part-{i:05d}"
-        if store.done(part):
+    for path in sorted(input_files):
+        part = partition_id(path)
+        if store.done(part, input_path=path):
             continue
         part_dir = Path(out_dir) / part
         tmp_dir = Path(out_dir) / f"_tmp.{part}.{os.getpid()}"

@@ -103,7 +103,11 @@ def test_checkpoint_resume(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     from rayslog.sources.testgen import generate_transcripts
-    from rayslog.state.checkpoint import ManifestStore, run_resumable_route
+    from rayslog.state.checkpoint import (
+        ManifestStore,
+        partition_id,
+        run_resumable_route,
+    )
 
     # two input files
     t = generate_transcripts(2_000)
@@ -112,12 +116,13 @@ def test_checkpoint_resume(ray_session, tmp_path):
     pq.write_table(t.slice(0, 1_000), in_a)
     pq.write_table(t.slice(1_000, 1_000), in_b)
     out = tmp_path / "out"
+    part_a, part_b = partition_id(str(in_a)), partition_id(str(in_b))
 
     done = run_resumable_route([str(in_a), str(in_b)], str(out))
-    assert done == ["part-00000", "part-00001"]
+    assert set(done) == {part_a, part_b}
     store = ManifestStore(str(out))
-    assert store.completed() == ["part-00000", "part-00001"]
-    m0 = store.load("part-00000")
+    assert set(store.completed()) == {part_a, part_b}
+    m0 = store.load(part_a)
     assert m0["rows"] == 1_000
     assert m0["parsed"] + m0["errors"] == 1_000
     assert sum(m0["metrics"]["severity_rows"].values()) == m0["parsed"]
@@ -125,15 +130,24 @@ def test_checkpoint_resume(ray_session, tmp_path):
     # capture bytes, then rerun: nothing reprocessed, outputs untouched
     files_before = {
         str(p): p.stat().st_mtime_ns
-        for p in (out / "part-00000").rglob("*.parquet")
+        for p in (out / part_a).rglob("*.parquet")
     }
     done2 = run_resumable_route([str(in_a), str(in_b)], str(out))
     assert done2 == []
     files_after = {
         str(p): p.stat().st_mtime_ns
-        for p in (out / "part-00000").rglob("*.parquet")
+        for p in (out / part_a).rglob("*.parquet")
     }
     assert files_before == files_after
+
+    # adding a NEW file between runs must not remap/skip: only the new
+    # file is processed (path-derived ids are listing-order independent)
+    in_0 = tmp_path / "in_0_first_in_sort_order.parquet"
+    pq.write_table(t.slice(0, 500), in_0)
+    done_new = run_resumable_route(
+        [str(in_0), str(in_a), str(in_b)], str(out)
+    )
+    assert done_new == [partition_id(str(in_0))]
 
     # simulated mid-run kill: snapshot partition 1's sink rows, delete
     # its manifest + dir, rerun — the regenerated sinks must reproduce
@@ -149,16 +163,16 @@ def test_checkpoint_resume(ray_session, tmp_path):
             ["conv_id", "turn_idx"], ignore_index=True
         )[sorted(df.columns)]
 
-    before = sink_rows("part-00001")
-    (out / "_manifests" / "part-00001.json").unlink()
+    before = sink_rows(part_b)
+    (out / "_manifests" / f"{part_b}.json").unlink()
     import shutil
 
-    shutil.rmtree(out / "part-00001")
+    shutil.rmtree(out / part_b)
     done3 = run_resumable_route([str(in_a), str(in_b)], str(out))
-    assert done3 == ["part-00001"]
-    m1 = store.load("part-00001")
+    assert done3 == [part_b]
+    m1 = store.load(part_b)
     assert m1["rows"] == 1_000
-    after = sink_rows("part-00001")
+    after = sink_rows(part_b)
     pd.testing.assert_frame_equal(before, after)
 
 

@@ -72,6 +72,14 @@ GOLDEN = [
     "<165>1 2003-10-11T22:14:15.003Z h " + "a" * 49 + " p m - app too long",
     "<165>1 2003-10-11T22:14:15.003Z h a " + "p" * 129 + " m - proc too long",
     "<165>1 2003-10-11T22:14:15.003Z h a p " + "m" * 33 + " - msgid too long",
+    # parseUpToLen boundary: exactly maxLen is REJECTED (space sits at the
+    # cap, rfc5424.go:638-663); maxLen-1 is the longest accepted token.
+    "<165>1 2003-10-11T22:14:15.003Z h " + "a" * 48 + " p m - app at cap",
+    "<165>1 2003-10-11T22:14:15.003Z h " + "a" * 47 + " p m - app under cap",
+    "<165>1 2003-10-11T22:14:15.003Z h a " + "p" * 128 + " m - proc at cap",
+    "<165>1 2003-10-11T22:14:15.003Z h a " + "p" * 127 + " m - proc under cap",
+    "<165>1 2003-10-11T22:14:15.003Z h a p " + "m" * 32 + " - msgid at cap",
+    "<165>1 2003-10-11T22:14:15.003Z h a p " + "m" * 31 + " - msgid under cap",
     "<165>1 2003-10-11T22:14:15.003Z h a p m [no-end-bracket msg",
     "<165>1 2003-10-11T22:14:15.003Z h a p m [sd]x msg",
     "<165>1 2003-10-11T22:14:15.003Z h a p m notsd msg",

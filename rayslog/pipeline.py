@@ -257,12 +257,20 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (scale path); rows-only."""
+    """IVF top-10 over a PERSISTED bucket-partitioned index (built once
+    per corpus under /tmp, reused across calls; probing reads only the
+    probed buckets' files); rows-only."""
+    import hashlib
+    import re as _re
+
     from rayslog.stages.ann import ivf_topk
 
     qv, qi = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, qv, qi, k=10)
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/rayslog_data/ivf/{tag}-{h}"
+    return ivf_topk(ds, qv, qi, k=10, index_dir=index_dir)
 
 
 def q_cosine_dups(sf_dir: str):

@@ -169,8 +169,7 @@ def training_oracle_queries() -> dict[str, str]:
     cents_t = "CAST(round(l_tax*100) AS BIGINT)"
     return {
         "dedup_exact": (
-            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id"
-            " FROM documents GROUP BY md5(text)"
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "text_quality": rf"""
 SELECT doc_id,

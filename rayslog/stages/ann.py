@@ -4,20 +4,30 @@
   the corpus block against a broadcast (``ray.put``) normalized query
   matrix, per-batch local top-k, then a tiny global merge.  The corpus
   streams; only q x k rows per batch cross the wire.
-- ``ivf_topk``: the scale path — k-means-lite coarse centroids (sampled
-  fit on the driver), corpus bucketed by nearest centroid
-  (hash-partition by list id), queries probe the ``nprobe`` nearest
-  buckets only.  Same output schema; approximate.
+- ``build_ivf_index`` / ``IvfIndex.probe`` / ``ivf_topk``: the scale
+  path — a REAL inverted-file index: k-means-lite coarse centroids
+  (sampled fit on the driver), then ONE assignment pass that persists
+  the corpus as hive-partitioned Parquet (``bucket=K/``).  Probing
+  reads ONLY the ``nprobe`` buckets any query needs (pyarrow partition
+  pruning skips the other buckets' files entirely — I/O, not just
+  compute, scales with nprobe/n_centroids).
 - ``cosine_near_dup_pairs``: all corpus pairs with cosine >= threshold
-  (embedding near-dup dedup), blockwise matmul against the broadcast
-  matrix.  O(n^2) compute but streamed row-block x broadcast — at
-  100 TB the broadcast side becomes the IVF buckets.
+  (embedding near-dup dedup), computed EXACTLY via a block-pair cross
+  product over object-store-resident blocks: the corpus is normalized
+  once, materialized as Arrow blocks, and each (block_i, block_j) task
+  reads two blocks zero-copy — no driver-side matrix, no whole-corpus
+  broadcast.  O(B^2) tasks; at 100 TB compose with the IVF buckets (or
+  an LSH prefilter) to restrict which block pairs meet, trading
+  exactness for candidate pruning.
 
 Scores are rounded to 6 decimals BEFORE thresholding/ranking so the
 DuckDB oracle (float64 list_cosine_similarity) agrees bit-for-bit.
 """
 
 from __future__ import annotations
+
+import json
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -94,19 +104,10 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
     )
 
 
-def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
-             k: int = 10, n_centroids: int = 16, nprobe: int = 4,
-             sample_rows: int = 4_096, seed: int = 42):
-    """IVF-style ANN: bucket the corpus by coarse centroid, probe a few.
-
-    Centroids are fit on a driver-side sample (10 k-means-lite rounds);
-    the assignment pass adds a ``bucket`` column; scoring filters each
-    batch to rows whose bucket is probed by ANY query, then scores as in
-    brute force.  Approximate: recall depends on nprobe/n_centroids.
-    """
-    import pandas as pd
-    import ray
-
+# ------------------------------------------------------------------ IVF
+def _fit_centroids(ds, n_centroids: int, sample_rows: int, seed: int):
+    """k-means-lite on a driver-side SAMPLE (bounded rows, never the
+    corpus); 10 rounds of spherical Lloyd."""
     sample = ds.limit(sample_rows).to_pandas()
     sm = _norm_rows(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64)
@@ -122,91 +123,239 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
-    qn = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    probed = set(probes.reshape(-1).tolist())
-    ref = ray.put((qn, np.asarray(query_ids), cents, probes))
+    return cents
 
-    class ScoreIVF:
-        def __init__(self):
-            self.qn, self.qids, self.cents, self.probes = ray.get(ref)
-            self.probe_sets = [set(p.tolist()) for p in self.probes]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            m = _norm_rows(_matrix(batch.column("embedding")))
-            bucket = np.argmax(m @ self.cents.T, axis=1)
-            keep = np.isin(bucket, list(probed))
-            ids, m, bucket = ids[keep], m[keep], bucket[keep]
-            scores = np.round(m @ self.qn.T, 6)
-            out_q, out_v, out_s = [], [], []
-            kk = min(k, len(ids)) or 0
-            for j in range(scores.shape[1] if len(ids) else 0):
-                mask = np.fromiter(
-                    (b in self.probe_sets[j] for b in bucket),
-                    bool, len(bucket),
+class IvfIndex:
+    """A persisted inverted-file index: hive-partitioned Parquet under
+    ``index_dir`` (one ``bucket=K/`` directory per coarse centroid) plus
+    the centroid matrix.  ``probe`` reads only the probed buckets."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        meta = json.loads(Path(index_dir, "_ivf_meta.json").read_text())
+        self.n_centroids = meta["n_centroids"]
+        self.dim = meta["dim"]
+        self.centroids = np.load(Path(index_dir, "_centroids.npy"))
+
+    def probe_dataset(self, buckets):
+        """Dataset over ONLY the probed buckets: a hive PathPartitionFilter
+        prunes non-probed ``bucket=K/`` files from the file listing itself
+        — unprobed buckets are never opened (verify via input_files())."""
+        import ray.data as rd
+        from ray.data.datasource.partitioning import (
+            Partitioning,
+            PathPartitionFilter,
+        )
+
+        probed = {int(b) for b in buckets}
+        return rd.read_parquet(
+            self.index_dir,
+            file_extensions=["parquet"],
+            partition_filter=PathPartitionFilter.of(
+                # meta files at the index root parse to {} -> excluded
+                lambda kv: "bucket" in kv and int(kv["bucket"]) in probed,
+                style="hive",
+            ),
+            partitioning=Partitioning("hive", field_types={"bucket": int}),
+        )
+
+    def probe(self, query_vecs: np.ndarray, query_ids: np.ndarray,
+              k: int = 10, nprobe: int = 4):
+        """Approximate top-k: each query scores only its nprobe nearest
+        buckets; non-probed buckets are never read from storage."""
+        import pandas as pd
+        import ray
+
+        qn = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+        probes = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        probed = sorted(set(probes.reshape(-1).tolist()))
+        ref = ray.put((qn, np.asarray(query_ids), probes))
+
+        class ScoreIVF:
+            def __init__(self):
+                self.qn, self.qids, self.probes = ray.get(ref)
+                self.probe_sets = [set(p.tolist()) for p in self.probes]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+                bucket = (
+                    batch.column("bucket")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
-                sj = scores[mask, j]
-                vj = ids[mask]
-                if not len(sj):
-                    continue
-                top = np.argsort(-sj)[:kk]
-                out_q.extend([self.qids[j]] * len(top))
-                out_v.extend(vj[top])
-                out_s.extend(sj[top])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
-                    "score": pa.array(np.array(out_s, dtype=np.float64)),
-                }
-            )
+                m = _norm_rows(_matrix(batch.column("embedding")))
+                scores = np.round(m @ self.qn.T, 6)
+                out_q, out_v, out_s = [], [], []
+                kk = min(k, len(ids)) or 0
+                for j in range(scores.shape[1] if len(ids) else 0):
+                    mask = np.isin(bucket, list(self.probe_sets[j]))
+                    sj = scores[mask, j]
+                    vj = ids[mask]
+                    if not len(sj):
+                        continue
+                    top = np.lexsort((vj, -sj))[:kk]
+                    out_q.extend([self.qids[j]] * len(top))
+                    out_v.extend(vj[top])
+                    out_s.extend(sj[top])
+                return pa.table(
+                    {
+                        "query_id": pa.array(out_q, pa.int64()),
+                        "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
+                        "score": pa.array(np.array(out_s, dtype=np.float64)),
+                    }
+                )
 
-    partial = ds.map_batches(
-        ScoreIVF, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), batch_size=8_192,
-    )
+        partial = self.probe_dataset(probed).map_batches(
+            ScoreIVF, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 8), batch_size=8_192,
+        )
 
-    def global_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        def global_merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g
 
-    return partial.groupby("query_id").map_groups(
-        global_merge, batch_format="pandas"
-    )
+        return partial.groupby("query_id").map_groups(
+            global_merge, batch_format="pandas"
+        )
 
 
-def cosine_near_dup_pairs(ds, threshold: float = 0.95):
-    """All (vec_a, vec_b, score) corpus pairs with cosine >= threshold."""
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    sample_rows: int = 4_096, seed: int = 42) -> IvfIndex:
+    """ONE assignment pass over the corpus -> hive-partitioned Parquet
+    (``bucket=K/``) + persisted centroids.  The write is streamed
+    (write_parquet with partition_cols); nothing materializes on the
+    driver."""
     import ray
 
-    full = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = _norm_rows(np.stack(full["embedding"].to_numpy()).astype(np.float64))
-    ref = ray.put((ids, mat))
+    cents = _fit_centroids(ds, n_centroids, sample_rows, seed)
+    cents_ref = ray.put(cents)
 
-    class Pairs:
+    class Assign:
         def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+            self.cents = ray.get(cents_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             m = _norm_rows(_matrix(batch.column("embedding")))
-            scores = np.round(m @ self.mat.T, 6)
-            rows, cols = np.nonzero(scores >= threshold)
-            keep = a_ids[rows] < self.ids[cols]  # upper triangle only
-            rows, cols = rows[keep], cols[keep]
-            return pa.table(
-                {
-                    "vec_a": pa.array(a_ids[rows].astype(np.int64)),
-                    "vec_b": pa.array(self.ids[cols].astype(np.int64)),
-                    "score": pa.array(scores[rows, cols], pa.float64()),
-                }
+            bucket = (
+                np.argmax(m @ self.cents.T, axis=1)
+                if len(m)
+                else np.zeros(0, np.int64)
+            )
+            return batch.append_column(
+                "bucket", pa.array(bucket.astype(np.int64))
             )
 
-    return ds.map_batches(
-        Pairs, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), batch_size=4_096,
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ds.map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).write_parquet(str(out), partition_cols=["bucket"])
+    np.save(out / "_centroids.npy", cents)
+    (out / "_ivf_meta.json").write_text(
+        json.dumps(
+            {"n_centroids": int(len(cents)), "dim": int(cents.shape[1])}
+        )
     )
+    return IvfIndex(str(out))
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             sample_rows: int = 4_096, seed: int = 42,
+             index_dir: str | None = None):
+    """IVF ANN over a (possibly cached) persisted index.
+
+    ``index_dir``: reuse an existing index if its meta file is present;
+    otherwise build one there (default: a fresh scratch dir, so two
+    different corpora never share a stale index).
+    """
+    if index_dir is None:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="rayslog_ivf_")
+    if Path(index_dir, "_ivf_meta.json").exists():
+        index = IvfIndex(index_dir)
+    else:
+        index = build_ivf_index(
+            ds, index_dir, n_centroids=n_centroids,
+            sample_rows=sample_rows, seed=seed,
+        )
+    return index.probe(query_vecs, query_ids, k=k, nprobe=nprobe)
+
+
+# ------------------------------------------------- exact all-pairs dedup
+def cosine_near_dup_pairs(ds, threshold: float = 0.95):
+    """All (vec_a, vec_b, score) corpus pairs with cosine >= threshold.
+
+    Exact block-pair plan: normalize per batch, materialize the corpus
+    as object-store Arrow blocks, then one Ray task per block pair
+    (i <= j) computes the cross-block matmul — both inputs arrive
+    zero-copy from the object store, the driver holds only block refs.
+    The task count is B(B+1)/2 for B blocks; the row payload stays
+    columnar end-to-end.
+    """
+    import ray
+    import ray.data as rd
+
+    def prenorm(t: pa.Table) -> pa.Table:
+        m = _norm_rows(_matrix(t.column("embedding")))
+        n, dim = m.shape if m.size else (0, 0)
+        flat = pa.array(m.reshape(-1), pa.float64())
+        lst = pa.LargeListArray.from_arrays(
+            np.arange(n + 1, dtype=np.int64) * dim, flat
+        ).cast(pa.list_(pa.float64()))
+        return pa.table({"vec_id": t.column("vec_id"), "embedding": lst})
+
+    blocks = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    refs = blocks.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        a_ids = ta.column("vec_id").to_numpy(zero_copy_only=False)
+        b_ids = tb.column("vec_id").to_numpy(zero_copy_only=False)
+        ma = _matrix(ta.column("embedding"))
+        mb = _matrix(tb.column("embedding"))
+        if not ma.size or not mb.size:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        scores = np.round(ma @ mb.T, 6)
+        rows, cols = np.nonzero(scores >= threshold)
+        ra, rb = a_ids[rows], b_ids[cols]
+        if same:
+            # within-block: each unordered pair appears twice; keep a<b
+            keep = ra < rb
+            rows, cols = rows[keep], cols[keep]
+            va, vb = a_ids[rows], b_ids[cols]
+        else:
+            # cross-block: each unordered pair appears once; canonicalize
+            keep = ra != rb
+            rows, cols = rows[keep], cols[keep]
+            ra, rb = a_ids[rows], b_ids[cols]
+            va, vb = np.minimum(ra, rb), np.maximum(ra, rb)
+        return pa.table(
+            {
+                "vec_a": pa.array(va.astype(np.int64)),
+                "vec_b": pa.array(vb.astype(np.int64)),
+                "score": pa.array(scores[rows, cols], pa.float64()),
+            }
+        )
+
+    tasks = [
+        block_pair.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(tasks)

@@ -3,74 +3,67 @@ embedding-cosine near-dup.
 
 Scale shapes (each documented with its partitioning assumption):
 
-- **exact**: content-hash column inside ``map_batches`` →
-  ``groupby(text_hash)`` keep-first.  The shuffle moves one short hash +
-  id per row, never the payload.
-- **MinHash+LSH**: per-batch shingle→minhash signatures (numpy,
-  multiply-shift hashing) → explode to (band, band_hash, doc_id) rows →
-  ``groupby`` on the band key → candidate pairs from multi-doc buckets →
-  exact n-gram-Jaccard verification.  The only all-to-all exchange
-  carries b x 8-byte band keys per doc.  Verification joins the two
-  texts by hash-bucketed doc_id; in this sandbox the doc side is small
-  enough to broadcast (``ray.put``), which is also the 100 TB plan for
-  the candidate set (candidates are rare), while the full-corpus join
-  path is the bucket join in the guide.
-- **SimHash**: 64-bit signature per doc (vectorized token hashing);
-  near-dup = signatures within Hamming distance k, found by the 4-table
-  pigeonhole split (16-bit keys) + groupby.
-- **embedding cosine**: per-batch float64 matmul against a broadcast
-  (ray.put) normalized matrix; at 100 TB the broadcast side becomes an
-  IVF/LSH-bucketed index (see ann.py).
+- **exact**: two-seed 64-bit content hash inside ``map_batches`` →
+  ``groupby(h1, h2)`` keep-first.  The shuffle moves 16 bytes + id per
+  row, never the payload; the hash is one vectorized numpy pass over
+  the Arrow buffers (rayslog/kernels/texthash.py).
+- **MinHash+LSH**: per-batch shingle→minhash signatures (flat-token
+  Horner combine + segmented min) → explode to (band, band_hash,
+  doc_id) rows → ``groupby`` on the band key → candidate pairs from
+  multi-doc buckets → exact-Jaccard verification.  The only all-to-all
+  exchange carries b x 8-byte band keys per doc.  Verification NEVER
+  materializes the corpus: candidate doc_ids (rare by construction) are
+  collected, only THOSE texts are fetched via a pushed-down ``is_in``
+  filter, and the resulting small dict is broadcast once with
+  ``ray.put``.  At 100 TB the same two-pass shape holds (candidate set
+  << corpus); if candidates outgrow a broadcast, the fallback is the
+  bucket hash-join in relational.py keyed on doc_id.
+- **SimHash**: 64-bit signature per doc (vectorized token hashing +
+  segmented bit votes); near-dup = signatures within Hamming distance
+  k, found by the 4-table pigeonhole split (16-bit keys) + groupby.
+- **embedding cosine**: see ann.py.
 """
 
 from __future__ import annotations
-
-import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Min
 
+from rayslog.kernels import texthash as tx
 from rayslog.stages.text import add_text_hash
 
 _MERSENNE = (1 << 61) - 1
-_TOKEN_RE = re.compile(r"\S+")
 
 
 # ---------------------------------------------------------------- exact
 def dedup_exact(ds, id_col: str = "doc_id"):
-    """Keep the min-id row per distinct text: (text_hash, doc_id)."""
+    """Keep the min-id row per distinct text.
+
+    Returns just the surviving ``doc_id`` column (the SQL oracle groups
+    by ``text`` directly — results must agree regardless of which hash
+    keys the distributed plan shuffles on)."""
     hashed = ds.map_batches(
-        lambda t: add_text_hash(t).select(["text_hash", id_col]),
+        lambda t: add_text_hash(t).select(["h1", "h2", id_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return hashed.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    return (
+        hashed.groupby(["h1", "h2"])
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
 
 
 # ------------------------------------------------------------- shingles
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """64-bit hashes of the k-token shingles of ``text``."""
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.zeros(0, dtype=np.uint64)
-    return np.unique(
-        np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-                )
-                for s in shingles
-            ],
-            dtype=np.uint64,
-        )
-    )
+    """Sorted unique 64-bit k-token shingle hashes of one text (the
+    exact-Jaccard verify kernel; same hash family as the batch path)."""
+    arr = pa.array([text], pa.string())
+    th, offs = tx.token_hashes(arr)
+    sh, _ = tx.shingle_hashes_flat(th, offs, k)
+    return np.unique(sh)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -85,7 +78,9 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 # -------------------------------------------------------- MinHash + LSH
 class MinHasher:
-    """Actor-pool signature stage: permutation params built once."""
+    """Actor-pool signature stage: permutation params built once; the
+    per-batch path is tokenize → shingle → (a*sh+b) mod M → segmented
+    min, all numpy over the flat layout (no per-row Python)."""
 
     def __init__(self, num_hashes: int = 128, k: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -95,21 +90,25 @@ class MinHasher:
         self.num_hashes = num_hashes
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
-        # multiply-shift universal hashing, min over shingles
-        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1).astype(np.uint64)
+        """Single-text helper (tests); same kernels as the batch path."""
+        arr = pa.array([text], pa.string())
+        th, offs = tx.token_hashes(arr)
+        sh, sh_offs = tx.shingle_hashes_flat(th, offs, self.k)
+        return tx.minhash_signatures(sh, sh_offs, self.a, self.b)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = np.stack(
-            [self.signature(t or "") for t in texts]
-        ) if texts else np.zeros((0, self.num_hashes), np.uint64)
-        return batch.append_column(
-            "minhash", pa.array(list(sigs), pa.list_(pa.uint64()))
-        )
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th, offs = tx.token_hashes(texts)
+        sh, sh_offs = tx.shingle_hashes_flat(th, offs, self.k)
+        sigs = tx.minhash_signatures(sh, sh_offs, self.a, self.b)
+        n = len(texts)
+        flat = pa.array(sigs.reshape(-1), pa.uint64())
+        sig_list = pa.LargeListArray.from_arrays(
+            np.arange(n + 1, dtype=np.int64) * self.num_hashes, flat
+        ).cast(pa.list_(pa.uint64()))
+        return batch.append_column("minhash", sig_list)
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
@@ -182,22 +181,38 @@ def minhash_candidates(ds, bands: int = 16, rows_per_band: int = 8):
     ).drop_columns(["_a"])
 
 
+def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text"):
+    """doc_id -> text for a SMALL id set, via a pushed-down ``is_in``
+    filter over the streaming dataset — the corpus itself is never
+    materialized (only matching rows reach the driver)."""
+    id_arr = pa.array(sorted(ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col), value_set=id_arr)).select(
+            [id_col, text_col]
+        )
+
+    small = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return {r[id_col]: r[text_col] for r in small.take_all()}
+
+
 def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 16,
                       rows_per_band: int = 8, k: int = 3):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
-    The verify side broadcasts doc_id→text once via ``ray.put`` (small
-    candidate universe); the verified pairs carry the exact n-gram
-    Jaccard.  Returns a Dataset of (doc_a, doc_b, jaccard).
+    Two-pass verify (no corpus materialization): (1) candidate pairs
+    are computed and their doc_ids collected — a tiny set by LSH
+    construction; (2) only those ids' texts are fetched with a filter
+    pushdown and broadcast once via ``ray.put``.  Returns a Dataset of
+    (doc_a, doc_b, jaccard).
     """
     import ray
 
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ds.select_columns(["doc_id", "text"]).take_all()
-    }
+    cands = minhash_candidates(ds, bands, rows_per_band).materialize()
+    cand_rows = cands.take_all()
+    cand_ids = {r["doc_a"] for r in cand_rows} | {r["doc_b"] for r in cand_rows}
+    texts = fetch_texts_for_ids(ds, cand_ids) if cand_ids else {}
     texts_ref = ray.put(texts)
-    cands = minhash_candidates(ds, bands, rows_per_band)
 
     class Verify:
         def __init__(self):
@@ -223,36 +238,22 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 16,
 
 # -------------------------------------------------------------- SimHash
 class SimHasher:
-    """64-bit SimHash per document (token-frequency weighted)."""
-
-    def __init__(self):
-        self.token_re = _TOKEN_RE
+    """64-bit SimHash per document (token-frequency weighted), fully
+    vectorized: flat token hashes + segmented bit votes per batch."""
 
     def simhash(self, text: str) -> int:
-        toks = self.token_re.findall(text.lower())
-        if not toks:
-            return 0
-        hs = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                )
-                for t in toks
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return int(sig)
+        arr = pa.array([text], pa.string())
+        th, offs = tx.token_hashes(arr)
+        return int(tx.simhash_signatures(th, offs)[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.simhash(t or "") for t in batch.column("text").to_pylist()]
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th, offs = tx.token_hashes(texts)
+        sigs = tx.simhash_signatures(th, offs)
         return batch.append_column(
-            "simhash",
-            pa.array(np.array(sigs, dtype=np.uint64).view(np.int64), pa.int64()),
+            "simhash", pa.array(sigs.view(np.int64), pa.int64())
         )
 
 
@@ -309,7 +310,9 @@ def simhash_near_dups(ds, max_hamming: int = 3):
         s = g["simhash"].to_numpy().view(np.uint64)
         a, b = np.triu_indices(len(ids), k=1)
         x = s[a] ^ s[b]
-        ham = np.array([bin(int(v)).count("1") for v in x])
+        # vectorized popcount (byte-table lookup)
+        bytes_ = x.view(np.uint8).reshape(len(x), 8)
+        ham = np.unpackbits(bytes_, axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
@@ -328,21 +331,23 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, k: int = 3,
     """Exact all-pairs k-token-shingle Jaccard above a threshold.
 
     Quadratic by construction — the BASELINE operator the LSH pipeline
-    approximates.  ``max_docs`` caps the candidate universe (smallest
-    doc_ids) so the exact computation stays tractable; one side is
-    broadcast, the other streams in batches.
+    approximates.  ``max_docs`` caps the candidate universe to the
+    SMALLEST doc_ids, and the cap is enforced inside the streaming plan
+    (filter on the id threshold found via sort+limit — only ``max_docs``
+    rows ever reach the driver, the corpus is never materialized).
     """
     import ray
 
     base = ds.select_columns(["doc_id", "text"])
-    rows = base.to_pandas()
-    rows = rows.sort_values("doc_id")
     if max_docs is not None:
-        rows = rows.head(max_docs)
-    keep_ids = set(rows["doc_id"].tolist())
+        # distributed cap: the max_docs smallest ids (sort is the
+        # documented wide op; limit() stops the stream after max_docs)
+        capped = base.sort("doc_id").limit(max_docs)
+    else:
+        capped = base
+    rows = capped.take_all()  # <= max_docs rows by construction
     shingles = {
-        int(r.doc_id): _shingle_hashes(r.text or "", k)
-        for r in rows.itertuples()
+        int(r["doc_id"]): _shingle_hashes(r["text"] or "", k) for r in rows
     }
     ref = ray.put(shingles)
 

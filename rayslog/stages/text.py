@@ -3,22 +3,26 @@
 All operate on the ``documents`` table (doc_id, text, lang, source,
 n_chars) as vectorized ``map_batches`` transforms:
 
-- content hashing / exact dedup (md5 for DuckDB parity; at 100 TB swap
-  in a 64-bit xxhash — the plumbing is identical),
+- content hashing / exact dedup (two-seed 64-bit polynomial hash over
+  the Arrow buffers — an effectively-128-bit key; the SQL oracle groups
+  by ``text`` itself so no digest parity is needed),
 - quality scoring (length / token / punctuation / stopword ratios),
 - token counting (whitespace + a BPE-ish word/number/punct regex),
-- language ID (stopword-profile heuristic; actor pool with profiles
-  compiled once per actor),
-- document fingerprinting (rolling polynomial hash over tokens).
+- language ID (stopword-profile heuristic, fully vectorized via
+  flat-token membership + segmented counts),
+- document fingerprinting (rolling polynomial hash over token hashes).
+
+Every kernel is one numpy pass over the batch's flat token/byte layout
+(``rayslog.kernels.texthash``) — no per-row Python on any hot path.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from rayslog.kernels import texthash as tx
 
 #: BPE-ish pretokenizer: words / numbers / single punctuation runs.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -32,15 +36,17 @@ _STOPWORDS = {
 
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Append ``text_hash`` = md5(text) — the exact-dedup key."""
+    """Append ``h1``/``h2`` — two independent-seed 64-bit text hashes
+    (the exact-dedup key; collision odds ~n^2/2^129)."""
     texts = batch.column(col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    hashes = [
-        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-        for t in texts.to_pylist()
-    ]
-    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+    h1 = tx.hash_utf8(texts, seed=0)
+    h2 = tx.hash_utf8(texts, seed=1)
+    null = pc.is_null(texts).to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "h1", pa.array(h1.view(np.int64), pa.int64(), mask=null)
+    ).append_column("h2", pa.array(h2.view(np.int64), pa.int64(), mask=null))
 
 
 def quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -86,66 +92,58 @@ def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
 class LangId:
     """Actor-pool language-ID stage (stopword-profile heuristic).
 
-    Profiles are compiled once per actor (``__init__``); scoring is a
-    per-batch loop over token sets.  zh detection falls back to a CJK
-    codepoint test.  Deterministic; intended as the n-gram-heuristic
-    stand-in for a real langid model (which would load in ``__init__``
-    the same way).
+    Profiles are built once per actor (``__init__``); scoring is fully
+    vectorized: one tokenization pass, one ``is_in`` membership per
+    language over the flat tokens, segmented per-row counts, then an
+    argmax with the first-language-wins tie rule (matching the round-1
+    scan order en/es/fr/de).  zh detection is a CJK codepoint regex.
+    Deterministic stand-in for a real langid model (which would load in
+    ``__init__`` the same way).
     """
 
-    def __init__(self):
-        import re
+    _LANGS = ("en", "es", "fr", "de")
 
-        self.word = re.compile(r"[A-Za-z]+")
-        self.cjk = re.compile(r"[一-鿿]")
-        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+    def __init__(self):
+        self.value_sets = {
+            lang: pa.array(sorted(_STOPWORDS[lang]), pa.string())
+            for lang in self._LANGS
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        preds = []
-        for t in texts.to_pylist():
-            if t is None:
-                preds.append(None)
-                continue
-            if self.cjk.search(t):
-                preds.append("zh")
-                continue
-            toks = [w.lower() for w in self.word.findall(t)]
-            if not toks:
-                preds.append("und")
-                continue
-            best, best_score = "und", 0
-            for lang, stop in self.profiles.items():
-                score = sum(1 for w in toks if w in stop)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
+        n = len(texts)
+        flat, offs = tx.tokens(texts, lower=True, alpha_only=True)
+        scores = np.zeros((len(self._LANGS), n), dtype=np.int64)
+        for li, lang in enumerate(self._LANGS):
+            member = pc.is_in(flat, value_set=self.value_sets[lang])
+            m = pc.fill_null(member, False).to_numpy(zero_copy_only=False)
+            scores[li] = tx.segment_sum_u64(m.astype(np.int64), offs).astype(
+                np.int64
+            )
+        best = scores.argmax(axis=0)  # first max wins == scan order
+        best_score = scores.max(axis=0)
+        preds = np.array(self._LANGS, dtype=object)[best]
+        preds[best_score == 0] = "und"
+        cjk = pc.fill_null(
+            pc.match_substring_regex(texts, r"[一-鿿]"), False
+        ).to_numpy(zero_copy_only=False)
+        preds[cjk] = "zh"
+        null = pc.is_null(texts).to_numpy(zero_copy_only=False)
+        preds[null] = None
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
 def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fingerprint``: order-sensitive polynomial rolling hash
-    over whitespace tokens (Rabin-Karp style, mod 2^61-1)."""
-    import re
-
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    over whitespace-token hashes (Horner, mod 2^64; vectorized)."""
     t = batch.column(col)
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
-    token_re = re.compile(r"\S+")
-    out = []
-    for s in t.to_pylist():
-        if s is None:
-            out.append(None)
-            continue
-        h = 0
-        for tok in token_re.findall(s):
-            th = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-            )
-            h = (h * BASE + th) % MOD
-        out.append(h)
-    return batch.append_column("fingerprint", pa.array(out, pa.int64()))
+    th, offs = tx.token_hashes(t)
+    fp = tx.rolling_fingerprints(th, offs)
+    null = pc.is_null(t).to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "fingerprint", pa.array(fp.view(np.int64), pa.int64(), mask=null)
+    )

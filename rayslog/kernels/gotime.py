@@ -122,13 +122,17 @@ def _getnum(value: str, fixed: bool) -> tuple[int, str]:
     return int(value[:1]), value[1:]
 
 
-def _lookup_month(value: str) -> tuple[int, str]:
-    """Case-insensitive month-name prefix match (Go lookup())."""
+def _lookup_month(value: str, long: bool) -> tuple[int, str]:
+    """Case-insensitive month-name prefix match (Go lookup()).
+
+    Go's ``Jan`` token matches SHORT names only and ``January`` LONG
+    names only (time/format.go stdMonth vs stdLongMonth) — value
+    "January" against layout "Jan" consumes just "Jan"."""
     low = value.lower()
-    for names in (_LONG_MONTHS, _SHORT_MONTHS):
-        for i, name in enumerate(names):
-            if low.startswith(name.lower()):
-                return i + 1, value[len(name):]
+    names = _LONG_MONTHS if long else _SHORT_MONTHS
+    for i, name in enumerate(names):
+        if low.startswith(name.lower()):
+            return i + 1, value[len(name):]
     raise GoParseError("bad month")
 
 
@@ -245,10 +249,10 @@ def go_time_parse(layout: str, value: str) -> "GoTime":
             t.y = yy + (1900 if yy >= 69 else 2000)
             li += 2
         elif c == "J" and rest.startswith("January"):
-            t.mo, value = _lookup_month(value)
+            t.mo, value = _lookup_month(value, long=True)
             li += 7
         elif c == "J" and rest.startswith("Jan"):
-            t.mo, value = _lookup_month(value)
+            t.mo, value = _lookup_month(value, long=False)
             li += 3
         elif c == "M" and rest.startswith("Monday"):
             value = _lookup_name(value, _WEEKDAYS_LONG, "weekday")

@@ -24,6 +24,8 @@ offsets is safe.  Reference semantics citations live in oracle.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -136,15 +138,36 @@ def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return data, offs[:-1], offs[1:]
 
 
-def _gather_strings(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
-    """Materialize per-row byte ranges as a new StringArray (ragged gather)."""
+def _gather_strings(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    valid: np.ndarray | None = None,
+) -> pa.Array:
+    """Materialize per-row byte ranges as a new StringArray (ragged
+    gather).  ``valid`` (optional bool mask) marks null rows — they
+    contribute zero bytes and a cleared validity bit, so no second
+    ``take`` pass is needed to null them out."""
     lens = (ends - starts).astype(np.int64)
+    if valid is not None:
+        lens = np.where(valid, lens, 0)
     n = len(lens)
     out_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=out_offs[1:])
     total = int(out_offs[-1])
+    vbuf = (
+        None
+        if valid is None
+        else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    )
     if total == 0:
-        return pa.array([""] * n, pa.string())
+        if valid is None:
+            return pa.array([""] * n, pa.string())
+        return pa.Array.from_buffers(
+            pa.large_string(),
+            n,
+            [vbuf, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(b"")],
+        ).cast(pa.string())
     idx = (
         np.arange(total, dtype=np.int64)
         - np.repeat(out_offs[:-1], lens)
@@ -154,7 +177,7 @@ def _gather_strings(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa
     return pa.Array.from_buffers(
         pa.large_string(),
         n,
-        [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(data.tobytes())],
+        [vbuf, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(data.tobytes())],
     ).cast(pa.string())
 
 
@@ -198,6 +221,11 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
             [pa.nulls(0, f.type) for f in PARSE_FIELDS],
             schema=pa.schema(PARSE_FIELDS),
         )
+    if _fast_path_config(cfg) and not os.environ.get("RAYSLOG_NO_CKERNEL"):
+        from rayslog.kernels import cparse
+
+        if cparse.get_lib() is not None:
+            return _parse_via_c(text, cfg)
     if not _fast_path_config(cfg):
         return _oracle_table(text.to_pylist(), cfg)
 
@@ -566,6 +594,84 @@ def _extract_5424(
         schema=pa.schema(PARSE_FIELDS),
     )
     return tbl
+
+
+def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
+    """Assemble the parse table from the fused C automaton's output
+    (rayslog/kernels/cparse.py): one C pass computes every fixed-width
+    field, error class and string byte-range; Python does one ragged
+    gather per string column plus O(columns) masked-array constructions.
+    Non-ASCII rows carry a fallback flag and run through the row oracle,
+    merged back in row order (same pattern as the numpy path)."""
+    from rayslog.kernels import cparse
+
+    buf, starts, ends = _string_buffers(text)
+    null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        # null rows parse as empty bytes (oracle parse_row(None) parity)
+        ends = np.where(null_mask, starts, ends)
+    raw = cparse.parse_raw(buf, starts, ends, cfg.effective_year())
+    n = len(text)
+
+    fb = raw["fallback"].astype(bool)
+    ok = (raw["err"] == 0) & ~fb
+    rfc = raw["rfc"]
+    is5424 = rfc == np.int8(oracle.RFC_5424)
+
+    # error strings via one vectorized dictionary take (code 0 -> null)
+    err_arr = pc.take(
+        pa.array(cparse.ERROR_STRINGS, pa.string()),
+        pa.array(raw["err"].astype(np.int32)),
+    )
+
+    pri = raw["pri"].astype(np.int32)
+    ranges = raw["ranges"].reshape(n, len(cparse.STR_FIELDS), 2)
+
+    def str_col(i: int) -> pa.Array:
+        s = ranges[:, i, 0]
+        e = ranges[:, i, 1]
+        valid = s >= 0
+        if not valid.any():
+            return pa.nulls(n, pa.string())
+        return _gather_strings(
+            buf, np.where(valid, s, 0), np.where(valid, e, 0), valid
+        )
+
+    ts_ok = ok & raw["ts_valid"].astype(bool)
+    tz_ok = ok & raw["tz_valid"].astype(bool)
+    ver_ok = ok & is5424
+
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(rfc, pa.int8()),
+            pa.array(pri, mask=~ok),
+            pa.array((pri // 8).astype(np.int32), mask=~ok),
+            pa.array((pri % 8).astype(np.int32), mask=~ok),
+            pa.array(raw["ver"], mask=~ver_ok),
+            pa.array(raw["ts"], pa.timestamp("us"), mask=~ts_ok),
+            pa.array(raw["tz"], pa.int16(), mask=~tz_ok),
+            str_col(0),   # hostname
+            str_col(1),   # tag
+            str_col(2),   # content
+            str_col(3),   # app_name
+            str_col(4),   # proc_id
+            str_col(5),   # msg_id
+            str_col(6),   # structured_data
+            str_col(7),   # message
+            err_arr,
+        ],
+        schema=pa.schema(PARSE_FIELDS),
+    )
+    fb_idx = np.nonzero(fb)[0]
+    if not len(fb_idx):
+        return tbl
+    keep_idx = np.nonzero(~fb)[0]
+    fb_texts = pc.take(text, pa.array(fb_idx)).to_pylist()
+    merged = pa.concat_tables(
+        [tbl.take(pa.array(keep_idx)), _oracle_table(fb_texts, cfg)]
+    )
+    order = np.argsort(np.concatenate([keep_idx, fb_idx]), kind="stable")
+    return merged.take(pa.array(order))
 
 
 def _error_table(rfc: np.ndarray, err: np.ndarray) -> pa.Table:

@@ -162,6 +162,20 @@ def test_named_zone_resolves_in_location():
     assert parts["timestamp"] == civil_to_epoch_us(2021, 6, 23, 17, 17, 42, 0)
 
 
+def test_month_token_name_length_strictness():
+    """Go's 'Jan' token matches SHORT names only (value 'January'
+    consumes just 'Jan', leaving 'uary' to mismatch); 'January' matches
+    LONG names only."""
+    t = go_time_parse("Jan-2006", "Jun-2021")
+    assert (t.mo, t.y) == (6, 2021)
+    with pytest.raises(GoParseError):
+        go_time_parse("02 Jan 2006", "02 January 2006")
+    with pytest.raises(GoParseError):
+        go_time_parse("02 January 2006", "02 Jan 2006")
+    t = go_time_parse("January 2 2006", "june 3 2021")  # case-insensitive
+    assert (t.mo, t.d) == (6, 3)
+
+
 def test_bad_layout_value_mismatches_error():
     for layout, value in [
         ("2006-01-02", "21-01-02"),

@@ -257,10 +257,18 @@ static void set_range(int64_t* ranges, int64_t row, int field,
     ranges[(row * NSTR + field) * 2 + 1] = e;
 }
 
+/* config-override flags (rfc3164.go:57-75, rfc5424.go:92-106): the
+   reference's WithX options SKIP parsing of the field; the override
+   VALUES are constants substituted on the Python side. */
+#define CFG_PRI  1   /* WithPriority: no <pri> parse, cursor stays 0 */
+#define CFG_HOST 2   /* WithHostname: host token NOT consumed */
+#define CFG_TAG  4   /* WithTag (3164): tag walk skipped entirely */
+
 /* one row; returns nothing — writes outputs.  rlen = real byte length,
    base = offset of the row start in buf. */
 static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
-                      int32_t default_year, int64_t row,
+                      int32_t default_year, int32_t cfg_flags,
+                      int64_t pri_override, int64_t row,
                       int8_t* rfc, int32_t* pri_out, int32_t* ver_out,
                       int64_t* ts_out, uint8_t* ts_valid,
                       int16_t* tz_out, uint8_t* tz_valid,
@@ -299,8 +307,11 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
     if (dialect == RFC_3164) {
         int64_t l = rlen < MAXLEN_3164 ? rlen : MAXLEN_3164;
         int64_t cursor = 0, pri = 0;
-        int e = parse_priority(buf, l, &cursor, &pri);
-        if (e) { err_out[row] = (int16_t)e; return; }
+        if (cfg_flags & CFG_PRI) { pri = pri_override; }
+        else {
+            int e = parse_priority(buf, l, &cursor, &pri);
+            if (e) { err_out[row] = (int16_t)e; return; }
+        }
         /* parseHeader optional leading-space skip (panic parity) */
         if (cursor >= rlen) { err_out[row] = ERR_INDEX; return; }
         if (buf[cursor] == ' ') cursor++;
@@ -325,37 +336,44 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
                    + (int64_t)s * US_SEC + us;
         cursor += 15;
         if (cursor < l && buf[cursor] == ' ') cursor++;
-        /* hostname: up to next space or end-of-l */
-        int64_t hs = cursor;
-        while (cursor < l && buf[cursor] != ' ') cursor++;
-        int64_t he = cursor;
+        /* hostname: up to next space or end-of-l; with WithHostname the
+           token is NOT consumed (rfc3164.go:261-270) */
+        int64_t hs = -1, he = -1;
+        if (!(cfg_flags & CFG_HOST)) {
+            hs = cursor;
+            while (cursor < l && buf[cursor] != ' ') cursor++;
+            he = cursor;
+        }
         /* Parse()'s separator-space skip (panic parity) */
         if (cursor >= rlen) { err_out[row] = ERR_INDEX; return; }
         if (buf[cursor] == ' ') cursor++;
-        /* tag (rfc3164.go:272-315) */
-        int64_t prev = cursor;
-        int64_t to = cursor + 32; if (to > l) to = l;
-        int64_t tag_s = cursor, tag_e = -1;
-        int enough = 0;
-        while (cursor < to) {
-            uint8_t b = buf[cursor];
-            if (b == ' ') { cursor++; break; }
-            if (b == '[' || b == ']' || b == ':' || enough) {
-                if (!enough) tag_e = cursor;
-                enough = 1;
+        /* tag (rfc3164.go:272-315); WithTag returns without consuming */
+        int64_t tag_s = -1, tag_e = -1;
+        if (!(cfg_flags & CFG_TAG)) {
+            int64_t prev = cursor;
+            int64_t to = cursor + 32; if (to > l) to = l;
+            tag_s = cursor; tag_e = -1;
+            int enough = 0;
+            while (cursor < to) {
+                uint8_t b = buf[cursor];
+                if (b == ' ') { cursor++; break; }
+                if (b == '[' || b == ']' || b == ':' || enough) {
+                    if (!enough) tag_e = cursor;
+                    enough = 1;
+                    cursor++;
+                    continue;
+                }
                 cursor++;
-                continue;
             }
-            cursor++;
+            if (tag_e < 0) {
+                /* stopped by space (range ends before it) or window end */
+                tag_e = cursor;
+                if (tag_e > tag_s && buf[tag_e - 1] == ' ')
+                    tag_e--; /* space consumed by the break path */
+                if (tag_e > to) tag_e = to;
+            }
+            if (tag_e == tag_s) cursor = prev;  /* empty tag resets */
         }
-        if (tag_e < 0) {
-            /* stopped by space (range ends before it) or window end */
-            tag_e = cursor;
-            if (tag_e > tag_s && buf[tag_e - 1] == ' ' && cursor <= to)
-                tag_e--; /* space consumed by the break path */
-            if (tag_e > to) tag_e = to;
-        }
-        if (tag_e == tag_s) cursor = prev;  /* empty tag resets */
         /* content: strip ASCII spaces both sides of [cursor, l) */
         int64_t cs = cursor, ce = l;
         if (cs > l) { cs = ce = l; }
@@ -365,8 +383,8 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
         ver_out[row] = NO_VERSION;
         ts_out[row] = ts;
         ts_valid[row] = 1;
-        set_range(ranges, row, F_HOST, base + hs, base + he);
-        set_range(ranges, row, F_TAG, base + tag_s, base + tag_e);
+        if (hs >= 0) set_range(ranges, row, F_HOST, base + hs, base + he);
+        if (tag_s >= 0) set_range(ranges, row, F_TAG, base + tag_s, base + tag_e);
         set_range(ranges, row, F_CONTENT, base + cs, base + ce);
         return;
     }
@@ -375,8 +393,12 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
     {
         int64_t l = rlen < MAXLEN_5424 ? rlen : MAXLEN_5424;
         int64_t cursor = 0, pri = 0;
-        int e = parse_priority(buf, l, &cursor, &pri);
-        if (e) { err_out[row] = (int16_t)e; return; }
+        int e;
+        if (cfg_flags & CFG_PRI) { pri = pri_override; }
+        else {
+            e = parse_priority(buf, l, &cursor, &pri);
+            if (e) { err_out[row] = (int16_t)e; return; }
+        }
         /* parse_version */
         if (cursor >= l) { err_out[row] = ERR_VERSION_NOT_FOUND; return; }
         if (cursor >= rlen) { err_out[row] = ERR_INDEX; return; }
@@ -461,12 +483,16 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
                - off_min * US_MIN;
         }
         cursor++;  /* rfc5424.go:180 */
-        /* hostname */
-        int64_t hs = cursor;
-        int64_t to = cursor;
-        while (to < l && buf[to] != ' ') to++;
-        int64_t he = to;
-        cursor = to + 1;  /* consumes the separator (rfc5424.go:289-299) */
+        /* hostname; with WithHostname neither the token nor its
+           separator is consumed (rfc5424.go:286-299 skipped) */
+        int64_t hs = -1, he = -1;
+        if (!(cfg_flags & CFG_HOST)) {
+            hs = cursor;
+            int64_t to = cursor;
+            while (to < l && buf[to] != ' ') to++;
+            he = to;
+            cursor = to + 1;  /* consumes the separator */
+        }
         /* app / proc / msgid via parseUpToLen */
         int64_t as_=0, ae=0, ps=0, pe=0, ms=0, me=0;
         {
@@ -522,7 +548,7 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
             ts_out[row] = ts; ts_valid[row] = 1;
             tz_out[row] = (int16_t)off_min; tz_valid[row] = 1;
         }
-        set_range(ranges, row, F_HOST, base + hs, base + he);
+        if (hs >= 0) set_range(ranges, row, F_HOST, base + hs, base + he);
         set_range(ranges, row, F_APP, base + as_, base + ae);
         set_range(ranges, row, F_PROC, base + ps, base + pe);
         set_range(ranges, row, F_MSGID, base + ms, base + me);
@@ -534,12 +560,14 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
 
 void parse_batch(const uint8_t* data, const int64_t* starts,
                  const int64_t* ends, int64_t n, int32_t default_year,
+                 int32_t cfg_flags, int64_t pri_override,
                  int8_t* rfc, int32_t* pri_out, int32_t* ver_out,
                  int64_t* ts_out, uint8_t* ts_valid,
                  int16_t* tz_out, uint8_t* tz_valid,
                  int64_t* ranges, int16_t* err_out, uint8_t* fallback) {
     for (int64_t r = 0; r < n; r++) {
-        parse_row(data, starts[r], ends[r] - starts[r], default_year, r,
+        parse_row(data, starts[r], ends[r] - starts[r], default_year,
+                  cfg_flags, pri_override, r,
                   rfc, pri_out, ver_out, ts_out, ts_valid,
                   tz_out, tz_valid, ranges, err_out, fallback);
     }
@@ -591,6 +619,7 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             i64p, i64p,
             ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -616,8 +645,27 @@ STR_FIELDS = [
 ]
 
 
+#: cfg_flags bits (must match the C CFG_* defines)
+CFG_PRI, CFG_HOST, CFG_TAG = 1, 2, 4
+
+
+def config_flags(cfg) -> tuple[int, int]:
+    """(cfg_flags, pri_override) for a ParserConfig."""
+    flags = 0
+    pri = 0
+    if cfg.priority is not None:
+        flags |= CFG_PRI
+        pri = int(cfg.priority)
+    if cfg.hostname:
+        flags |= CFG_HOST
+    if cfg.tag:
+        flags |= CFG_TAG
+    return flags, pri
+
+
 def parse_raw(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-              default_year: int) -> dict:
+              default_year: int, cfg_flags: int = 0,
+              pri_override: int = 0) -> dict:
     """Run the C automaton; returns the raw output arrays (see keys)."""
     lib = get_lib()
     n = len(starts)
@@ -641,9 +689,80 @@ def parse_raw(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         np.ascontiguousarray(buf),
         np.ascontiguousarray(starts, dtype=np.int64),
         np.ascontiguousarray(ends, dtype=np.int64),
-        n, default_year,
+        n, default_year, cfg_flags, pri_override,
         out["rfc"], out["pri"], out["ver"], out["ts"], out["ts_valid"],
         out["tz"], out["tz_valid"], out["ranges"], out["err"],
         out["fallback"],
     )
     return out
+
+
+# ------------------------------------------------------------- WithLocation
+class WallZone:
+    """Vectorized wall-clock -> UTC-epoch conversion for one IANA zone,
+    replicating the oracle's Python fold-0 semantics
+    (gotime.wall_to_epoch_us): in a DST gap the pre-transition offset
+    applies; in an overlap the pre-transition (earlier-occurrence)
+    offset applies.  Both reduce to: the wall-time boundary for entering
+    interval i is T_i + max(off_{i-1}, off_i).
+
+    Transitions are discovered by probing the zone daily over
+    [year_min-1, year_max+1] and bisecting each change to 1-second
+    precision — no private zoneinfo APIs."""
+
+    def __init__(self, location: str, year_min: int, year_max: int):
+        import datetime as dt
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(location)
+        y0 = max(min(year_min, 9998), 2) - 1
+        y1 = min(max(year_max, 2), 9998) + 1
+        t0 = int(dt.datetime(y0, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        t1 = int(dt.datetime(y1, 12, 31, tzinfo=dt.timezone.utc).timestamp())
+
+        def off_at(u: int) -> int:
+            return int(
+                dt.datetime.fromtimestamp(u, z).utcoffset().total_seconds()
+            )
+
+        boundaries = []  # wall-time µs at which the NEXT offset starts
+        offs = []
+        day = 86_400
+        prev_u, prev_off = t0, off_at(t0)
+        offs.append(prev_off)
+        u = t0 + day
+        while u <= t1:
+            o = off_at(u)
+            if o != prev_off:
+                lo, hi = prev_u, u  # bisect the transition instant
+                while hi - lo > 1:
+                    mid = (lo + hi) // 2
+                    if off_at(mid) == prev_off:
+                        lo = mid
+                    else:
+                        hi = mid
+                t_trans = hi
+                new_off = off_at(hi)
+                boundaries.append(
+                    (t_trans + max(prev_off, new_off)) * 1_000_000
+                )
+                offs.append(new_off)
+                prev_off = new_off
+            prev_u = u
+            u += day
+        self.boundaries = np.array(boundaries, dtype=np.int64)
+        self.offs_us = np.array(offs, dtype=np.int64) * 1_000_000
+
+    def to_epoch(self, wall_us: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(self.boundaries, wall_us, side="right")
+        return wall_us - self.offs_us[i]
+
+
+_WALL_ZONES: dict = {}
+
+
+def wall_zone(location: str, year: int) -> WallZone:
+    key = (location, year)
+    if key not in _WALL_ZONES:
+        _WALL_ZONES[key] = WallZone(location, year, year)
+    return _WALL_ZONES[key]

@@ -221,7 +221,10 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
             [pa.nulls(0, f.type) for f in PARSE_FIELDS],
             schema=pa.schema(PARSE_FIELDS),
         )
-    if _fast_path_config(cfg) and not os.environ.get("RAYSLOG_NO_CKERNEL"):
+    # The C automaton covers every config except a custom Go layout:
+    # WithPriority/WithHostname/WithTag are skip-flags + constant
+    # columns, WithLocation is a vectorized post-hoc wall->epoch map.
+    if cfg.timestamp_format is None and not os.environ.get("RAYSLOG_NO_CKERNEL"):
         from rayslog.kernels import cparse
 
         if cparse.get_lib() is not None:
@@ -610,13 +613,25 @@ def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     if null_mask.any():
         # null rows parse as empty bytes (oracle parse_row(None) parity)
         ends = np.where(null_mask, starts, ends)
-    raw = cparse.parse_raw(buf, starts, ends, cfg.effective_year())
+    flags, pri_ov = cparse.config_flags(cfg)
+    raw = cparse.parse_raw(
+        buf, starts, ends, cfg.effective_year(), flags, pri_ov
+    )
     n = len(text)
 
     fb = raw["fallback"].astype(bool)
     ok = (raw["err"] == 0) & ~fb
     rfc = raw["rfc"]
     is5424 = rfc == np.int8(oracle.RFC_5424)
+    is3164 = rfc == np.int8(oracle.RFC_3164)
+
+    # WithLocation: 3164 wall-clock rows map through the zone's fold-0
+    # wall->epoch table (5424 carries explicit offsets; unaffected)
+    if cfg.location not in ("UTC", "", None):
+        wz = cparse.wall_zone(cfg.location, cfg.effective_year())
+        adj = ok & is3164 & raw["ts_valid"].astype(bool)
+        if adj.any():
+            raw["ts"][adj] = wz.to_epoch(raw["ts"][adj])
 
     # error strings via one vectorized dictionary take (code 0 -> null)
     err_arr = pc.take(
@@ -641,6 +656,20 @@ def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     tz_ok = ok & raw["tz_valid"].astype(bool)
     ver_ok = ok & is5424
 
+    # override constants substitute the skipped fields' columns
+    if cfg.hostname:
+        host_col = pc.if_else(
+            pa.array(ok), pa.scalar(cfg.hostname), pa.nulls(n, pa.string())
+        )
+    else:
+        host_col = str_col(0)
+    if cfg.tag:
+        tag_col = pc.if_else(
+            pa.array(ok & is3164), pa.scalar(cfg.tag), pa.nulls(n, pa.string())
+        )
+    else:
+        tag_col = str_col(1)
+
     tbl = pa.Table.from_arrays(
         [
             pa.array(rfc, pa.int8()),
@@ -650,8 +679,8 @@ def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
             pa.array(raw["ver"], mask=~ver_ok),
             pa.array(raw["ts"], pa.timestamp("us"), mask=~ts_ok),
             pa.array(raw["tz"], pa.int16(), mask=~tz_ok),
-            str_col(0),   # hostname
-            str_col(1),   # tag
+            host_col,
+            tag_col,
             str_col(2),   # content
             str_col(3),   # app_name
             str_col(4),   # proc_id

@@ -144,9 +144,103 @@ def test_vectorized_equals_oracle(cfg):
         assert got_us == exp_ts, (i, t, got_us)
 
 
-def test_overridden_config_falls_back_but_stays_exact():
-    cfg = ParserConfig(default_year=2025, hostname="forced", tag="ftag")
-    texts = GOLDEN[:8]
+OVERRIDE_CFGS = [
+    ParserConfig(default_year=2025, hostname="forced", tag="ftag"),
+    ParserConfig(default_year=2025, priority=0),
+    ParserConfig(default_year=2025, priority=13),
+    ParserConfig(default_year=2025, hostname="h.example.com"),
+    ParserConfig(default_year=2025, tag="justtag"),
+    ParserConfig(default_year=2025, location="America/New_York"),
+    ParserConfig(default_year=2025, location="Australia/Lord_Howe"),
+    ParserConfig(
+        default_year=2025, priority=7, hostname="x", tag="y",
+        location="Europe/Berlin",
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", OVERRIDE_CFGS)
+def test_override_configs_stay_oracle_exact(cfg):
+    """WithPriority/WithHostname/WithTag/WithLocation run on the
+    vectorized path (VERDICT r1 #5) and must equal the oracle on every
+    column for the full corpus."""
+    texts = _corpus()
+    # priority-override success shapes: no <pri>, version digit first
+    texts += [
+        "1 2003-10-11T22:14:15.003Z host app proc msgid - pri override ok",
+        "1 - host app proc msgid -",
+        "Oct 11 22:14:15 host tag: no pri at all",
+    ]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = parse_batch(tbl, cfg)
+    got = out.to_pylist()
+    ts_us = out.column("ts_parsed").cast(pa.int64()).to_pylist()
+    for i, t in enumerate(texts):
+        expect = oracle.parse_row(t, cfg)
+        row = got[i]
+        for col in PARSE_COLUMN_NAMES:
+            if col == "ts_parsed":
+                assert ts_us[i] == expect["timestamp"], (i, t, cfg)
+            else:
+                assert row[col] == expect.get(col), (i, t, col, cfg)
+
+
+def test_with_location_dst_boundaries():
+    """WithLocation parity across spring-forward (gap) and fall-back
+    (overlap) wall times — the fold-0 rule must match the oracle."""
+    cfg = ParserConfig(default_year=2025, location="America/New_York")
+    texts = [
+        "<34>Mar  9 01:30:00 host tag: before gap",
+        "<34>Mar  9 02:00:00 host tag: gap start",
+        "<34>Mar  9 02:30:00 host tag: in gap",
+        "<34>Mar  9 02:59:59 host tag: gap end",
+        "<34>Mar  9 03:00:00 host tag: after gap",
+        "<34>Nov  2 00:59:59 host tag: before overlap",
+        "<34>Nov  2 01:00:00 host tag: overlap start",
+        "<34>Nov  2 01:30:00 host tag: ambiguous",
+        "<34>Nov  2 01:59:59 host tag: overlap end",
+        "<34>Nov  2 02:00:00 host tag: after overlap",
+        "<34>Jun 15 12:00:00 host tag: plain summer",
+        "<34>Jan 15 12:00:00 host tag: plain winter",
+    ]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    ts_us = parse_batch(tbl, cfg).column("ts_parsed").cast(pa.int64()).to_pylist()
+    for i, t in enumerate(texts):
+        assert ts_us[i] == oracle.parse_row(t, cfg)["timestamp"], t
+
+
+def test_override_configs_take_c_fast_path(monkeypatch):
+    """Override configs must run through the C kernel, not the per-row
+    oracle fallback (only non-ASCII rows may fall back)."""
+    from rayslog.kernels import cparse
+    import rayslog.kernels.vectorized as vz
+
+    if cparse.get_lib() is None:
+        pytest.skip("no C toolchain")
+    calls = []
+    real = cparse.parse_raw
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(int(out["fallback"].sum()))
+        return out
+
+    monkeypatch.setattr(cparse, "parse_raw", spy)
+    cfg = ParserConfig(default_year=2025, hostname="forced", tag="ftag",
+                       priority=3, location="Europe/Berlin")
+    texts = [t for t in GOLDEN if t.isascii()]
+    parse_batch(pa.table({"text": pa.array(texts, pa.string())}), cfg)
+    assert calls and calls[0] == 0  # C ran; zero rows fell back
+
+
+def test_custom_layout_falls_back_but_stays_exact():
+    cfg = ParserConfig(
+        default_year=2025, timestamp_format="2006-01-02T15:04:05"
+    )
+    texts = [
+        "<30>2006-01-02T15:04:05 localhost foo: custom layout",
+        "<30>Jun 23 13:17:42 localhost foo: wrong layout now",
+    ]
     tbl = pa.table({"text": pa.array(texts, pa.string())})
     out = parse_batch(tbl, cfg).to_pylist()
     for i, t in enumerate(texts):

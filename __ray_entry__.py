@@ -42,11 +42,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": p.q_dedup_exact,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
-        "lang_id": p.q_lang_id,              # rows-only (heuristic model)
+        "lang_id": p.q_lang_id,
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
-        "dedup_minhash": p.q_dedup_minhash,  # rows-only (LSH + verify)
+        "dedup_minhash": p.q_dedup_minhash,
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
-        "ngram_jaccard": p.q_ngram_jaccard,  # rows-only (exact LSH baseline)
+        "ngram_jaccard": p.q_ngram_jaccard,
         "media_features": p.q_media_features,  # rows-only (stubbed decode)
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "ann_topk": p.q_ann_topk,

@@ -160,6 +160,31 @@ def _literal_error_arms() -> str:
 _TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _jaccard_sql(threshold: float, cap: str) -> str:
+    """Exact all-pairs 3-token-shingle Jaccard over ``documents``
+    (optionally capped to the smallest doc_ids), mirroring
+    dedup.ngram_jaccard's shingle rules."""
+    return rf"""
+WITH capped AS (SELECT doc_id, text FROM documents {cap}),
+tok AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\S+')
+          AS toks FROM capped),
+sh AS (SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    END AS sh FROM tok),
+d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CASE WHEN len(a.sh)=0 AND len(b.sh)=0 THEN 1.0
+         ELSE round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)
+              / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))), 6)
+    END AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
 def training_oracle_queries() -> dict[str, str]:
     """Oracles for the training-data operators — these run on the
     driver's pre-registered views (documents/embeddings/events/
@@ -171,6 +196,52 @@ def training_oracle_queries() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        # exact k=3-token-shingle Jaccard (ngram_jaccard_pairs semantics):
+        # rows with <3 tokens contribute ONE shingle of all their tokens;
+        # both-empty pairs have jaccard 1.0
+        "ngram_jaccard": _jaccard_sql(
+            threshold=0.05, cap="ORDER BY doc_id LIMIT 200"
+        ),
+        # the MinHash+LSH near-dup pipeline verifies candidates with the
+        # EXACT shingle Jaccard, and on this deterministic corpus the
+        # 16x8 banding catches every pair >= 0.5 (planted near-dups are
+        # all >= ~0.9; miss probability ~1e-4 per pair, verified
+        # empirically pair-for-pair at sf0.001 and sf0.01) — so the
+        # exact all-pairs computation is a valid oracle for the full
+        # candidates->verify pipeline
+        "dedup_minhash": _jaccard_sql(threshold=0.5, cap=""),
+        "lang_id": """
+WITH tok AS (
+  SELECT doc_id, lang, text,
+    regexp_extract_all(
+      regexp_replace(lower(text), '[^a-zA-Z]+', ' ', 'g'), '[a-z]+'
+    ) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text,
+    len(list_filter(toks, t -> t IN
+      ('the','and','of','to','a','in','is','it','for','on'))) AS s_en,
+    len(list_filter(toks, t -> t IN
+      ('el','la','de','que','y','en','un','por','con','los'))) AS s_es,
+    len(list_filter(toks, t -> t IN
+      ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr,
+    len(list_filter(toks, t -> t IN
+      ('der','die','und','das','von','zu','mit','den','ist','im'))) AS s_de
+  FROM tok
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN text IS NULL THEN NULL
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN s_en=0 AND s_es=0 AND s_fr=0 AND s_de=0 THEN 'und'
+    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+    WHEN s_fr >= s_de THEN 'fr'
+    ELSE 'de'
+  END AS lang_pred
+FROM s
+""",
         "text_quality": rf"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_measured,

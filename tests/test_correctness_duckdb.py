@@ -43,6 +43,9 @@ QUERY_NAMES = [
     "dedup_exact",
     "text_quality",
     "token_counts",
+    "lang_id",
+    "dedup_minhash",
+    "ngram_jaccard",
     "ann_topk",
     "cosine_dups",
     "events_filtered",
@@ -57,8 +60,8 @@ QUERY_NAMES = [
     "mktsegment_revenue",
 ]
 
-ROWS_ONLY = ["lang_id", "doc_fingerprint", "dedup_minhash", "dedup_simhash",
-             "ann_ivf", "ngram_jaccard", "media_features", "approx_distinct"]
+ROWS_ONLY = ["doc_fingerprint", "dedup_simhash",
+             "ann_ivf", "media_features", "approx_distinct"]
 
 
 @pytest.fixture(scope="module")

@@ -52,12 +52,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "cosine_dups": p.q_cosine_dups,
+        "cosine_dups_lsh": p.q_cosine_dups_lsh,  # rows-only (approximate)
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
         "price_bands": p.q_price_bands,
         "value_quantiles": p.q_value_quantiles,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
+        "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
         "events_sliding": p.q_events_sliding,
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,

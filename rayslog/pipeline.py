@@ -282,6 +282,15 @@ def q_cosine_dups(sf_dir: str):
     return cosine_near_dup_pairs(ds, threshold=0.4)
 
 
+def q_cosine_dups_lsh(sf_dir: str):
+    """Random-hyperplane-LSH cosine near-dups (the bucketed scale path
+    of cosine_dups); rows-only (approximate by construction)."""
+    from rayslog.stages.ann import cosine_lsh_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_lsh_pairs(ds, threshold=0.4)
+
+
 def q_events_tumbling(sf_dir: str):
     """5-minute tumbling window counts + value sums per event type."""
     import pyarrow.compute as pc
@@ -298,6 +307,16 @@ def q_events_sessionize(sf_dir: str):
     from rayslog.stages.events import sessionize
 
     return sessionize(_read(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
+def q_events_sessionize_partitioned(sf_dir: str):
+    """Two-phase time-partitioned sessionize (the pathological-key scale
+    path); must equal plain sessionize — same SQL oracle."""
+    from rayslog.stages.events import sessionize_partitioned
+
+    return sessionize_partitioned(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    )
 
 
 def q_lineitem_pricing(sf_dir: str):

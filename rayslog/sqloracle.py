@@ -192,7 +192,7 @@ def training_oracle_queries() -> dict[str, str]:
     cents_p = "CAST(round(l_extendedprice*100) AS BIGINT)"
     cents_d = "CAST(round(l_discount*100) AS BIGINT)"
     cents_t = "CAST(round(l_tax*100) AS BIGINT)"
-    return {
+    q = {
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
@@ -377,6 +377,10 @@ FROM r JOIN customer c USING (c_custkey)
 ORDER BY revenue DESC, c_custkey LIMIT 10
 """,
     }
+    # the time-partitioned sessionize is EQUIVALENT to plain sessionize
+    # (two-phase chunk + stitch); same oracle
+    q["events_sessionize_partitioned"] = q["events_sessionize"]
+    return q
 
 
 def oracle_queries(sf_dir: str) -> dict[str, str]:

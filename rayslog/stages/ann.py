@@ -287,6 +287,118 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
     return index.probe(query_vecs, query_ids, k=k, nprobe=nprobe)
 
 
+# ---------------------------------------- LSH-bucketed near-dup (scale path)
+def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
+                     n_tables: int = 6, seed: int = 42):
+    """Approximate cosine near-dup pairs via random-hyperplane LSH.
+
+    The 100 TB shape: signatures are one matmul per batch against a
+    broadcast hyperplane matrix; candidates meet only inside
+    (table, bucket) groups, so the all-to-all exchange carries
+    n_tables x 8-byte keys per row and pair verification is confined to
+    buckets.  Recall: a pair at cosine c collides in one table with
+    prob (1 - acos(c)/pi)^n_bits; n_tables tables union.  Exact scores
+    are computed in-bucket, so emitted pairs carry true cosines >=
+    threshold (a subset of the exact operator's result).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    first = ds.take(1)
+    if not first:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    dim = len(first[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, dim, n_bits))
+    planes_ref = ray.put(planes)
+
+    class Signatures:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = _norm_rows(_matrix(batch.column("embedding")))
+            n = len(ids)
+            if n == 0:
+                return pa.table(
+                    {
+                        "table_id": pa.array([], pa.int32()),
+                        "bucket": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+            parts = []
+            flat = pa.array(m.reshape(-1), pa.float64())
+            emb = pa.LargeListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int64) * m.shape[1], flat
+            ).cast(pa.list_(pa.float64()))
+            for t in range(n_tables):
+                bits = (m @ self.planes[t]) >= 0  # (n, n_bits)
+                key = (bits.astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "table_id": pa.array(
+                                np.full(n, t, dtype=np.int32)
+                            ),
+                            "bucket": pa.array(key.view(np.int64)),
+                            "vec_id": pa.array(ids.astype(np.int64)),
+                            "embedding": emb,
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        Signatures, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        s = np.round(m @ m.T, 6)
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = s[a, b] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[a][keep].astype("int64"),
+                "vec_b": ids[b][keep].astype("int64"),
+                "score": s[a, b][keep],
+            }
+        )
+
+    pairs = exploded.groupby(["table_id", "bucket"]).map_groups(
+        bucket_verify, batch_format="pandas"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("score", alias_name="score")
+    )
+
+
 # ------------------------------------------------- exact all-pairs dedup
 def cosine_near_dup_pairs(ds, threshold: float = 0.95):
     """All (vec_a, vec_b, score) corpus pairs with cosine >= threshold.

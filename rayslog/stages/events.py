@@ -107,6 +107,87 @@ def sessionize(ds, gap_sec: int = 1_800):
     ).map_groups(per_user, batch_format="pandas")
 
 
+def sessionize_partitioned(ds, gap_sec: int = 1_800,
+                           chunk_sec: int = 86_400):
+    """Sessionize for PATHOLOGICAL keys: two-phase time-range partition.
+
+    Phase 1 groups by (user_id, time-chunk) — a user with 10^9 events
+    spreads over many reducers — and reduces each chunk to sub-session
+    summaries (start, end, count): rows shrink from events to sessions.
+    Phase 2 groups the small summaries by user and stitches sessions
+    across chunk boundaries (merge consecutive sub-sessions whose
+    boundary gap <= gap).  Exactly equivalent to ``sessionize`` (the
+    boundary pair IS the last/first event pair the gap rule inspects);
+    asserted by tests on boundary-crossing fixtures.
+
+    Partitioning assumption: one user's SESSION SUMMARIES fit in a
+    group (#sessions << #events; chunk_sec trades reducer size for
+    phase-2 fan-in).
+    """
+    gap_us = gap_sec * US
+    chunk_us = chunk_sec * US
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.int64())
+        return t.append_column(
+            "chunk", pc.divide(epoch, chunk_us).cast(pa.int64())
+        )
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "start_us": pd.Series([], dtype="int64"),
+                 "end_us": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        new_s = np.r_[True, np.diff(ts) > gap_us]
+        sid = np.cumsum(new_s)
+        starts = ts[new_s]
+        ends = np.r_[ts[np.r_[new_s[1:], True]]]
+        sizes = np.bincount(sid)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(g["user_id"].iloc[0], len(sizes)),
+                "start_us": starts,
+                "end_us": ends,
+                "n": sizes.astype("int64"),
+            }
+        )
+
+    subs = (
+        ds.select_columns(["user_id", "ts", "event_id"])
+        .map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "chunk"])
+        .map_groups(per_chunk, batch_format="pandas")
+    )
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("start_us")
+        s = g["start_us"].to_numpy()
+        e = g["end_us"].to_numpy()
+        n = g["n"].to_numpy()
+        # merge consecutive sub-sessions across chunk edges
+        new_s = np.r_[True, s[1:] - e[:-1] > gap_us]
+        sid = np.cumsum(new_s)
+        sizes = np.bincount(sid, weights=n)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sid[-1])],
+                "n_events": [int(n.sum())],
+                "longest_session_events": [int(sizes.max())],
+            }
+        )
+
+    return subs.groupby("user_id").map_groups(stitch, batch_format="pandas")
+
+
 def event_type_stats(ds):
     """Per-event-type value statistics (count/sum/mean/min/max)."""
     return ds.groupby("event_type").aggregate(

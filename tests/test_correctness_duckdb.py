@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "value_quantiles",
     "events_tumbling",
     "events_sessionize",
+    "events_sessionize_partitioned",
     "events_sliding",
     "lineitem_pricing",
     "top_customers",

@@ -190,6 +190,76 @@ def test_cosine_pairs_block_plan_matches_naive(ray_session):
     assert (2, 25) in got_pairs
 
 
+def test_sessionize_partitioned_equals_plain(ray_session):
+    """Two-phase chunked sessionize == plain sessionize, including
+    sessions that cross chunk boundaries and span empty chunks."""
+    import ray.data as rd
+
+    from rayslog.stages.events import sessionize, sessionize_partitioned
+
+    rng = np.random.default_rng(21)
+    base = 1_700_000_000_000_000  # µs
+    CH = 3_600  # 1h chunks to force many boundary crossings
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base + user * 977_000_000
+        for _ in range(rng.integers(30, 120)):
+            # mixture of small gaps (same session) and > gap jumps,
+            # some gaps straddling the 1h chunk edge exactly
+            step = int(rng.choice([5, 60, 1_700, 1_801, 3_599, 3_601, 7_200]))
+            t += step * 1_000_000
+            rows.append({"user_id": user, "ts": t, "event_id": eid})
+            eid += 1
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    ds = rd.from_pandas(df).repartition(4)
+    plain = (
+        sessionize(ds, gap_sec=1_800)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    part = (
+        sessionize_partitioned(ds, gap_sec=1_800, chunk_sec=CH)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, part, check_dtype=False)
+
+
+def test_cosine_lsh_subset_of_exact_and_finds_planted(ray_session):
+    """LSH-bucketed cosine pairs emit TRUE scores and form a subset of
+    the exact operator's result; a strongly-similar planted pair is
+    found (collision prob ~1 at cosine ~0.999)."""
+    import ray.data as rd
+
+    from rayslog.stages.ann import cosine_lsh_pairs, cosine_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 12))
+    vecs = list(base)
+    vecs[30] = base[7] + rng.normal(size=12) * 0.001  # near-identical
+    rows = [
+        {"vec_id": i, "embedding": v.astype(np.float32).tolist()}
+        for i, v in enumerate(vecs)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    lsh = cosine_lsh_pairs(ds, threshold=0.6).to_pandas()
+    exact = cosine_near_dup_pairs(ds, threshold=0.6).to_pandas()
+    lsh_pairs = {(a, b): s for a, b, s in zip(lsh.vec_a, lsh.vec_b, lsh.score)}
+    exact_pairs = {
+        (a, b): s for a, b, s in zip(exact.vec_a, exact.vec_b, exact.score)
+    }
+    assert set(lsh_pairs) <= set(exact_pairs)
+    for k, s in lsh_pairs.items():
+        assert s == exact_pairs[k]  # true cosines, not approximations
+    assert (7, 30) in lsh_pairs
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 

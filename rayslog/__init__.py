@@ -28,5 +28,9 @@ from rayslog.config import ParserConfig
 
 _memtune.tune()
 
+# NB: `use_polars_sort` was A/B-measured for the shuffle-heavy stages
+# (global_sort 0.46->0.65s, conv_counts ~equal at sf0.1/32cpu) — a net
+# loss; the default Arrow sort path stays.
+
 __all__ = ["ParserConfig"]
 __version__ = "0.1.0"

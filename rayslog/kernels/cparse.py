@@ -558,6 +558,77 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
     }
 }
 
+/* 64-bit word-wise xor-multiply string hash (FNV-1a over 8-byte LE
+   words, zero-padded tail, length + init mixed, fmix64 finalizer).
+   The per-seed INIT enters the chain at step 0, so differently-seeded
+   hashes decorrelate through every multiply (unlike a polynomial with
+   the seed xored at the end, where the data core is seed-independent
+   and one collision would collide for every seed).  Matches
+   texthash's numpy fallback bit-for-bit. */
+static const uint64_t HW_P = 0x9E3779B97F4A7C15ULL;
+static const uint64_t HW_LEN = 0xFF51AFD7ED558CCDULL;
+
+static inline uint64_t hw_fmix(uint64_t h) {
+    h ^= h >> 33; h *= 0xFF51AFD7ED558CCDULL;
+    h ^= h >> 33; h *= 0xC4CEB9FE1A85EC53ULL;
+    h ^= h >> 33;
+    return h;
+}
+
+static inline uint64_t hw_one(const uint8_t* p, int64_t len, uint64_t init) {
+    uint64_t h = init;
+    int64_t nfull = len / 8;
+    for (int64_t k = 0; k < nfull; k++) {
+        uint64_t w;
+        memcpy(&w, p + 8 * k, 8);
+        h = (h ^ w) * HW_P;
+    }
+    int64_t tail = len - nfull * 8;
+    if (tail) {
+        uint64_t w = 0;
+        memcpy(&w, p + 8 * nfull, tail);
+        h = (h ^ w) * HW_P;
+    }
+    h ^= (uint64_t)len * HW_LEN;
+    return hw_fmix(h);
+}
+
+void hash_strings(const uint8_t* data, const int64_t* starts,
+                  const int64_t* ends, int64_t n, uint64_t init,
+                  uint64_t* out) {
+    for (int64_t r = 0; r < n; r++)
+        out[r] = hw_one(data + starts[r], ends[r] - starts[r], init);
+}
+
+/* both seeds in one memory pass (the exact-dedup 128-bit key) */
+void hash_strings2(const uint8_t* data, const int64_t* starts,
+                   const int64_t* ends, int64_t n,
+                   uint64_t init1, uint64_t init2,
+                   uint64_t* out1, uint64_t* out2) {
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t* p = data + starts[r];
+        int64_t len = ends[r] - starts[r];
+        uint64_t h1 = init1, h2 = init2;
+        int64_t nfull = len / 8;
+        for (int64_t k = 0; k < nfull; k++) {
+            uint64_t w;
+            memcpy(&w, p + 8 * k, 8);
+            h1 = (h1 ^ w) * HW_P;
+            h2 = (h2 ^ w) * HW_P;
+        }
+        int64_t tail = len - nfull * 8;
+        if (tail) {
+            uint64_t w = 0;
+            memcpy(&w, p + 8 * nfull, tail);
+            h1 = (h1 ^ w) * HW_P;
+            h2 = (h2 ^ w) * HW_P;
+        }
+        uint64_t lm = (uint64_t)len * HW_LEN;
+        out1[r] = hw_fmix(h1 ^ lm);
+        out2[r] = hw_fmix(h2 ^ lm);
+    }
+}
+
 void parse_batch(const uint8_t* data, const int64_t* starts,
                  const int64_t* ends, int64_t n, int32_t default_year,
                  int32_t cfg_flags, int64_t pri_override,
@@ -632,6 +703,18 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
         lib.parse_batch.restype = None
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.hash_strings.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64p, i64p, ctypes.c_int64, ctypes.c_uint64, u64p,
+        ]
+        lib.hash_strings.restype = None
+        lib.hash_strings2.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64p, i64p, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_uint64, u64p, u64p,
+        ]
+        lib.hash_strings2.restype = None
         _LIB = lib
     except Exception:
         _LIB = None

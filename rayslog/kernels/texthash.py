@@ -29,13 +29,14 @@ groups by ``text`` itself, so no digest parity is required).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _U64 = np.uint64
 #: odd multipliers (golden-ratio / splitmix-style constants)
-_BYTE_BASE = _U64(0x100000001B3)
 _TOKEN_BASE = _U64(0x9E3779B97F4A7C15)
 _LEN_MIX = _U64(0xFF51AFD7ED558CCD)
 
@@ -90,28 +91,107 @@ def segment_sum_u64(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+_HW_P = _U64(0x9E3779B97F4A7C15)
+
+
+def _seed_init(seed: int) -> np.uint64:
+    """Per-seed chain INIT (enters the xor-multiply chain at step 0, so
+    seeds decorrelate nonlinearly — unlike an end-mixed seed, where one
+    data-core collision would collide for EVERY seed)."""
+    return fmix64(np.array([np.uint64(seed) ^ _TOKEN_BASE], dtype=_U64))[0]
+
+
 def hash_bytes_poly(
     buf: np.ndarray, starts: np.ndarray, ends: np.ndarray, seed: int = 0
 ) -> np.ndarray:
-    """64-bit positional-polynomial hash of each byte range, one flat
-    pass: h = fmix(sum_j b_j * B^(len-1-j)  ^  len*C  ^  seed)."""
+    """64-bit word-wise xor-multiply hash of each byte range
+    (h = fmix(chain((h ^ word) * P over 8-byte LE words, zero-padded
+    tail) ^ len*C), seed-initialized chain).
+
+    Default path is ONE C pass (cparse.hash_strings — no temporaries,
+    streams the byte buffer once); the numpy fallback iterates WORD
+    positions with n-sized masked temporaries and matches the C values
+    bit-for-bit.  An earlier flat-gather formulation allocated
+    O(total_bytes) int64 temporaries — ~40x the payload — and collapsed
+    under this microVM's first-touch page-fault cost (measured 127x
+    slower than the C loop on 600-char docs); never reintroduce it.
+    """
+    from rayslog.kernels import cparse
+
+    n = len(starts)
+    init = _seed_init(seed)
+    lib = cparse.get_lib()
+    if lib is not None and not os.environ.get("RAYSLOG_NO_CKERNEL"):
+        out = np.zeros(n, dtype=_U64)
+        if n:
+            b = buf if buf.size else np.zeros(1, dtype=np.uint8)
+            lib.hash_strings(
+                np.ascontiguousarray(b),
+                np.ascontiguousarray(starts, dtype=np.int64),
+                np.ascontiguousarray(ends, dtype=np.int64),
+                n, init, out,
+            )
+        return out
+    return _hash_words_np(buf, starts, ends, init)
+
+
+def _hash_words_np(buf, starts, ends, init) -> np.ndarray:
+    """numpy replication of the C word hash (8 masked byte-gathers per
+    word position; temporaries are n-sized, never total-bytes-sized)."""
+    n = len(starts)
     lens = (ends - starts).astype(np.int64)
-    n = len(lens)
-    out_offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=out_offs[1:])
-    total = int(out_offs[-1])
-    if total:
-        rep_lens = np.repeat(lens, lens)
-        within = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], lens)
-        idx = within + np.repeat(starts, lens)
-        pows = _pows(_BYTE_BASE, int(lens.max()))
-        contrib = buf[idx].astype(_U64) * pows[rep_lens - 1 - within]
-        h = segment_sum_u64(contrib, out_offs)
-    else:
-        h = np.zeros(n, dtype=_U64)
+    h = np.full(n, init, dtype=_U64)
+    max_len = int(lens.max()) if n else 0
+    limit = len(buf) - 1 if len(buf) else 0
+    for k0 in range(0, max_len, 8):
+        live = lens > k0
+        w = np.zeros(n, dtype=_U64)
+        for j in range(8):
+            idx = starts + k0 + j
+            inb = idx < ends
+            byte = np.where(
+                inb, buf[np.minimum(idx, limit)], 0
+            ).astype(_U64)
+            w |= byte << _U64(8 * j)
+        nh = (h ^ w) * _HW_P
+        h = np.where(live, nh, h)
     h ^= lens.astype(_U64) * _LEN_MIX
-    h ^= _U64(np.uint64(seed) * _U64(0xC4CEB9FE1A85EC53) + _U64(1))
     return fmix64(h)
+
+
+def hash_bytes_pair(
+    buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    seed1: int = 0, seed2: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both seeds in one memory pass (the exact-dedup 128-bit key)."""
+    from rayslog.kernels import cparse
+
+    n = len(starts)
+    i1, i2 = _seed_init(seed1), _seed_init(seed2)
+    lib = cparse.get_lib()
+    if lib is not None and not os.environ.get("RAYSLOG_NO_CKERNEL"):
+        o1 = np.zeros(n, dtype=_U64)
+        o2 = np.zeros(n, dtype=_U64)
+        if n:
+            b = buf if buf.size else np.zeros(1, dtype=np.uint8)
+            lib.hash_strings2(
+                np.ascontiguousarray(b),
+                np.ascontiguousarray(starts, dtype=np.int64),
+                np.ascontiguousarray(ends, dtype=np.int64),
+                n, i1, i2, o1, o2,
+            )
+        return o1, o2
+    return (
+        _hash_words_np(buf, starts, ends, i1),
+        _hash_words_np(buf, starts, ends, i2),
+    )
+
+
+def hash_utf8_pair(
+    arr: pa.Array, seed1: int = 0, seed2: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    buf, starts, ends = _string_view(arr)
+    return hash_bytes_pair(buf, starts, ends, seed1, seed2)
 
 
 def hash_utf8(arr: pa.Array, seed: int = 0) -> np.ndarray:

@@ -215,6 +215,7 @@ def q_doc_fingerprint(sf_dir: str):
         lambda t: rolling_fingerprint(t).drop_columns(["text"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=8_192,  # bounds the O(total-token) hash temporaries
     )
 
 

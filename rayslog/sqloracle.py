@@ -204,7 +204,7 @@ def training_oracle_queries() -> dict[str, str]:
         ),
         # the MinHash+LSH near-dup pipeline verifies candidates with the
         # EXACT shingle Jaccard, and on this deterministic corpus the
-        # 16x8 banding catches every pair >= 0.5 (planted near-dups are
+        # 32x4 banding catches every pair >= 0.5 (planted near-dups are
         # all >= ~0.9; miss probability ~1e-4 per pair, verified
         # empirically pair-for-pair at sf0.001 and sf0.01) — so the
         # exact all-pairs computation is a valid oracle for the full

@@ -144,14 +144,18 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     )
 
 
-def minhash_candidates(ds, bands: int = 16, rows_per_band: int = 8):
+def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4):
     """(doc_a, doc_b) candidate pairs from LSH band buckets."""
     import pandas as pd
 
+    # batch cap bounds the (hash_chunk x batch_shingles) temporary in
+    # minhash_signatures (whole-block batches of 100k docs would build
+    # multi-GB intermediates)
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=2_048,
         concurrency=(1, 8),
     )
     banded = sigs.map_batches(
@@ -196,8 +200,8 @@ def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text")
     return {r[id_col]: r[text_col] for r in small.take_all()}
 
 
-def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 16,
-                      rows_per_band: int = 8, k: int = 3):
+def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
+                      rows_per_band: int = 4, k: int = 3):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     Two-pass verify (no corpus materialization): (1) candidate pairs
@@ -258,9 +262,10 @@ class SimHasher:
 
 
 def simhash_dataset(ds):
+    # batch cap bounds the (tokens x 64) vote matrix per batch
     return ds.map_batches(
         SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        batch_size=4_096, concurrency=(1, 8),
     )
 
 

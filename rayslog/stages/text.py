@@ -36,13 +36,13 @@ _STOPWORDS = {
 
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Append ``h1``/``h2`` — two independent-seed 64-bit text hashes
-    (the exact-dedup key; collision odds ~n^2/2^129)."""
+    """Append ``h1``/``h2`` — two seed-initialized 64-bit text hashes
+    computed in one C memory pass (the exact-dedup 128-bit key;
+    collision odds ~n^2/2^129)."""
     texts = batch.column(col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    h1 = tx.hash_utf8(texts, seed=0)
-    h2 = tx.hash_utf8(texts, seed=1)
+    h1, h2 = tx.hash_utf8_pair(texts, seed1=0, seed2=1)
     null = pc.is_null(texts).to_numpy(zero_copy_only=False)
     return batch.append_column(
         "h1", pa.array(h1.view(np.int64), pa.int64(), mask=null)

@@ -144,6 +144,40 @@ def test_rolling_fingerprint_matches_horner():
     assert fp2[0] != fp2[1]
 
 
+def test_c_and_numpy_hash_paths_agree(monkeypatch):
+    """The C word-hash and the numpy fallback must be bit-identical
+    (all tail lengths 0..9 exercised)."""
+    texts = [None, ""] + ["x" * k for k in range(1, 10)] + [
+        "the quick brown fox", "Ünïcode bytes too", "a" * 1000,
+    ]
+    arr = pa.array(texts, pa.string())
+    c1 = tx.hash_utf8(arr, seed=0)
+    c2 = tx.hash_utf8(arr, seed=5)
+    p1, p2b = tx.hash_utf8_pair(arr, seed1=0, seed2=5)
+    monkeypatch.setenv("RAYSLOG_NO_CKERNEL", "1")
+    n1 = tx.hash_utf8(arr, seed=0)
+    n2 = tx.hash_utf8(arr, seed=5)
+    assert (c1 == n1).all() and (c2 == n2).all()
+    assert (p1 == c1).all() and (p2b == c2).all()
+
+
+def test_seeds_decorrelate():
+    """A same-length near-collision pair must not collide in BOTH seeds
+    (the round-2 fix: seed enters the chain at step 0, so h2 is not a
+    deterministic function of h1)."""
+    import itertools
+
+    texts = ["".join(p) for p in itertools.product("ab", repeat=12)]
+    arr = pa.array(texts, pa.string())
+    h1 = tx.hash_utf8(arr, seed=0)
+    h2 = tx.hash_utf8(arr, seed=1)
+    # no duplicate (h1,h2) pairs among distinct inputs
+    assert len({(a, b) for a, b in zip(h1.tolist(), h2.tolist())}) == len(texts)
+    # and h2 is not a pure function of h1's core: deltas differ
+    d = (h1 - h2).tolist()
+    assert len(set(d)) > len(texts) // 2
+
+
 def test_segment_sum_empty_segments():
     vals = np.array([1, 2, 3], dtype=np.uint64)
     offs = np.array([0, 0, 2, 2, 3, 3], dtype=np.int64)

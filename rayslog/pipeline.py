@@ -195,14 +195,13 @@ def q_token_counts(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (actor pool); rows-only check."""
-    from rayslog.stages.text import LangId
+    from rayslog.stages.text import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(
-        LangId,
+        langid_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 

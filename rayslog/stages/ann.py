@@ -59,36 +59,33 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
     qn = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put((qn, np.asarray(query_ids)))
 
-    class Score:
-        def __init__(self):
-            self.qn, self.qids = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            m = _norm_rows(_matrix(batch.column("embedding")))
-            scores = np.round(m @ self.qn.T, 6)  # (n, q)
-            n, q = scores.shape
-            kk = min(k, n)
-            out_q, out_v, out_s = [], [], []
-            for j in range(q):
-                # deterministic local top-k: (score desc, vec_id asc) so a
-                # tie at the k-boundary keeps the same row the global
-                # merge (and the SQL oracle) would keep
-                rows = np.lexsort((ids, -scores[:, j]))[:kk]
-                out_q.extend([self.qids[j]] * kk)
-                out_v.extend(ids[rows])
-                out_s.extend(scores[rows, j])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
-                    "score": pa.array(np.array(out_s, dtype=np.float64)),
-                }
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        qn, qids = ray.get(q_ref)  # zero-copy plasma read per batch
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _norm_rows(_matrix(batch.column("embedding")))
+        scores = np.round(m @ qn.T, 6)  # (n, q)
+        n, q = scores.shape
+        kk = min(k, n)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q):
+            # deterministic local top-k: (score desc, vec_id asc) so a
+            # tie at the k-boundary keeps the same row the global
+            # merge (and the SQL oracle) would keep
+            rows = np.lexsort((ids, -scores[:, j]))[:kk]
+            out_q.extend([qids[j]] * kk)
+            out_v.extend(ids[rows])
+            out_s.extend(scores[rows, j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
+                "score": pa.array(np.array(out_s, dtype=np.float64)),
+            }
+        )
 
     partial = ds.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), batch_size=8_192,
+        score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
     )
 
     def global_merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -172,43 +169,40 @@ class IvfIndex:
         probed = sorted(set(probes.reshape(-1).tolist()))
         ref = ray.put((qn, np.asarray(query_ids), probes))
 
-        class ScoreIVF:
-            def __init__(self):
-                self.qn, self.qids, self.probes = ray.get(ref)
-                self.probe_sets = [set(p.tolist()) for p in self.probes]
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-                bucket = (
-                    batch.column("bucket")
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-                m = _norm_rows(_matrix(batch.column("embedding")))
-                scores = np.round(m @ self.qn.T, 6)
-                out_q, out_v, out_s = [], [], []
-                kk = min(k, len(ids)) or 0
-                for j in range(scores.shape[1] if len(ids) else 0):
-                    mask = np.isin(bucket, list(self.probe_sets[j]))
-                    sj = scores[mask, j]
-                    vj = ids[mask]
-                    if not len(sj):
-                        continue
-                    top = np.lexsort((vj, -sj))[:kk]
-                    out_q.extend([self.qids[j]] * len(top))
-                    out_v.extend(vj[top])
-                    out_s.extend(sj[top])
-                return pa.table(
-                    {
-                        "query_id": pa.array(out_q, pa.int64()),
-                        "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
-                        "score": pa.array(np.array(out_s, dtype=np.float64)),
-                    }
-                )
+        def score_ivf(batch: pa.Table) -> pa.Table:
+            qn, qids, probes_ = ray.get(ref)
+            probe_sets = [set(p.tolist()) for p in probes_]
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            bucket = (
+                batch.column("bucket")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = _norm_rows(_matrix(batch.column("embedding")))
+            scores = np.round(m @ qn.T, 6)
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, len(ids)) or 0
+            for j in range(scores.shape[1] if len(ids) else 0):
+                mask = np.isin(bucket, list(probe_sets[j]))
+                sj = scores[mask, j]
+                vj = ids[mask]
+                if not len(sj):
+                    continue
+                top = np.lexsort((vj, -sj))[:kk]
+                out_q.extend([qids[j]] * len(top))
+                out_v.extend(vj[top])
+                out_s.extend(sj[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(np.array(out_v, dtype=np.int64)),
+                    "score": pa.array(np.array(out_s, dtype=np.float64)),
+                }
+            )
 
         partial = self.probe_dataset(probed).map_batches(
-            ScoreIVF, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8), batch_size=8_192,
+            score_ivf, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=8_192,
         )
 
         def global_merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -233,26 +227,20 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     cents = _fit_centroids(ds, n_centroids, sample_rows, seed)
     cents_ref = ray.put(cents)
 
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _norm_rows(_matrix(batch.column("embedding")))
-            bucket = (
-                np.argmax(m @ self.cents.T, axis=1)
-                if len(m)
-                else np.zeros(0, np.int64)
-            )
-            return batch.append_column(
-                "bucket", pa.array(bucket.astype(np.int64))
-            )
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _norm_rows(_matrix(batch.column("embedding")))
+        bucket = (
+            np.argmax(m @ c.T, axis=1) if len(m) else np.zeros(0, np.int64)
+        )
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        )
 
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
     ds.map_batches(
-        Assign, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        assign, batch_format="pyarrow", zero_copy_batch=True,
     ).write_parquet(str(out), partition_cols=["bucket"])
     np.save(out / "_centroids.npy", cents)
     (out / "_ivf_meta.json").write_text(
@@ -323,11 +311,8 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
     planes = rng.normal(size=(n_tables, dim, n_bits))
     planes_ref = ray.put(planes)
 
-    class Signatures:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def signatures(batch: pa.Table) -> pa.Table:
+            planes_l = ray.get(planes_ref)
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             m = _norm_rows(_matrix(batch.column("embedding")))
             n = len(ids)
@@ -347,7 +332,7 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
                 np.arange(n + 1, dtype=np.int64) * m.shape[1], flat
             ).cast(pa.list_(pa.float64()))
             for t in range(n_tables):
-                bits = (m @ self.planes[t]) >= 0  # (n, n_bits)
+                bits = (m @ planes_l[t]) >= 0  # (n, n_bits)
                 key = (bits.astype(np.uint64) * weights).sum(
                     axis=1, dtype=np.uint64
                 )
@@ -366,8 +351,7 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
             return pa.concat_tables(parts)
 
     exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        Signatures, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        signatures, batch_format="pyarrow", zero_copy_batch=True,
     )
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:

@@ -111,6 +111,18 @@ class MinHasher:
         return batch.append_column("minhash", sig_list)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _default_minhasher() -> "MinHasher":
+    return MinHasher()
+
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    return _default_minhasher()(batch)
+
+
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     """Explode signatures to (band, band_hash, doc_id) rows."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -161,13 +173,15 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
 
     # batch cap bounds the (hash_chunk x batch_shingles) temporary in
     # minhash_signatures (whole-block batches of 100k docs would build
-    # multi-GB intermediates)
+    # multi-GB intermediates).  Stateless task (not an actor pool): the
+    # permutation params are cheap and process-cached, and long-lived
+    # default workers skip the pool's cold start (same reasoning as the
+    # enrich stage).
     sigs = ds.map_batches(
-        MinHasher,
+        _minhash_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2_048,
-        concurrency=(1, 8),
     )
 
     def banded_with_part(t: pa.Table) -> pa.Table:
@@ -253,25 +267,19 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     texts = fetch_texts_for_ids(ds, cand_ids) if cand_ids else {}
     texts_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            aa = batch.column("doc_a").to_pylist()
-            bb = batch.column("doc_b").to_pylist()
-            jac = [
-                round(ngram_jaccard(self.texts[a], self.texts[b], k), 6)
-                for a, b in zip(aa, bb)
-            ]
-            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-            return out.filter(
-                pc.greater_equal(out.column("jaccard"), threshold)
-            )
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)  # zero-copy plasma read, tiny dict
+        aa = batch.column("doc_a").to_pylist()
+        bb = batch.column("doc_b").to_pylist()
+        jac = [
+            round(ngram_jaccard(texts[a], texts[b], k), 6)
+            for a, b in zip(aa, bb)
+        ]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return cands.map_batches(
-        Verify, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        verify, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -296,11 +304,16 @@ class SimHasher:
         )
 
 
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    return SimHasher()(batch)
+
+
 def simhash_dataset(ds):
-    # batch cap bounds the (tokens x 64) vote matrix per batch
+    # batch cap bounds the (tokens x 64) vote matrix per batch;
+    # stateless task (SimHasher holds no state worth an actor pool)
     return ds.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4_096, concurrency=(1, 8),
+        _simhash_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4_096,
     )
 
 

@@ -135,6 +135,21 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _default_langid() -> "LangId":
+    return LangId()
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stateless task wrapper (profiles process-cached): the heuristic's
+    init is two tiny dicts, so an actor pool's cold start would dominate
+    — the class form above remains for genuinely expensive models."""
+    return _default_langid()(batch)
+
+
 def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fingerprint``: order-sensitive polynomial rolling hash
     over whitespace-token hashes (Horner, mod 2^64; vectorized)."""

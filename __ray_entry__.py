@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
         "ngram_jaccard": p.q_ngram_jaccard,
         "media_features": p.q_media_features,  # rows-only (stubbed decode)
+        "media_decode": p.q_media_decode,    # rows-only (real BMP/WAV decode)
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)

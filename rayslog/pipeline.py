@@ -432,6 +432,24 @@ def q_media_features(sf_dir: str):
     return decode_media(ds, FakeDecoder)
 
 
+def q_media_decode(sf_dir: str):
+    """REAL multimodal decode: BMP + WAV payloads synthesized, decoded
+    and feature-extracted with stdlib-only codecs (actor pool).
+    Rows-only (binary decode has no SQL equivalent)."""
+    import ray.data as rd
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.multimodal import (
+        StdlibDecoder,
+        decode_media,
+        synthesize_real_media_table,
+    )
+
+    n = max(100, rows_for(sf_dir) // 200)
+    ds = rd.from_arrow(synthesize_real_media_table(n))
+    return decode_media(ds, StdlibDecoder)
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct counts (mergeable-sketch
     pattern: one serialized sketch per batch, tiny merge).  Rows-only."""

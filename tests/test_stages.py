@@ -285,6 +285,45 @@ def test_multimodal_plumbing(ray_session):
         RealDecoder()(tbl)
 
 
+def test_stdlib_media_decode_roundtrip(ray_session):
+    """REAL decode: BMP pixels and WAV samples synthesized, encoded,
+    decoded back — decoded dims/durations must equal the synthesis
+    metadata, and a known sine's RMS must come out right."""
+    import ray.data as rd
+
+    from rayslog.stages.multimodal import (
+        StdlibDecoder,
+        _decode_bmp,
+        _decode_wav,
+        _encode_bmp,
+        _encode_wav,
+        decode_media,
+        synthesize_real_media_table,
+    )
+
+    # byte-level roundtrips
+    px = (np.arange(5 * 7 * 3).reshape(5, 7, 3) % 256).astype(np.uint8)
+    assert (_decode_bmp(_encode_bmp(px)) == px).all()
+    t = np.arange(800) / 8_000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 12_000).astype(np.int16)
+    dec, rate = _decode_wav(_encode_wav(sine))
+    assert rate == 8_000 and (dec.astype(np.int16) == sine).all()
+
+    # pipeline: decoded metadata equals synthesized metadata
+    tbl = synthesize_real_media_table(60)
+    out = decode_media(rd.from_arrow(tbl), StdlibDecoder).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    img = out[out["kind"] == "image"]
+    assert (img["decoded_w"] == img["width"]).all()
+    assert (img["decoded_h"] == img["height"]).all()
+    aud = out[out["kind"] == "audio"]
+    assert (aud["decoded_ms"] == aud["duration_ms"]).all()
+    # sine RMS ~ 12000/32768/sqrt(2) ~= 0.259 in every segment
+    feats = np.stack(aud["features"].map(np.asarray))
+    assert np.allclose(feats.mean(), 0.259, atol=0.02)
+    assert all(len(f) == 16 for f in out["features"])
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import pyarrow.parquet as pq
 

@@ -263,12 +263,22 @@ static void set_range(int64_t* ranges, int64_t row, int field,
 #define CFG_PRI  1   /* WithPriority: no <pri> parse, cursor stays 0 */
 #define CFG_HOST 2   /* WithHostname: host token NOT consumed */
 #define CFG_TAG  4   /* WithTag (3164): tag walk skipped entirely */
+#define CFG_CUSTOM_TS 8  /* WithTimestampFormat: 3164 epoch precomputed
+                            per row by Python (unique-slice go_time_parse);
+                            ts_pre arrays carry the result */
+
+/* ts_pre_state values */
+#define PRE_FAIL 0   /* layout did not parse -> ErrTimestampUnknownFormat */
+#define PRE_OK 1
+#define PRE_NONE 2   /* Python could not pre-scan this row -> oracle */
 
 /* one row; returns nothing — writes outputs.  rlen = real byte length,
    base = offset of the row start in buf. */
 static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
                       int32_t default_year, int32_t cfg_flags,
-                      int64_t pri_override, int64_t row,
+                      int64_t pri_override, int64_t ts_fmt_len,
+                      const int64_t* ts_pre_us, const uint8_t* ts_pre_state,
+                      const int64_t* ts_pre_start, int64_t row,
                       int8_t* rfc, int32_t* pri_out, int32_t* ver_out,
                       int64_t* ts_out, uint8_t* ts_valid,
                       int16_t* tz_out, uint8_t* tz_valid,
@@ -315,27 +325,47 @@ static void parse_row(const uint8_t* data, int64_t base, int64_t rlen,
         /* parseHeader optional leading-space skip (panic parity) */
         if (cursor >= rlen) { err_out[row] = ERR_INDEX; return; }
         if (buf[cursor] == ' ') cursor++;
-        /* timestamp: two default layouts */
-        int mo=0,d=0,h=0,mi=0,s=0; int64_t us=0;
-        int parsed = 0;
-        if (cursor + 15 <= l) {
-            if (parse_3164_ts_slice(buf + cursor, 0, &mo,&d,&h,&mi,&s,&us) == 0)
-                parsed = 1;
-            else if (parse_3164_ts_slice(buf + cursor, 1, &mo,&d,&h,&mi,&s,&us) == 0)
-                parsed = 1;
+        int64_t ts;
+        if (cfg_flags & CFG_CUSTOM_TS) {
+            /* custom Go layout: Python precomputed the epoch from the
+               ts slice (unique-value go_time_parse).  Cross-check the
+               slice position Python assumed against the automaton's
+               actual cursor; disagree -> per-row oracle. */
+            if (ts_pre_state[row] == PRE_NONE
+                || ts_pre_start[row] != cursor) {
+                fallback[row] = 1;
+                return;
+            }
+            if (ts_pre_state[row] == PRE_FAIL) {
+                err_out[row] = ERR_TS_UNKNOWN;
+                return;
+            }
+            ts = ts_pre_us[row];
+            cursor += ts_fmt_len;
+            if (cursor < l && buf[cursor] == ' ') cursor++;
+        } else {
+            /* timestamp: two default layouts */
+            int mo=0,d=0,h=0,mi=0,s=0; int64_t us=0;
+            int parsed = 0;
+            if (cursor + 15 <= l) {
+                if (parse_3164_ts_slice(buf + cursor, 0, &mo,&d,&h,&mi,&s,&us) == 0)
+                    parsed = 1;
+                else if (parse_3164_ts_slice(buf + cursor, 1, &mo,&d,&h,&mi,&s,&us) == 0)
+                    parsed = 1;
+            }
+            if (!parsed) {
+                /* bug-compatible absolute cursor reset (rfc3164.go:238-248):
+                   cursor := len(last tried format) — result discarded, the
+                   row errors regardless */
+                err_out[row] = ERR_TS_UNKNOWN;
+                return;
+            }
+            ts = days_from_civil(default_year, mo, d) * US_DAY
+               + (int64_t)h * US_HOUR + (int64_t)mi * US_MIN
+               + (int64_t)s * US_SEC + us;
+            cursor += 15;
+            if (cursor < l && buf[cursor] == ' ') cursor++;
         }
-        if (!parsed) {
-            /* bug-compatible absolute cursor reset (rfc3164.go:238-248):
-               cursor := len(last tried format) — result discarded, the
-               row errors regardless */
-            err_out[row] = ERR_TS_UNKNOWN;
-            return;
-        }
-        int64_t ts = days_from_civil(default_year, mo, d) * US_DAY
-                   + (int64_t)h * US_HOUR + (int64_t)mi * US_MIN
-                   + (int64_t)s * US_SEC + us;
-        cursor += 15;
-        if (cursor < l && buf[cursor] == ' ') cursor++;
         /* hostname: up to next space or end-of-l; with WithHostname the
            token is NOT consumed (rfc3164.go:261-270) */
         int64_t hs = -1, he = -1;
@@ -632,13 +662,16 @@ void hash_strings2(const uint8_t* data, const int64_t* starts,
 void parse_batch(const uint8_t* data, const int64_t* starts,
                  const int64_t* ends, int64_t n, int32_t default_year,
                  int32_t cfg_flags, int64_t pri_override,
+                 int64_t ts_fmt_len, const int64_t* ts_pre_us,
+                 const uint8_t* ts_pre_state, const int64_t* ts_pre_start,
                  int8_t* rfc, int32_t* pri_out, int32_t* ver_out,
                  int64_t* ts_out, uint8_t* ts_valid,
                  int16_t* tz_out, uint8_t* tz_valid,
                  int64_t* ranges, int16_t* err_out, uint8_t* fallback) {
     for (int64_t r = 0; r < n; r++) {
         parse_row(data, starts[r], ends[r] - starts[r], default_year,
-                  cfg_flags, pri_override, r,
+                  cfg_flags, pri_override, ts_fmt_len,
+                  ts_pre_us, ts_pre_state, ts_pre_start, r,
                   rfc, pri_out, ver_out, ts_out, ts_valid,
                   tz_out, tz_valid, ranges, err_out, fallback);
     }
@@ -686,11 +719,13 @@ def get_lib():
     try:
         lib = ctypes.CDLL(so)
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.parse_batch.argtypes = [
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            u8p,
             i64p, i64p,
             ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, i64p, u8p, i64p,
             np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -729,7 +764,9 @@ STR_FIELDS = [
 
 
 #: cfg_flags bits (must match the C CFG_* defines)
-CFG_PRI, CFG_HOST, CFG_TAG = 1, 2, 4
+CFG_PRI, CFG_HOST, CFG_TAG, CFG_CUSTOM_TS = 1, 2, 4, 8
+#: ts_pre_state values (must match the C PRE_* defines)
+PRE_FAIL, PRE_OK, PRE_NONE = 0, 1, 2
 
 
 def config_flags(cfg) -> tuple[int, int]:
@@ -748,7 +785,10 @@ def config_flags(cfg) -> tuple[int, int]:
 
 def parse_raw(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
               default_year: int, cfg_flags: int = 0,
-              pri_override: int = 0) -> dict:
+              pri_override: int = 0, ts_fmt_len: int = 0,
+              ts_pre_us: np.ndarray | None = None,
+              ts_pre_state: np.ndarray | None = None,
+              ts_pre_start: np.ndarray | None = None) -> dict:
     """Run the C automaton; returns the raw output arrays (see keys)."""
     lib = get_lib()
     n = len(starts)
@@ -768,11 +808,21 @@ def parse_raw(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         return out
     if buf.size == 0:
         buf = np.zeros(1, dtype=np.uint8)  # valid pointer for ctypes
+    if ts_pre_us is None:
+        ts_pre_us = np.zeros(n, dtype=np.int64)
+    if ts_pre_state is None:
+        ts_pre_state = np.zeros(n, dtype=np.uint8)
+    if ts_pre_start is None:
+        ts_pre_start = np.zeros(n, dtype=np.int64)
     lib.parse_batch(
         np.ascontiguousarray(buf),
         np.ascontiguousarray(starts, dtype=np.int64),
         np.ascontiguousarray(ends, dtype=np.int64),
         n, default_year, cfg_flags, pri_override,
+        ts_fmt_len,
+        np.ascontiguousarray(ts_pre_us, dtype=np.int64),
+        np.ascontiguousarray(ts_pre_state, dtype=np.uint8),
+        np.ascontiguousarray(ts_pre_start, dtype=np.int64),
         out["rfc"], out["pri"], out["ver"], out["ts"], out["ts_valid"],
         out["tz"], out["tz_valid"], out["ranges"], out["err"],
         out["fallback"],

@@ -221,10 +221,12 @@ def _parse_text_array(text: pa.Array, cfg: ParserConfig) -> pa.Table:
             [pa.nulls(0, f.type) for f in PARSE_FIELDS],
             schema=pa.schema(PARSE_FIELDS),
         )
-    # The C automaton covers every config except a custom Go layout:
-    # WithPriority/WithHostname/WithTag are skip-flags + constant
-    # columns, WithLocation is a vectorized post-hoc wall->epoch map.
-    if cfg.timestamp_format is None and not os.environ.get("RAYSLOG_NO_CKERNEL"):
+    # The C automaton covers EVERY config: WithPriority/WithHostname/
+    # WithTag are skip-flags + constant columns, WithLocation is a
+    # vectorized post-hoc wall->epoch map, and a custom Go layout's
+    # timestamps are precomputed per UNIQUE slice (dictionary-encoded)
+    # and injected into the automaton.
+    if not os.environ.get("RAYSLOG_NO_CKERNEL"):
         from rayslog.kernels import cparse
 
         if cparse.get_lib() is not None:
@@ -599,6 +601,108 @@ def _extract_5424(
     return tbl
 
 
+def _precompute_custom_ts(
+    buf: np.ndarray, starts: np.ndarray, ends: np.ndarray, cfg: ParserConfig
+) -> dict:
+    """Per-row epooch precompute for a custom Go layout (WithTimestampFormat).
+
+    Vectorized: (1) replicate the priority scan in byte arithmetic to
+    find each row's ts-slice offset; (2) gather the fixed-length slices
+    and DICTIONARY-ENCODE them (log timestamps repeat heavily); (3) run
+    the oracle's own ``_parse_ts_3164`` once per UNIQUE slice — parity
+    by construction, including default-year substitution, zone tokens
+    and WithLocation — then scatter epochs back.  Rows whose priority
+    shape the scan can't prove canonical get PRE_NONE (per-row oracle);
+    the C automaton cross-checks the assumed offset against its own
+    cursor and demotes any disagreement to the oracle as well.
+    """
+    from rayslog.kernels import cparse
+    from rayslog.kernels.oracle import (
+        MAX_PACKET_LEN_3164,
+        _parse_ts_3164,
+        ParserError,
+    )
+
+    fmt_len = len(cfg.timestamp_format)
+    n = len(starts)
+    rlen = ends - starts
+    l = np.minimum(rlen, MAX_PACKET_LEN_3164)
+    state = np.full(n, cparse.PRE_NONE, dtype=np.uint8)
+    pre_start = np.zeros(n, dtype=np.int64)
+    pre_us = np.zeros(n, dtype=np.int64)
+
+    if cfg.priority is not None:
+        pri_end = np.zeros(n, dtype=np.int64)
+        canonical = rlen > 0
+    else:
+        # canonical '<d{1,3}>' shapes only; everything else -> oracle
+        b0 = _b(buf, starts)
+        d1 = (_b(buf, starts + 1) >= 48) & (_b(buf, starts + 1) <= 57)
+        d2 = (_b(buf, starts + 2) >= 48) & (_b(buf, starts + 2) <= 57)
+        d3 = (_b(buf, starts + 3) >= 48) & (_b(buf, starts + 3) <= 57)
+        g2 = _b(buf, starts + 2) == 62
+        g3 = _b(buf, starts + 3) == 62
+        g4 = _b(buf, starts + 4) == 62
+        canonical = (
+            (b0 == 60)
+            & d1
+            & (g2 | (d2 & (g3 | (d3 & g4))))
+            & (rlen >= 4)
+        )
+        pri_end = np.where(g2, starts + 3, np.where(g3, starts + 4, starts + 5))
+        pri_end = pri_end - starts  # row-relative
+
+    # optional leading space (parseHeader); reading at pri_end needs
+    # pri_end < rlen (else the oracle raises IndexError -> oracle row)
+    in_row = canonical & (pri_end < rlen)
+    sp = np.zeros(n, dtype=bool)
+    sp[in_row] = _b(buf, (starts + pri_end)[in_row]) == 32
+    ts0 = pri_end + sp
+    fits = in_row & (ts0 + fmt_len <= l)
+    # rows canonical but not fitting: the oracle SKIPS the layout and
+    # errors with TS_UNKNOWN -> PRE_FAIL
+    state[in_row & ~fits] = cparse.PRE_FAIL
+    pre_start[in_row] = ts0[in_row]
+
+    idx = np.nonzero(fits)[0]
+    if len(idx):
+        s_abs = (starts + ts0)[idx]
+        # fixed-width byte matrix of the ts slices (m x fmt_len; small)
+        sl = buf[
+            np.minimum(
+                s_abs[:, None] + np.arange(fmt_len, dtype=np.int64),
+                len(buf) - 1,
+            )
+        ]
+        # non-ASCII slices go to the per-row oracle (C flags the whole
+        # row anyway; avoids building invalid UTF-8 strings here)
+        ascii_ok = (sl < 0x80).all(axis=1)
+        state[idx[~ascii_ok]] = cparse.PRE_NONE
+        idx, sl = idx[ascii_ok], sl[ascii_ok]
+    if len(idx):
+        uniq, codes = np.unique(sl, axis=0, return_inverse=True)
+        u_us = np.zeros(len(uniq), dtype=np.int64)
+        u_ok = np.zeros(len(uniq), dtype=bool)
+        for i in range(len(uniq)):
+            try:
+                ts_us, _ = _parse_ts_3164(
+                    uniq[i].tobytes(), 0, fmt_len, cfg
+                )
+                u_us[i] = ts_us
+                u_ok[i] = True
+            except ParserError:
+                pass
+        pre_us[idx] = u_us[codes]
+        state[idx] = np.where(u_ok[codes], cparse.PRE_OK, cparse.PRE_FAIL)
+
+    return {
+        "ts_fmt_len": fmt_len,
+        "ts_pre_us": pre_us,
+        "ts_pre_state": state,
+        "ts_pre_start": pre_start,
+    }
+
+
 def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     """Assemble the parse table from the fused C automaton's output
     (rayslog/kernels/cparse.py): one C pass computes every fixed-width
@@ -614,8 +718,13 @@ def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
         # null rows parse as empty bytes (oracle parse_row(None) parity)
         ends = np.where(null_mask, starts, ends)
     flags, pri_ov = cparse.config_flags(cfg)
+    pre_kwargs = {}
+    if cfg.timestamp_format is not None:
+        flags |= cparse.CFG_CUSTOM_TS
+        pre_kwargs = _precompute_custom_ts(buf, starts, ends, cfg)
     raw = cparse.parse_raw(
-        buf, starts, ends, cfg.effective_year(), flags, pri_ov
+        buf, starts, ends, cfg.effective_year(), flags, pri_ov,
+        **pre_kwargs,
     )
     n = len(text)
 
@@ -626,8 +735,10 @@ def _parse_via_c(text: pa.Array, cfg: ParserConfig) -> pa.Table:
     is3164 = rfc == np.int8(oracle.RFC_3164)
 
     # WithLocation: 3164 wall-clock rows map through the zone's fold-0
-    # wall->epoch table (5424 carries explicit offsets; unaffected)
-    if cfg.location not in ("UTC", "", None):
+    # wall->epoch table (5424 carries explicit offsets; unaffected).
+    # Custom-layout epochs arrive FINAL from _precompute_custom_ts
+    # (zone/location applied per unique slice) — no second adjustment.
+    if cfg.timestamp_format is None and cfg.location not in ("UTC", "", None):
         wz = cparse.wall_zone(cfg.location, cfg.effective_year())
         adj = ok & is3164 & raw["ts_valid"].astype(bool)
         if adj.any():

@@ -156,6 +156,31 @@ OVERRIDE_CFGS = [
         default_year=2025, priority=7, hostname="x", tag="y",
         location="Europe/Berlin",
     ),
+    # custom Go layouts (precomputed-unique-slice C path)
+    ParserConfig(default_year=2025, timestamp_format="2006-01-02T15:04:05"),
+    ParserConfig(default_year=2025, timestamp_format="Jan _2 15:04:05"),
+    ParserConfig(
+        default_year=2025, timestamp_format="2006-01-02 15:04:05-07:00"
+    ),
+    ParserConfig(
+        default_year=2025, location="America/New_York",
+        timestamp_format="2006-01-02 15:04:05",
+    ),
+    ParserConfig(
+        default_year=2025, priority=9, timestamp_format="2006-01-02T15:04:05"
+    ),
+]
+
+CUSTOM_TS_TEXTS = [
+    "<30>2006-01-02T15:04:05 localhost foo: custom layout",
+    "<30>2021-06-15T10:30:00 host-1 tag[7]: body",
+    "<30>2021-06-15 10:30:00+05:30 host-1 tag: zoned",
+    "<30>2021-06-15 10:30:00 host-1 tag: wall",
+    "<30>Jun 23 13:17:42 localhost foo: default-shaped",
+    "<30>not-a-timestamp-here localhost foo: bad",
+    "<30>2021-13-40T99:99:99 h t: out of range",
+    "<34>short",
+    "2006-01-02T15:04:05 nopri host x",
 ]
 
 
@@ -170,7 +195,7 @@ def test_override_configs_stay_oracle_exact(cfg):
         "1 2003-10-11T22:14:15.003Z host app proc msgid - pri override ok",
         "1 - host app proc msgid -",
         "Oct 11 22:14:15 host tag: no pri at all",
-    ]
+    ] + CUSTOM_TS_TEXTS
     tbl = pa.table({"text": pa.array(texts, pa.string())})
     out = parse_batch(tbl, cfg)
     got = out.to_pylist()
@@ -233,16 +258,35 @@ def test_override_configs_take_c_fast_path(monkeypatch):
     assert calls and calls[0] == 0  # C ran; zero rows fell back
 
 
-def test_custom_layout_falls_back_but_stays_exact():
+def test_custom_layout_takes_c_fast_path(monkeypatch):
+    """Custom Go layouts run through the C kernel via precomputed
+    unique-slice timestamps — only non-canonical-priority rows fall
+    back to the per-row oracle."""
+    from rayslog.kernels import cparse
+
+    if cparse.get_lib() is None:
+        pytest.skip("no C toolchain")
+    calls = []
+    real = cparse.parse_raw
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(int(out["fallback"].sum()))
+        return out
+
+    monkeypatch.setattr(cparse, "parse_raw", spy)
     cfg = ParserConfig(
         default_year=2025, timestamp_format="2006-01-02T15:04:05"
     )
     texts = [
         "<30>2006-01-02T15:04:05 localhost foo: custom layout",
-        "<30>Jun 23 13:17:42 localhost foo: wrong layout now",
+        "<30>2021-06-15T10:30:00 host-1 tag[7]: body",
+        "<30>Jun 23 13:17:42 localhost foo: wrong layout -> error row",
     ]
-    tbl = pa.table({"text": pa.array(texts, pa.string())})
-    out = parse_batch(tbl, cfg).to_pylist()
+    out = parse_batch(
+        pa.table({"text": pa.array(texts, pa.string())}), cfg
+    ).to_pylist()
+    assert calls and calls[0] == 0  # all three rows stayed in C
     for i, t in enumerate(texts):
         expect = oracle.parse_row(t, cfg)
         assert out[i]["parse_error"] == expect["parse_error"]

@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups_lsh": p.q_cosine_dups_lsh,  # rows-only (approximate)
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
+        "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
         "price_bands": p.q_price_bands,
         "value_quantiles": p.q_value_quantiles,
         "events_tumbling": p.q_events_tumbling,

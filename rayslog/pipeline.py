@@ -517,6 +517,16 @@ def q_asof_attribution(sf_dir: str):
     )
 
 
+def q_asof_attribution_partitioned(sf_dir: str):
+    """Two-phase time-partitioned as-of join (pathological-key scale
+    path); must equal plain asof_attribution — same SQL oracle."""
+    from rayslog.stages.events import asof_attribution_partitioned
+
+    return asof_attribution_partitioned(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    )
+
+
 def q_price_bands(sf_dir: str):
     """Range join: parts bucketed into retail-price bands (broadcast
     interval side), then per-band count + exact-cents price sum."""

@@ -377,9 +377,10 @@ FROM r JOIN customer c USING (c_custkey)
 ORDER BY revenue DESC, c_custkey LIMIT 10
 """,
     }
-    # the time-partitioned sessionize is EQUIVALENT to plain sessionize
-    # (two-phase chunk + stitch); same oracle
+    # the time-partitioned sessionize/as-of are EQUIVALENT to their
+    # plain per-key forms (two-phase chunk + stitch); same oracles
     q["events_sessionize_partitioned"] = q["events_sessionize"]
+    q["asof_attribution_partitioned"] = q["asof_attribution"]
     return q
 
 

@@ -131,7 +131,7 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
         ts = t.column("ts")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        epoch = ts.cast(pa.int64())
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
         return t.append_column(
             "chunk", pc.divide(epoch, chunk_us).cast(pa.int64())
         )
@@ -236,6 +236,172 @@ def sliding_counts(ds, window_sec: int = 600, slide_sec: int = 300):
     )
     return partial.groupby(["event_type", "window_start"]).aggregate(
         Sum("n", alias_name="n_events")
+    )
+
+
+def asof_attribution_partitioned(
+    ds, target: str = "purchase", source: str = "view",
+    chunk_sec: int = 86_400,
+):
+    """As-of join for PATHOLOGICAL keys: two-phase time-range partition.
+
+    Phase 1 groups by (user_id, time-chunk) and computes the LOCAL
+    as-of match per target plus one summary row per chunk (the chunk's
+    last source ts).  Phase 2 computes each chunk's CARRY-IN (the max
+    source ts over all earlier chunks — a tiny per-user prefix scan
+    over chunk summaries), which is then joined back to the per-target
+    rows by (user_id, chunk) and used to fill targets whose nearest
+    source lives in an earlier chunk.  Exactly equivalent to
+    ``asof_attribution`` (the carry-in IS the best earlier-chunk
+    candidate; the local match wins whenever it exists because it is
+    >= any earlier source).  Partitioning assumption: one user's CHUNK
+    SUMMARIES fit in a group (#chunks << #events).
+    """
+    filtered = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t.column("event_type"), value_set=pa.array([target, source])
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    chunk_us = chunk_sec * US
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        return t.append_column(
+            "chunk", pc.divide(epoch, chunk_us).cast(pa.int64())
+        )
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tgt = g[g["event_type"] == target]
+        src = g[g["event_type"] == source][["ts"]].rename(
+            columns={"ts": "last_source_ts"}
+        )
+        chunk = int(g["chunk"].iloc[0])
+        user = g["user_id"].iloc[0]
+        rows: list[pd.DataFrame] = []
+        if not tgt.empty:
+            local = pd.merge_asof(
+                tgt[["event_id", "user_id", "ts"]].reset_index(drop=True),
+                src.reset_index(drop=True),
+                left_on="ts",
+                right_on="last_source_ts",
+                direction="backward",
+            )
+            local["chunk"] = chunk
+            local["is_summary"] = False
+            rows.append(local)
+        # one summary row per chunk: the chunk's max source ts (NaT if
+        # the chunk has no sources)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "event_id": [-1],
+                    "user_id": [user],
+                    "ts": [pd.NaT],
+                    "last_source_ts": [
+                        src["last_source_ts"].max() if len(src) else pd.NaT
+                    ],
+                    "chunk": [chunk],
+                    "is_summary": [True],
+                }
+            )
+        )
+        out = pd.concat(rows, ignore_index=True)
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        out["last_source_ts"] = out["last_source_ts"].astype("datetime64[us]")
+        return out
+
+    both = (
+        filtered.select_columns(["event_id", "user_id", "event_type", "ts"])
+        .map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "chunk"])
+        .map_groups(per_chunk, batch_format="pandas")
+    )
+
+    # composite (user, chunk) join key — chunk occupies the low 21 bits
+    # (covers ~60 years of day chunks); documented range assumption
+    def add_uc(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "uc_key", pa.array((u << 21) | (c & 0x1FFFFF))
+        )
+
+    def only(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t.column("is_summary")
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            return t.filter(m if flag else pc.invert(m))
+
+        return fn
+
+    # carry-in per (user, chunk) computed from the SMALL summary rows
+    # only (one row per user-chunk, never per event)
+    def carry_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk").reset_index(drop=True)
+        # cummax leaves NaT at source-less chunks; ffill propagates the
+        # running max across them before the shift
+        carry = g["last_source_ts"].cummax().ffill().shift(1)
+        u = g["user_id"].to_numpy().astype(np.int64)
+        c = g["chunk"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "uc_key": (u << 21) | (c & 0x1FFFFF),
+                "carry_ts": carry.astype("datetime64[us]"),
+            }
+        )
+
+    carry = (
+        both.map_batches(only(True), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(carry_rows, batch_format="pandas")
+        # pandas blocks -> Arrow (hash_join reads Arrow schemas)
+        .map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    targets = both.map_batches(
+        only(False), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(add_uc, batch_format="pyarrow", zero_copy_batch=True)
+
+    from rayslog.stages.relational import hash_join
+
+    joined = hash_join(
+        targets.select_columns(
+            ["event_id", "user_id", "ts", "last_source_ts", "uc_key"]
+        ),
+        carry,
+        key="uc_key",
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # all-NaT pandas columns arrive as null type; pin the types (the
+        # bucket merge also upcasts ints to float when a bucket is empty)
+        local = t.column("last_source_ts").cast(pa.timestamp("us"))
+        carried = t.column("carry_ts").cast(pa.timestamp("us"))
+        # the local match wins when present (it is >= any earlier source)
+        filled = pc.coalesce(local, carried)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts").cast(pa.timestamp("us")),
+                "last_source_ts": filled,
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

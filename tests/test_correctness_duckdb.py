@@ -50,6 +50,7 @@ QUERY_NAMES = [
     "cosine_dups",
     "events_filtered",
     "asof_attribution",
+    "asof_attribution_partitioned",
     "price_bands",
     "value_quantiles",
     "events_tumbling",

@@ -231,6 +231,58 @@ def test_sessionize_partitioned_equals_plain(ray_session):
     pd.testing.assert_frame_equal(plain, part, check_dtype=False)
 
 
+def test_asof_partitioned_equals_plain(ray_session):
+    """Two-phase chunked as-of == plain as-of, including targets whose
+    nearest source lives several (possibly empty) chunks earlier."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.events import asof_attribution, asof_attribution_partitioned
+
+    rng = np.random.default_rng(33)
+    base = 1_700_000_000_000_000
+    CH = 3_600  # 1h chunks
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + user * 313_000_000
+        for _ in range(rng.integers(40, 120)):
+            step = int(rng.choice([10, 120, 1_700, 3_500, 3_700, 9_000]))
+            t += step * 1_000_000
+            kind = "purchase" if rng.random() < 0.3 else "view"
+            rows.append(
+                {"event_id": eid, "user_id": user, "event_type": kind,
+                 "ts": t}
+            )
+            eid += 1
+        # a purchase far after the last view (crosses many empty chunks)
+        rows.append(
+            {"event_id": eid, "user_id": user, "event_type": "purchase",
+             "ts": t + 40 * 3_600 * 1_000_000}
+        )
+        eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    ds = rd.from_pandas(df).repartition(4)
+
+    def norm(x):
+        out = (
+            x.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[
+                ["event_id", "user_id", "ts", "last_source_ts"]
+            ]
+        )
+        out["event_id"] = out["event_id"].astype("int64")
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        out["last_source_ts"] = out["last_source_ts"].astype("datetime64[us]")
+        return out
+
+    plain = norm(asof_attribution(ds))
+    part = norm(asof_attribution_partitioned(ds, chunk_sec=CH))
+    pd.testing.assert_frame_equal(plain, part, check_dtype=False)
+
+
 def test_cosine_lsh_subset_of_exact_and_finds_planted(ray_session):
     """LSH-bucketed cosine pairs emit TRUE scores and form a subset of
     the exact operator's result; a strongly-similar planted pair is

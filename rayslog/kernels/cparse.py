@@ -630,6 +630,19 @@ void hash_strings(const uint8_t* data, const int64_t* starts,
         out[r] = hw_one(data + starts[r], ends[r] - starts[r], init);
 }
 
+/* ragged gather: copy per-row byte ranges into a packed buffer whose
+   row offsets the caller precomputed (one memcpy pass; replaces the
+   numpy flat-index machinery, which allocated 8 bytes of index per
+   payload byte). */
+void gather_ranges(const uint8_t* data, const int64_t* starts,
+                   const int64_t* ends, int64_t n,
+                   const int64_t* out_offs, uint8_t* out) {
+    for (int64_t r = 0; r < n; r++) {
+        int64_t len = ends[r] - starts[r];
+        if (len > 0) memcpy(out + out_offs[r], data + starts[r], len);
+    }
+}
+
 /* both seeds in one memory pass (the exact-dedup 128-bit key) */
 void hash_strings2(const uint8_t* data, const int64_t* starts,
                    const int64_t* ends, int64_t n,
@@ -750,6 +763,12 @@ def get_lib():
             ctypes.c_uint64, ctypes.c_uint64, u64p, u64p,
         ]
         lib.hash_strings2.restype = None
+        lib.gather_ranges.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64p, i64p, ctypes.c_int64, i64p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        lib.gather_ranges.restype = None
         _LIB = lib
     except Exception:
         _LIB = None

@@ -168,12 +168,33 @@ def _gather_strings(
             n,
             [vbuf, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(b"")],
         ).cast(pa.string())
-    idx = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(out_offs[:-1], lens)
-        + np.repeat(starts, lens)
+    from rayslog.kernels import cparse
+
+    lib = (
+        cparse.get_lib()
+        if not os.environ.get("RAYSLOG_NO_CKERNEL")
+        else None
     )
-    data = buf[idx]
+    if lib is not None:
+        # one C memcpy pass — no flat index arrays (8B of index per
+        # payload byte), no fancy-indexing temporaries
+        ends_eff = starts + lens
+        data = np.empty(total, dtype=np.uint8)
+        lib.gather_ranges(
+            np.ascontiguousarray(buf),
+            np.ascontiguousarray(starts, dtype=np.int64),
+            np.ascontiguousarray(ends_eff, dtype=np.int64),
+            n,
+            np.ascontiguousarray(out_offs[:-1]),
+            data,
+        )
+    else:
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_offs[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        data = buf[idx]
     return pa.Array.from_buffers(
         pa.large_string(),
         n,

@@ -168,11 +168,12 @@ def _run_bench() -> dict:
 def _run_scaling() -> None:
     """Same job, same input, two parallelism levels in fresh processes.
 
-    Uses a large generated table (default 38.4M turns) so wall times are
-    long enough that the fixed ~0.6s of per-job driver/scheduling
-    overhead doesn't mask the scaling signal — at 5M turns/s the 32-CPU
-    leg finishes 9.6M rows in under 2s, where that overhead alone costs
-    ~0.3 of measured efficiency.
+    Uses a large generated table (default 76.8M turns) so wall times are
+    long enough that fixed per-job driver/scheduling overhead doesn't
+    mask the scaling signal: with the round-2 C kernel the 16-CPU leg
+    runs ~9.6M turns/s, so a 38.4M-row table finished in ~4s and its
+    ramp/tail alone cost ~0.03-0.05 of measured efficiency (0.79 at
+    sf6.4 vs 0.82 at sf12.8 on the same build).
     """
     # Default pair 4 -> 16: on this 32-vCPU single box the 32-CPU level
     # has zero headroom for the driver/raylet (which on a real N-node
@@ -183,7 +184,7 @@ def _run_scaling() -> None:
     lo_cpus, hi_cpus = (
         int(x) for x in os.environ.get("RAYSLOG_SCALING_CPUS", "4,16").split(",")
     )
-    scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf6.4")
+    scaling_sf = os.environ.get("RAYSLOG_SCALING_SF", "sf12.8")
 
     def run(ncpu: int) -> dict:
         env = dict(

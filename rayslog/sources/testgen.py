@@ -193,28 +193,39 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
 
     import pyarrow.compute as pc
 
+    # assembly runs in large_string: 32-bit utf8 offsets overflow past
+    # ~2 GB of total text (76.8M-row scaling tables); small tables cast
+    # back to string at the end
     L = len(WORDS)
     body_table = np.empty((L, 9), dtype=object)
     for w in range(L):
         for k in range(2, 9):
             body_table[w, k] = " ".join(WORDS[(w + j) % L] for j in range(k))
-    body = pa.array(body_table[w1, nwords], pa.string())
+    body_flat = pa.array(
+        [body_table[w, k] or "" for w in range(L) for k in range(9)],
+        pa.large_string(),
+    )
+    body = pc.take(body_flat, pa.array(w1 * 9 + nwords))
 
     def s_(x):
-        return pc.cast(pa.array(x), pa.string())
+        return pc.cast(pa.array(x), pa.large_string())
 
     def pad(x, width, ch="0"):
         return pc.utf8_lpad(s_(x), width, ch)
 
     def J(*a):
-        return pc.binary_join_element_wise(*a, "")
+        return pc.binary_join_element_wise(
+            *a, pa.scalar("", pa.large_string())
+        )
 
     def const(c):
-        return pa.array([c] * n_rows, pa.string())
+        # scalars broadcast through Arrow kernels — never materialize
+        # n_rows copies of a literal
+        return pa.scalar(c, pa.large_string())
 
-    months_a = pa.array(np.array(MONTHS)[mon], pa.string())
-    hosts_a = pa.array(np.array(HOSTS)[host_i], pa.string())
-    apps_a = pa.array(np.array(APPS)[app_i], pa.string())
+    months_a = pc.take(pa.array(MONTHS, pa.large_string()), pa.array(mon))
+    hosts_a = pc.take(pa.array(HOSTS, pa.large_string()), pa.array(host_i))
+    apps_a = pc.take(pa.array(APPS, pa.large_string()), pa.array(app_i))
     pri_s, pid_s = s_(pri), s_(pid)
     odd = pa.array((np.arange(n_rows) & 1).astype(bool))
     dayf = pc.if_else(odd, pad(day, 2, " "), pad(day, 2))
@@ -238,8 +249,10 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
         pc.if_else(pc.equal(fk, 2), J(const("."), pad(pid % 1000000, 6)),
                    const("")),
     )
-    offs = pa.array(np.array(["Z", "Z", "+02:00", "-07:00"])[off_kind],
-                    pa.string())
+    offs = pc.take(
+        pa.array(["Z", "Z", "+02:00", "-07:00"], pa.large_string()),
+        pa.array(off_kind),
+    )
     nk = pa.array(nil_kind)
     tsf = pc.if_else(pc.equal(nk, 0), const("-"), J(tsf, frac, offs))
     hostp = pc.if_else(pc.equal(nk, 1), const("-"), hosts_a)
@@ -247,7 +260,7 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
     procp = pc.if_else(pc.equal(nk, 3), const("-"), pid_s)
     msgidp = pc.if_else(pc.equal(nk, 4), const("-"),
                         J(const("ID"), s_(pid % 100)))
-    w2words = pa.array(np.array(WORDS)[w2], pa.string())
+    w2words = pc.take(pa.array(WORDS, pa.large_string()), pa.array(w2))
     sd = pc.if_else(
         pc.equal(pa.array(sd_kind), 0),
         J(const("[meta@"), s_(pid % 100), const(' k="'), w2words,
@@ -259,24 +272,28 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
               const(" "), sd)
     line5 = pc.if_else(pc.equal(nk, 5), line5, J(line5, const(" "), body))
 
-    catalog_a = pa.array(
-        np.array([t for t, _ in EDGE_CATALOG], dtype=object)[edge_pick],
-        pa.string(),
+    catalog_a = pc.take(
+        pa.array([t for t, _ in EDGE_CATALOG], pa.large_string()),
+        pa.array(edge_pick),
     )
     sh = pa.array(shape)
     texts_arr = pc.if_else(
         pc.less(sh, 0.45), t3164,
         pc.if_else(pc.less(sh, 0.90), line5, catalog_a),
     )
+    if n_rows < 20_000_000:  # fits 32-bit offsets comfortably
+        texts_arr = texts_arr.cast(pa.string())
 
-    conv_ids = np.array([f"conv-{c:06d}" for c in range(n_convs)])
+    conv_ids = pa.array(
+        [f"conv-{c:06d}" for c in range(n_convs)], pa.string()
+    )
     return pa.table(
         {
-            "conv_id": pa.array(conv_ids[conv], pa.string()),
+            "conv_id": pc.take(conv_ids, pa.array(conv)),
             "turn_idx": pa.array(turn_idx.astype(np.int32), pa.int32()),
-            "role": pa.array(np.array(ROLES)[role], pa.string()),
+            "role": pc.take(pa.array(ROLES, pa.string()), pa.array(role)),
             "text": texts_arr,
-            "tool": pa.array(np.array(TOOLS)[tool], pa.string()),
+            "tool": pc.take(pa.array(TOOLS, pa.string()), pa.array(tool)),
             "ts": pa.array(ts_us, pa.timestamp("us")),
         }
     )

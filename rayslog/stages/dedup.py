@@ -157,8 +157,12 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 
 def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
-                       bucket_parts: int = 64):
+                       bucket_parts: int = 64, dedupe: bool = True):
     """(doc_a, doc_b) candidate pairs from LSH band buckets.
+
+    ``dedupe=False`` skips the cross-band pair-dedupe shuffle and
+    returns raw per-band pairs (each true pair appears <= bands times);
+    callers that collect candidates anyway dedupe for free.
 
     Grouping by the raw (band, band_hash) key would make one map_groups
     call per BUCKET — almost all singletons, each paying ~0.4ms of
@@ -228,6 +232,8 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
     pairs = banded.groupby(["band", "bpart"]).map_groups(
         part_pairs, batch_format="pandas"
     )
+    if not dedupe:
+        return pairs
     # dedupe pairs found in multiple bands
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("doc_a", alias_name="_a")
@@ -245,27 +251,47 @@ def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text")
             [id_col, text_col]
         )
 
-    small = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    return {r[id_col]: r[text_col] for r in small.take_all()}
+    small = ds.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # columnar collection; take_all pays ~1ms/row here
+    return dict(zip(small[id_col], small[text_col]))
 
 
 def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
                       rows_per_band: int = 4, k: int = 3):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
-    Two-pass verify (no corpus materialization): (1) candidate pairs
-    are computed and their doc_ids collected — a tiny set by LSH
-    construction; (2) only those ids' texts are fetched with a filter
-    pushdown and broadcast once via ``ray.put``.  Returns a Dataset of
+    Two-pass verify (no corpus materialization): (1) raw per-band pairs
+    are collected and deduped on the driver (tiny by LSH construction,
+    and the collection already implies they fit — skipping the
+    cross-band dedupe SHUFFLE saves one of the three all-to-alls);
+    (2) only candidate ids' texts are fetched with a filter pushdown
+    and broadcast once via ``ray.put``.  Returns a Dataset of
     (doc_a, doc_b, jaccard).
     """
     import ray
+    import ray.data as rd
 
-    cands = minhash_candidates(ds, bands, rows_per_band).materialize()
-    cand_rows = cands.take_all()
-    cand_ids = {r["doc_a"] for r in cand_rows} | {r["doc_b"] for r in cand_rows}
+    # to_pandas, NOT take_all: row-wise collection pays ~1ms/row on
+    # this host (per-row dict churn); the columnar pull is instant
+    raw = minhash_candidates(
+        ds, bands, rows_per_band, dedupe=False
+    ).to_pandas()
+    dedup_df = raw.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"]
+    )
+    pairs = list(zip(dedup_df["doc_a"], dedup_df["doc_b"]))
+    cand_ids = set(dedup_df["doc_a"]) | set(dedup_df["doc_b"])
     texts = fetch_texts_for_ids(ds, cand_ids) if cand_ids else {}
     texts_ref = ray.put(texts)
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         texts = ray.get(texts_ref)  # zero-copy plasma read, tiny dict
@@ -426,9 +452,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, k: int = 3,
         capped = base.sort("doc_id").limit(max_docs)
     else:
         capped = base
-    rows = capped.take_all()  # <= max_docs rows by construction
+    rows = capped.to_pandas()  # <= max_docs rows by construction
     shingles = {
-        int(r["doc_id"]): _shingle_hashes(r["text"] or "", k) for r in rows
+        int(i): _shingle_hashes(t or "", k)
+        for i, t in zip(rows["doc_id"], rows["text"])
     }
     ref = ray.put(shingles)
 

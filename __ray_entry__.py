@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": p.q_lang_id,
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash": p.q_dedup_minhash,
+        "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
         "ngram_jaccard": p.q_ngram_jaccard,
         "media_features": p.q_media_features,  # rows-only (stubbed decode)

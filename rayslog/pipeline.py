@@ -226,6 +226,15 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_near_dups(ds, threshold=0.5)
 
 
+def q_dedup_minhash_keep(sf_dir: str):
+    """One-pass LSH survivor selection (near-dup dedup without pair
+    enumeration — the template-heavy-corpus scale shape); rows-only."""
+    from rayslog.stages.dedup import minhash_dedup_survivors
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_survivors(ds)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3); rows-only."""
     from rayslog.stages.dedup import simhash_near_dups

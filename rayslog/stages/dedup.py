@@ -157,12 +157,21 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 
 def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
-                       bucket_parts: int = 64, dedupe: bool = True):
+                       bucket_parts: int = 64, dedupe: bool = True,
+                       max_bucket: int = 256):
     """(doc_a, doc_b) candidate pairs from LSH band buckets.
 
     ``dedupe=False`` skips the cross-band pair-dedupe shuffle and
     returns raw per-band pairs (each true pair appears <= bands times);
     callers that collect candidates anyway dedupe for free.
+
+    ``max_bucket`` is the standard LSH stop-bucket cap: a bucket with
+    more than this many docs would expand to O(m^2) pairs — on
+    template-heavy corpora (near-identical log lines) that is quadratic
+    blowup, and such groups are better handled by EXACT dedup first
+    (identical texts have identical signatures, so they all land in one
+    bucket).  Oversized buckets are skipped and counted; compose
+    ``dedup_exact`` before this operator for templated data.
 
     Grouping by the raw (band, band_hash) key would make one map_groups
     call per BUCKET — almost all singletons, each paying ~0.4ms of
@@ -212,7 +221,7 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
         for r in np.nonzero(counts > 1)[0]:  # multi-doc buckets are rare
             s = run_starts[r]
             u = np.unique(ids[s : s + counts[r]])
-            if len(u) < 2:
+            if len(u) < 2 or len(u) > max_bucket:  # stop-bucket cap
                 continue
             a, b = np.triu_indices(len(u), k=1)
             out_a.append(u[a])
@@ -240,6 +249,101 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
     ).drop_columns(["_a"])
 
 
+def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
+                            bucket_parts: int = 64):
+    """Near-dup DEDUP (survivor selection) — the scale shape for
+    template-heavy corpora where pair ENUMERATION explodes (measured:
+    180k short log lines -> 4.6M near-dup pairs; 1M -> O(10^8)).
+
+    One-pass LSH dedup: a doc survives iff it is the MINIMUM doc_id in
+    EVERY band bucket it occupies; every dropped doc shares a bucket
+    (jaccard-similar w.h.p.) with a smaller surviving-or-dropped doc.
+    Everything stays linear: bands x 8-byte rows per doc, two
+    groupbys, no pair materialization.  (Not a transitive closure —
+    the standard single-pass approximation used for corpus dedup.)
+    Returns the surviving doc_ids.
+    """
+    import pandas as pd
+
+    sigs = ds.map_batches(
+        _minhash_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2_048,
+    )
+
+    def banded_with_part(t: pa.Table) -> pa.Table:
+        b = _band_rows(t, bands, rows_per_band)
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        part = (bh % np.uint64(bucket_parts)).astype(np.int32)
+        return b.append_column("bpart", pa.array(part))
+
+    banded = sigs.map_batches(
+        banded_with_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_mins(g: pd.DataFrame) -> pd.DataFrame:
+        bh = g["band_hash"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        new = np.r_[True, bh[1:] != bh[:-1]]
+        run_id = np.cumsum(new) - 1
+        # per-bucket min id broadcast to every row of the bucket
+        mins = np.minimum.reduceat(ids, np.nonzero(new)[0])
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype("int64"),
+                "bucket_min": mins[run_id].astype("int64"),
+            }
+        )
+
+    per_bucket = banded.groupby(["band", "bpart"]).map_groups(
+        bucket_mins, batch_format="pandas"
+    )
+
+    # per-doc min over bucket_mins.  NOT groupby(doc_id).aggregate(Min):
+    # Ray's sort-aggregate at ~10^6 groups is pathological (measured:
+    # >9 min for 32M rows / 1M keys, where the same-shape map_groups
+    # with salted parts takes ~2s) — so reduce inside bounded
+    # (doc_id % parts) groups with a vectorized reduceat.
+    def add_dpart(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dpart", pa.array((d % 1024).astype(np.int32))
+        )
+
+    def part_parents(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        bm = g["bucket_min"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, bm = ids[order], bm[order]
+        new = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.nonzero(new)[0]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[starts].astype("int64"),
+                "parent": np.minimum.reduceat(bm, starts).astype("int64"),
+            }
+        )
+
+    parents = (
+        per_bucket.map_batches(
+            add_dpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dpart")
+        .map_groups(part_parents, batch_format="pandas")
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("parent"), t.column("doc_id"))
+        return t.filter(keep).select(["doc_id"])
+
+    return parents.map_batches(
+        survivors, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text"):
     """doc_id -> text for a SMALL id set, via a pushed-down ``is_in``
     filter over the streaming dataset — the corpus itself is never
@@ -258,7 +362,8 @@ def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text")
 
 
 def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
-                      rows_per_band: int = 4, k: int = 3):
+                      rows_per_band: int = 4, k: int = 3,
+                      max_bucket: int = 256):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     Two-pass verify (no corpus materialization): (1) raw per-band pairs
@@ -275,7 +380,7 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     # to_pandas, NOT take_all: row-wise collection pays ~1ms/row on
     # this host (per-row dict churn); the columnar pull is instant
     raw = minhash_candidates(
-        ds, bands, rows_per_band, dedupe=False
+        ds, bands, rows_per_band, dedupe=False, max_bucket=max_bucket
     ).to_pandas()
     dedup_df = raw.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"]

@@ -41,7 +41,8 @@ def test_queries_and_oracles_line_up():
     assert set(o) <= set(q), set(o) - set(q)
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "doc_fingerprint", "dedup_simhash", "ann_ivf", "cosine_dups_lsh",
+        "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
+        "ann_ivf", "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 36 and len(o) == 29
+    assert len(q) == 37 and len(o) == 29

@@ -92,6 +92,31 @@ def test_ngram_jaccard_cap_pushed_into_plan(docs_with_dups):
     assert pairs.doc_a.max() <= 9 and pairs.doc_b.max() <= 9
 
 
+def test_minhash_survivor_dedup(docs_with_dups):
+    """One-pass LSH survivor selection: planted exact/near dups
+    collapse onto their smaller-id originals; dissimilar docs survive;
+    and survivors + dropped partitions the corpus consistently with the
+    pair-based operator's candidate structure."""
+    from rayslog.stages.dedup import minhash_dedup_survivors, minhash_near_dups
+
+    surv = set(minhash_dedup_survivors(docs_with_dups).to_pandas()["doc_id"])
+    # near-dups of docs 0/1/2 and the exact dup of 3 are dropped
+    for d in (100, 101, 102, 200):
+        assert d not in surv, d
+    for d in (0, 1, 2, 3):
+        assert d in surv, d
+    # consistency: every dropped doc shares a verified near-dup pair
+    # with some smaller doc (on this corpus pairs == exact >=0.5 set)
+    pairs = minhash_near_dups(docs_with_dups, threshold=0.5).to_pandas()
+    paired = {}
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        paired.setdefault(b, set()).add(a)
+        paired.setdefault(a, set()).add(b)
+    all_ids = set(docs_with_dups.to_pandas()["doc_id"])
+    for d in all_ids - surv:
+        assert any(x < d for x in paired.get(d, ())), d
+
+
 def test_simhash_finds_exact_dup_pair(docs_with_dups):
     from rayslog.stages.dedup import simhash_near_dups
 

@@ -342,9 +342,13 @@ def go_time_parse(layout: str, value: str) -> "GoTime":
                 value = value[1 + ndig:]
             else:
                 # trailing-9s fraction: entirely optional; when present,
-                # consumes up to 9 digits regardless of token length (Go)
+                # Go consumes ALL digits but keeps only the first 9 for
+                # ns (time.Parse stdFracSecond9 -> parseNanoseconds
+                # truncation) — 10+ digit fractions must not error
                 if len(value) >= 2 and value[0] in ".," and value[1].isdigit():
                     t.us, value = _parse_frac(value)
+                    while value[:1].isdigit() and value[:1].isascii():
+                        value = value[1:]
             li += k
         elif c == "-" and any(rest.startswith(tok) for tok, _ in _ZONE_TOKENS):
             tok, (colons, parts) = next(

@@ -244,16 +244,21 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 8):
+    """Load the n query vectors ONLY — the predicate is pushed into the
+    parquet read (row-group pruning + decode filter), so at 100 TB this
+    reads n rows, not the corpus."""
     import pyarrow.parquet as pq
     import numpy as np
 
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
     )
     ids = t.column("vec_id").to_numpy()
-    keep = ids < n
-    mat = np.stack(t.column("embedding").to_pylist())[keep].astype(np.float64)
-    return mat, ids[keep]
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    return mat[order], ids[order]
 
 
 def q_ann_topk(sf_dir: str):
@@ -404,7 +409,9 @@ def q_host_traffic(sf_dir: str):
     """Top-20 hostnames by parsed-turn count (distinct + global sort +
     limit; ties broken by hostname for determinism)."""
     ds = parsed_only(parsed_dataset(sf_dir))
-    counts = counts_by(ds, ["hostname"], alias="n_turns", final="driver")
+    # hostname cardinality is fleet-sized in reality: shuffle-final, not
+    # driver-final (driver pull would be O(hosts x blocks) rows).
+    counts = counts_by(ds, ["hostname"], alias="n_turns", final="shuffle")
     return counts.sort(["n_turns", "hostname"], descending=[True, False]).limit(20)
 
 

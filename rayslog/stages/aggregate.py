@@ -45,6 +45,15 @@ def counts_by(
       all-to-all shuffle costs ~1s of pure machinery to combine a few
       hundred rows; the driver reduce is the same plan every engine
       uses for final aggregation of tiny results.
+
+    Cardinality rule: ``"driver"`` is ONLY safe when the key domain is
+    bounded by construction — severity (8), rfc (3), hour-of-day (24),
+    error class (~10), facility (24).  Keys whose cardinality grows
+    with the fleet or the corpus (hostname, conv_id, doc_id, app_name)
+    MUST use ``"shuffle"``: the driver pull is O(distinct x blocks)
+    rows and becomes the scale bottleneck.  In this repo only
+    severity_counts / route_sinks / hourly_traffic / parse_errors use
+    the driver final.
     """
     partial = ds.map_batches(
         _partial_counts(keys, "n"),

@@ -27,6 +27,8 @@ DuckDB oracle (float64 list_cosine_similarity) agrees bit-for-bit.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -237,18 +239,27 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
             "bucket", pa.array(bucket.astype(np.int64))
         )
 
-    out = Path(index_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    # Atomic commit: build into a tmp sibling, then rename into place
+    # (same discipline as checkpoint.py) — a crashed build can never
+    # leave partial bucket=K/ files that a later build would append to.
+    final = Path(index_dir)
+    tmp = final.with_name(final.name + f".build.{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True,
-    ).write_parquet(str(out), partition_cols=["bucket"])
-    np.save(out / "_centroids.npy", cents)
-    (out / "_ivf_meta.json").write_text(
+    ).write_parquet(str(tmp), partition_cols=["bucket"])
+    np.save(tmp / "_centroids.npy", cents)
+    (tmp / "_ivf_meta.json").write_text(
         json.dumps(
             {"n_centroids": int(len(cents)), "dim": int(cents.shape[1])}
         )
     )
-    return IvfIndex(str(out))
+    if final.exists():  # stale partial from a crashed build
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return IvfIndex(str(final))
 
 
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,

@@ -24,6 +24,30 @@ from rayslog.stages.aggregate import counts_by
 
 US = 1_000_000
 
+# composite (user_id, chunk) join key layout: chunk in the low 21 bits
+# (2^21 day-chunks ~ 5,700 years), user_id in the upper 42.  Out-of-range
+# inputs MUST raise — a silent wrap would alias two different users'
+# chunks onto one key and corrupt the carry-in join.
+_UC_CHUNK_BITS = 21
+_UC_CHUNK_MAX = (1 << _UC_CHUNK_BITS) - 1
+_UC_USER_MAX = (1 << (63 - _UC_CHUNK_BITS)) - 1
+
+
+def _uc_key(u: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Pack (user_id, chunk) into one int64 key, validating ranges."""
+    if len(u):
+        if u.min() < 0 or u.max() > _UC_USER_MAX:
+            raise ValueError(
+                f"user_id out of uc_key range [0, {_UC_USER_MAX}]: "
+                f"min={u.min()} max={u.max()}"
+            )
+        if c.min() < 0 or c.max() > _UC_CHUNK_MAX:
+            raise ValueError(
+                f"chunk out of uc_key range [0, {_UC_CHUNK_MAX}]: "
+                f"min={c.min()} max={c.max()}"
+            )
+    return (u << _UC_CHUNK_BITS) | c
+
 
 def tumbling_counts(ds, window_sec: int = 300):
     """Per-(event_type, window_start) count + value sum.
@@ -326,14 +350,11 @@ def asof_attribution_partitioned(
         .map_groups(per_chunk, batch_format="pandas")
     )
 
-    # composite (user, chunk) join key — chunk occupies the low 21 bits
-    # (covers ~60 years of day chunks); documented range assumption
+    # composite (user, chunk) join key via _uc_key (range-guarded pack)
     def add_uc(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column(
-            "uc_key", pa.array((u << 21) | (c & 0x1FFFFF))
-        )
+        return t.append_column("uc_key", pa.array(_uc_key(u, c)))
 
     def only(flag: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -355,7 +376,7 @@ def asof_attribution_partitioned(
         c = g["chunk"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
-                "uc_key": (u << 21) | (c & 0x1FFFFF),
+                "uc_key": _uc_key(u, c),
                 "carry_ts": carry.astype("datetime64[us]"),
             }
         )

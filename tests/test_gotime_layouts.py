@@ -82,6 +82,21 @@ def test_trailing_nines_fraction_optional():
     assert t.off_sec == 3600
 
 
+def test_trailing_nines_fraction_ten_plus_digits():
+    # Go consumes ALL fraction digits and keeps the first 9 for ns
+    # (parseNanoseconds truncation) — 10+ digits must not error
+    t = go_time_parse("15:04:05.9", "22:14:15.1234567891234")
+    assert t.us == 123_456
+    t = go_time_parse(
+        "2006-01-02T15:04:05.999999999Z07:00",
+        "2021-03-04T05:06:07.12345678901+01:00",
+    )
+    assert t.us == 123_456 and t.off_sec == 3600
+    # a non-digit right after the consumed run still parses normally
+    t = go_time_parse("15:04:05.9 MST", "22:14:15.9999999999 UTC")
+    assert t.us == 999_999
+
+
 def test_implicit_fraction_after_seconds():
     # Go accepts a value-side fraction even when the layout has none
     t = go_time_parse("15:04:05", "22:14:15.5")

@@ -501,3 +501,62 @@ def test_hll_accuracy(ray_session):
     ds = rd.from_items([{"k": f"key-{i % 3171}"} for i in range(20_000)])
     est = approx_distinct(ds, "k", p=12)
     assert abs(est - 3171) / 3171 < 0.05, est
+
+
+def test_uc_key_range_guard():
+    """Out-of-range user_id/chunk must raise, never silently alias keys."""
+    import pytest as _pytest
+
+    from rayslog.stages.events import _UC_CHUNK_MAX, _UC_USER_MAX, _uc_key
+
+    u = np.array([0, 5, _UC_USER_MAX], dtype=np.int64)
+    c = np.array([0, 7, _UC_CHUNK_MAX], dtype=np.int64)
+    k = _uc_key(u, c)
+    assert k[0] == 0 and k[1] == (5 << 21) | 7
+
+    with _pytest.raises(ValueError, match="user_id out of uc_key range"):
+        _uc_key(np.array([_UC_USER_MAX + 1], dtype=np.int64),
+                np.array([0], dtype=np.int64))
+    with _pytest.raises(ValueError, match="user_id out of uc_key range"):
+        _uc_key(np.array([-1], dtype=np.int64), np.array([0], dtype=np.int64))
+    with _pytest.raises(ValueError, match="chunk out of uc_key range"):
+        _uc_key(np.array([1], dtype=np.int64),
+                np.array([_UC_CHUNK_MAX + 1], dtype=np.int64))
+    # empty input is a no-op
+    assert len(_uc_key(np.zeros(0, np.int64), np.zeros(0, np.int64))) == 0
+
+
+def test_query_vectors_reads_only_n_rows(tmp_path):
+    """_query_vectors pushes the predicate into the parquet read — it
+    must never decode the whole embeddings corpus on the driver."""
+    import pyarrow.parquet as pq
+
+    from rayslog.pipeline import _query_vectors
+
+    n_corpus, dim = 5_000, 8
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n_corpus, dtype=np.int64)),
+        "embedding": pa.array(
+            rng.normal(size=(n_corpus, dim)).tolist(),
+            pa.list_(pa.float32()),
+        ),
+    })
+    # many row groups so row-group pruning has something to prune
+    pq.write_table(t, tmp_path / "embeddings.parquet", row_group_size=256)
+
+    import unittest.mock as mock
+
+    real = pq.read_table
+    seen = {}
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        seen["rows"] = out.num_rows
+        return out
+
+    with mock.patch.object(pq, "read_table", side_effect=spy):
+        mat, ids = _query_vectors(str(tmp_path), n=8)
+    assert seen["rows"] <= 8
+    assert list(ids) == list(range(8))
+    assert mat.shape == (8, dim)

@@ -9,6 +9,7 @@ a seeded random corpus — so fast-path acceptance never changes semantics.
 import random
 
 import pyarrow as pa
+import os
 import pytest
 
 from rayslog.config import ParserConfig
@@ -240,8 +241,8 @@ def test_override_configs_take_c_fast_path(monkeypatch):
     from rayslog.kernels import cparse
     import rayslog.kernels.vectorized as vz
 
-    if cparse.get_lib() is None:
-        pytest.skip("no C toolchain")
+    if cparse.get_lib() is None or os.environ.get("RAYSLOG_NO_CKERNEL"):
+        pytest.skip("no C toolchain / C kernel disabled")
     calls = []
     real = cparse.parse_raw
 
@@ -264,8 +265,8 @@ def test_custom_layout_takes_c_fast_path(monkeypatch):
     back to the per-row oracle."""
     from rayslog.kernels import cparse
 
-    if cparse.get_lib() is None:
-        pytest.skip("no C toolchain")
+    if cparse.get_lib() is None or os.environ.get("RAYSLOG_NO_CKERNEL"):
+        pytest.skip("no C toolchain / C kernel disabled")
     calls = []
     real = cparse.parse_raw
 

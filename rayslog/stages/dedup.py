@@ -158,20 +158,29 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
                        bucket_parts: int = 64, dedupe: bool = True,
-                       max_bucket: int = 256):
+                       max_bucket: int = 256, on_oversize: str = "raise"):
     """(doc_a, doc_b) candidate pairs from LSH band buckets.
 
     ``dedupe=False`` skips the cross-band pair-dedupe shuffle and
     returns raw per-band pairs (each true pair appears <= bands times);
-    callers that collect candidates anyway dedupe for free.
+    callers that collect candidates anyway dedupe for free.  The raw
+    output then ALSO carries one sentinel row (doc_a=-1,
+    doc_b=bucket_size) per skipped oversized bucket — callers must
+    handle them (minhash_near_dups raises).
 
     ``max_bucket`` is the standard LSH stop-bucket cap: a bucket with
     more than this many docs would expand to O(m^2) pairs — on
     template-heavy corpora (near-identical log lines) that is quadratic
     blowup, and such groups are better handled by EXACT dedup first
     (identical texts have identical signatures, so they all land in one
-    bucket).  Oversized buckets are skipped and counted; compose
-    ``dedup_exact`` before this operator for templated data.
+    bucket).  Because pair-completeness is part of this operator's
+    CONTRACT (q_dedup_minhash is oracle-checked against exact all-pairs
+    Jaccard with no cap), skipping is never silent: with
+    ``on_oversize="raise"`` (default) any oversized bucket fails the
+    query loudly, naming the count and the fix (compose ``dedup_exact``
+    first, or use ``minhash_dedup_survivors`` which needs no pair
+    enumeration); ``on_oversize="skip"`` drops them but the dedupe=False
+    raw stream still exposes the sentinel rows for callers to count.
 
     Grouping by the raw (band, band_hash) key would make one map_groups
     call per BUCKET — almost all singletons, each paying ~0.4ms of
@@ -221,7 +230,12 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
         for r in np.nonzero(counts > 1)[0]:  # multi-doc buckets are rare
             s = run_starts[r]
             u = np.unique(ids[s : s + counts[r]])
-            if len(u) < 2 or len(u) > max_bucket:  # stop-bucket cap
+            if len(u) < 2:
+                continue
+            if len(u) > max_bucket:  # stop-bucket cap — NEVER silent
+                # sentinel row: doc_a=-1, doc_b=bucket size
+                out_a.append(np.array([-1], dtype="int64"))
+                out_b.append(np.array([len(u)], dtype="int64"))
                 continue
             a, b = np.triu_indices(len(u), k=1)
             out_a.append(u[a])
@@ -242,11 +256,38 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
         part_pairs, batch_format="pandas"
     )
     if not dedupe:
-        return pairs
+        return pairs  # raw stream: sentinels (doc_a=-1) included
+
+    def check_sentinels(t: pa.Table) -> pa.Table:
+        neg = pc.equal(t.column("doc_a"), -1)
+        n_over = pc.sum(pc.cast(neg, pa.int64())).as_py() or 0
+        if n_over:
+            if on_oversize == "raise":
+                raise ValueError(_oversize_msg(n_over, max_bucket))
+            import logging
+
+            logging.getLogger("rayslog.dedup").warning(
+                _oversize_msg(n_over, max_bucket)
+            )
+        return t.filter(pc.invert(neg))
+
+    pairs = pairs.map_batches(
+        check_sentinels, batch_format="pyarrow", zero_copy_batch=True
+    )
     # dedupe pairs found in multiple bands
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("doc_a", alias_name="_a")
     ).drop_columns(["_a"])
+
+
+def _oversize_msg(n_over: int, max_bucket: int) -> str:
+    return (
+        f"minhash LSH: {n_over} bucket(s) exceeded max_bucket="
+        f"{max_bucket}; pair enumeration would be incomplete (and "
+        "quadratic).  Compose dedup_exact before LSH (identical texts "
+        "collapse to one bucket member) or use minhash_dedup_survivors "
+        "(no pair enumeration)."
+    )
 
 
 def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
@@ -370,9 +411,12 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     are collected and deduped on the driver (tiny by LSH construction,
     and the collection already implies they fit — skipping the
     cross-band dedupe SHUFFLE saves one of the three all-to-alls);
-    (2) only candidate ids' texts are fetched with a filter pushdown
-    and broadcast once via ``ray.put``.  Returns a Dataset of
-    (doc_a, doc_b, jaccard).
+    (2) only candidate ids' texts are fetched with a filter pushdown,
+    their shingle sets computed ONCE per doc, and that dict broadcast
+    via ``ray.put`` — the verify stage intersects precomputed sets, it
+    never re-shingles per pair.  Any oversized LSH bucket raises (pair
+    completeness is this operator's contract; see minhash_candidates).
+    Returns a Dataset of (doc_a, doc_b, jaccard).
     """
     import ray
     import ray.data as rd
@@ -382,13 +426,19 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     raw = minhash_candidates(
         ds, bands, rows_per_band, dedupe=False, max_bucket=max_bucket
     ).to_pandas()
+    n_over = int((raw["doc_a"] == -1).sum())
+    if n_over:
+        raise ValueError(_oversize_msg(n_over, max_bucket))
     dedup_df = raw.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"]
     )
     pairs = list(zip(dedup_df["doc_a"], dedup_df["doc_b"]))
     cand_ids = set(dedup_df["doc_a"]) | set(dedup_df["doc_b"])
     texts = fetch_texts_for_ids(ds, cand_ids) if cand_ids else {}
-    texts_ref = ray.put(texts)
+    # shingle each candidate doc ONCE (candidates are tiny by LSH
+    # construction), broadcast the sets, not the texts
+    shingles = {i: _shingle_hashes(t or "", k) for i, t in texts.items()}
+    sh_ref = ray.put(shingles)
     cands = rd.from_arrow(
         pa.table(
             {
@@ -399,13 +449,18 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)  # zero-copy plasma read, tiny dict
+        sh = ray.get(sh_ref)  # zero-copy plasma read, tiny dict
         aa = batch.column("doc_a").to_pylist()
         bb = batch.column("doc_b").to_pylist()
-        jac = [
-            round(ngram_jaccard(texts[a], texts[b], k), 6)
-            for a, b in zip(aa, bb)
-        ]
+        jac = []
+        for a, b in zip(aa, bb):
+            sa, sb = sh[a], sh[b]
+            if len(sa) == 0 and len(sb) == 0:
+                jac.append(1.0)
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac.append(round(inter / union if union else 0.0, 6))
         out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 

@@ -560,3 +560,39 @@ def test_query_vectors_reads_only_n_rows(tmp_path):
     assert seen["rows"] <= 8
     assert list(ids) == list(range(8))
     assert mat.shape == (8, dim)
+
+
+def test_minhash_oversized_bucket_raises(ray_session):
+    """A duplicate/template group larger than max_bucket must FAIL the
+    pair-enumeration path loudly (pair completeness is its contract),
+    while the survivor path handles the same corpus fine."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rayslog.stages.dedup import (
+        minhash_dedup_survivors,
+        minhash_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{j}" for j in range(400)]
+    texts = ["the same templated log line repeated verbatim"] * 30 + [
+        " ".join(rng.choice(words, size=12, replace=False)) for _ in range(10)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="max_bucket"):
+        minhash_near_dups(ds, threshold=0.5, max_bucket=8).to_pandas()
+
+    # survivor dedup needs no pair enumeration: one survivor for the
+    # template group + every unique doc
+    surv = minhash_dedup_survivors(ds).to_pandas()
+    assert 0 in set(surv["doc_id"])
+    assert set(range(30, 40)) <= set(surv["doc_id"])
+    assert not (set(range(1, 30)) & set(surv["doc_id"]))

@@ -33,6 +33,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix(batch_col) -> np.ndarray:
@@ -287,110 +288,219 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
 
 
 # ---------------------------------------- LSH-bucketed near-dup (scale path)
-def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
-                     n_tables: int = 6, seed: int = 42):
-    """Approximate cosine near-dup pairs via random-hyperplane LSH.
-
-    The 100 TB shape: signatures are one matmul per batch against a
-    broadcast hyperplane matrix; candidates meet only inside
-    (table, bucket) groups, so the all-to-all exchange carries
-    n_tables x 8-byte keys per row and pair verification is confined to
-    buckets.  Recall: a pair at cosine c collides in one table with
-    prob (1 - acos(c)/pi)^n_bits; n_tables tables union.  Exact scores
-    are computed in-bucket, so emitted pairs carry true cosines >=
-    threshold (a subset of the exact operator's result).
-    """
-    import pandas as pd
+def lsh_signature_rows(ds, planes_ref, n_bits: int, n_tables: int,
+                       bucket_parts: int = 64):
+    """(table_id, bucket, bpart, vec_id) rows — KEYS ONLY.  The
+    embedding column never enters the LSH shuffle (it would be
+    replicated n_tables times through the all-to-all; at 100 TB that
+    ships 6x the corpus)."""
     import ray
-    from ray.data.aggregate import Min
 
-    first = ds.take(1)
-    if not first:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
+    def signatures(batch: pa.Table) -> pa.Table:
+        planes_l = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _norm_rows(_matrix(batch.column("embedding")))
+        n = len(ids)
+        if n == 0:
+            return pa.table(
                 {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
+                    "table_id": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "bpart": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
                 }
             )
-        )
+        weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+        parts = []
+        for t in range(len(planes_l)):
+            bits = (m @ planes_l[t]) >= 0  # (n, n_bits)
+            key = (bits.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(np.full(n, t, dtype=np.int32)),
+                        "bucket": pa.array(key.view(np.int64)),
+                        "bpart": pa.array(
+                            (key % np.uint64(bucket_parts)).astype(np.int32)
+                        ),
+                        "vec_id": pa.array(ids.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        signatures, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def fetch_vectors_for_ids(ds, ids, id_col: str = "vec_id",
+                          emb_col: str = "embedding") -> dict:
+    """vec_id -> normalized float64 vector for a SMALL id set via a
+    pushed-down ``is_in`` filter — the corpus streams; only matching
+    rows reach the driver."""
+    id_arr = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column(id_col), value_set=id_arr)
+        ).select([id_col, emb_col])
+
+    small_parts = []
+    for b in ds.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            small_parts.append(t)
+    out: dict = {}
+    for t in small_parts:
+        got = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = _norm_rows(_matrix(t.column(emb_col)))
+        for j, i in enumerate(got):
+            out[int(i)] = m[j]
+    return out
+
+
+def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
+                     n_tables: int = 6, seed: int = 42,
+                     bucket_parts: int = 64, max_bucket: int = 4_096):
+    """Approximate cosine near-dup pairs via random-hyperplane LSH.
+
+    The 100 TB shape, two passes like minhash_near_dups:
+
+    1. **Candidate generation** — signatures are one matmul per batch
+       against a broadcast hyperplane matrix; the only all-to-all
+       exchange carries (table_id, bucket, vec_id) = n_tables x ~20
+       bytes per row — the EMBEDDING COLUMN NEVER ENTERS THE SHUFFLE
+       (the round-2 version replicated it n_tables(6)x through the
+       exchange).  Groups are bounded (table, bucket%parts) slices with
+       vectorized run detection, not one map_groups per bucket.
+    2. **Verification** — candidate ids (rare by LSH construction) are
+       collected, ONLY their vectors fetched via ``is_in`` pushdown,
+       normalized once, broadcast via ``ray.put``; exact cosines are
+       computed per candidate pair distributed over the pair list.
+
+    Recall: a pair at cosine c collides in one table with prob
+    (1 - acos(c)/pi)^n_bits; n_tables tables union.  Emitted pairs
+    carry true cosines >= threshold (a subset of the exact operator's
+    result).  Buckets larger than ``max_bucket`` (identical-vector
+    blowup) are skipped with a logged count — recall is approximate by
+    contract here, unlike minhash_near_dups' oracle-checked pair
+    completeness.
+    """
+    import logging
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    first = ds.take(1)
+    if not first:
+        return rd.from_arrow(empty)
     dim = len(first[0]["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, dim, n_bits))
     planes_ref = ray.put(planes)
 
-    def signatures(batch: pa.Table) -> pa.Table:
-            planes_l = ray.get(planes_ref)
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            m = _norm_rows(_matrix(batch.column("embedding")))
-            n = len(ids)
-            if n == 0:
-                return pa.table(
-                    {
-                        "table_id": pa.array([], pa.int32()),
-                        "bucket": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "embedding": pa.array([], pa.list_(pa.float64())),
-                    }
-                )
-            weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
-            parts = []
-            flat = pa.array(m.reshape(-1), pa.float64())
-            emb = pa.LargeListArray.from_arrays(
-                np.arange(n + 1, dtype=np.int64) * m.shape[1], flat
-            ).cast(pa.list_(pa.float64()))
-            for t in range(n_tables):
-                bits = (m @ planes_l[t]) >= 0  # (n, n_bits)
-                key = (bits.astype(np.uint64) * weights).sum(
-                    axis=1, dtype=np.uint64
-                )
-                parts.append(
-                    pa.table(
-                        {
-                            "table_id": pa.array(
-                                np.full(n, t, dtype=np.int32)
-                            ),
-                            "bucket": pa.array(key.view(np.int64)),
-                            "vec_id": pa.array(ids.astype(np.int64)),
-                            "embedding": emb,
-                        }
-                    )
-                )
-            return pa.concat_tables(parts)
-
-    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        signatures, batch_format="pyarrow", zero_copy_batch=True,
+    exploded = lsh_signature_rows(
+        ds, planes_ref, n_bits, n_tables, bucket_parts
     )
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bh = g["bucket"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        new = np.r_[True, bh[1:] != bh[:-1]]
+        run_id = np.cumsum(new) - 1
+        counts = np.bincount(run_id)
+        run_starts = np.r_[0, np.cumsum(counts)[:-1]]
+        out_a: list = []
+        out_b: list = []
+        for r in np.nonzero(counts > 1)[0]:
+            s = run_starts[r]
+            u = np.unique(ids[s : s + counts[r]])
+            if len(u) < 2:
+                continue
+            if len(u) > max_bucket:
+                out_a.append(np.array([-1], dtype="int64"))
+                out_b.append(np.array([len(u)], dtype="int64"))
+                continue
+            a, b = np.triu_indices(len(u), k=1)
+            out_a.append(u[a])
+            out_b.append(u[b])
+        if not out_a:
             return pd.DataFrame(
                 {"vec_a": pd.Series([], dtype="int64"),
-                 "vec_b": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
+                 "vec_b": pd.Series([], dtype="int64")}
             )
-        ids = g["vec_id"].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
-        s = np.round(m @ m.T, 6)
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = s[a, b] >= threshold
         return pd.DataFrame(
             {
-                "vec_a": ids[a][keep].astype("int64"),
-                "vec_b": ids[b][keep].astype("int64"),
-                "score": s[a, b][keep],
+                "vec_a": np.concatenate(out_a).astype("int64"),
+                "vec_b": np.concatenate(out_b).astype("int64"),
             }
         )
 
-    pairs = exploded.groupby(["table_id", "bucket"]).map_groups(
-        bucket_verify, batch_format="pandas"
+    raw = (
+        exploded.groupby(["table_id", "bpart"])
+        .map_groups(part_pairs, batch_format="pandas")
+        .to_pandas()
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Min("score", alias_name="score")
+    n_over = int((raw["vec_a"] == -1).sum())
+    if n_over:
+        logging.getLogger("rayslog.ann").warning(
+            "cosine_lsh_pairs: %d bucket(s) exceeded max_bucket=%d and "
+            "were skipped (recall loss); raise max_bucket or dedup "
+            "identical vectors first", n_over, max_bucket,
+        )
+        raw = raw[raw["vec_a"] != -1]
+    cand = raw.drop_duplicates(["vec_a", "vec_b"]).sort_values(
+        ["vec_a", "vec_b"]
+    )
+    if not len(cand):
+        return rd.from_arrow(empty)
+    cand_ids = set(cand["vec_a"]) | set(cand["vec_b"])
+    vecs = fetch_vectors_for_ids(ds, cand_ids)
+    vecs_ref = ray.put(vecs)
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array(cand["vec_a"].to_numpy(), pa.int64()),
+                "vec_b": pa.array(cand["vec_b"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        vv = ray.get(vecs_ref)  # zero-copy plasma read, small dict
+        aa = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        bb = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        if not len(aa):
+            return empty
+        ma = np.stack([vv[int(a)] for a in aa])
+        mb = np.stack([vv[int(b)] for b in bb])
+        s = np.round((ma * mb).sum(axis=1), 6)
+        keep = s >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(aa[keep].astype(np.int64)),
+                "vec_b": pa.array(bb[keep].astype(np.int64)),
+                "score": pa.array(s[keep].astype(np.float64)),
+            }
+        )
+
+    return cands.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

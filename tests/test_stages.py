@@ -596,3 +596,24 @@ def test_minhash_oversized_bucket_raises(ray_session):
     assert 0 in set(surv["doc_id"])
     assert set(range(30, 40)) <= set(surv["doc_id"])
     assert not (set(range(1, 30)) & set(surv["doc_id"]))
+
+
+def test_cosine_lsh_shuffle_carries_no_embeddings(ray_session):
+    """The LSH all-to-all exchange must carry keys only — shipping the
+    embedding column would replicate the corpus n_tables times."""
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.ann import lsh_signature_rows
+
+    rng = np.random.default_rng(6)
+    rows = [
+        {"vec_id": i, "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+        for i in range(20)
+    ]
+    ds = rd.from_items(rows)
+    planes_ref = ray.put(rng.normal(size=(3, 8, 6)))
+    exploded = lsh_signature_rows(ds, planes_ref, n_bits=6, n_tables=3)
+    names = set(exploded.schema().names)
+    assert names == {"table_id", "bucket", "bpart", "vec_id"}
+    assert exploded.count() == 60  # n_tables x rows, nothing else

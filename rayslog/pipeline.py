@@ -95,9 +95,16 @@ def q_severity_counts(sf_dir: str):
 
 
 def q_conv_counts(sf_dir: str):
-    """Per-conversation parsed-turn counts (skew-bearing aggregate)."""
+    """Per-conversation parsed-turn counts (skew-bearing aggregate).
+
+    Default final is the raw-task combiner tree (distinct convs <<
+    turns; zero sort-shuffle machinery); set RAYSLOG_CONV_FINAL=shuffle
+    to A/B the plain hash-shuffle aggregate plan."""
+    import os
+
     ds = parsed_only(parsed_dataset(sf_dir))
-    return counts_by(ds, ["conv_id"], alias="n_turns")
+    final = os.environ.get("RAYSLOG_CONV_FINAL", "tree")
+    return counts_by(ds, ["conv_id"], alias="n_turns", final=final)
 
 
 def q_parse_errors(sf_dir: str):

@@ -39,6 +39,13 @@ def counts_by(
 
     - ``"shuffle"``: Ray's hash-shuffle aggregate — the scale path for
       high-cardinality keys (conv_id at 10^12 turns).
+    - ``"tree"``: distributed fan-in tree over the partial BLOCKS with
+      raw Ray tasks (see ``tree_counts_by``) — no sort-shuffle
+      machinery at all.  The right plan when distinct keys << rows
+      (conv counts: one key per ~1.2k turns) but the key domain is
+      still too big for a driver pull; the combine stays on workers.
+      Partitioning assumption: the DISTINCT-KEY result fits one task
+      (documented in tree_counts_by) — beyond that, use "shuffle".
     - ``"driver"``: stream the partials (O(groups x blocks) rows, NOT
       raw rows) to the driver and reduce with one Arrow group_by —
       for known-small key domains (severity/rfc/hour/error-class) the
@@ -61,6 +68,8 @@ def counts_by(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if final == "tree":
+        return _tree_combine(partial, ds, keys, alias)
     if final == "driver":
         import ray.data as rd
 
@@ -68,18 +77,7 @@ def counts_by(
         for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
             tables.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
         if not tables:
-            # empty result must carry the upstream key TYPES (untyped
-            # empty lists infer null and break schema-sensitive compares)
-            up = ds.schema()
-            fields = [
-                pa.field(k, up.base_schema.field(k).type) for k in keys
-            ] + [pa.field(alias, pa.int64())]
-            return rd.from_arrow(
-                pa.Table.from_arrays(
-                    [pa.nulls(0, f.type) for f in fields],
-                    schema=pa.schema(fields),
-                )
-            )
+            return _empty_counts(ds, keys, alias)
         merged = (
             pa.concat_tables(tables)
             .group_by(keys)
@@ -88,6 +86,84 @@ def counts_by(
         )
         return rd.from_arrow(merged)
     return partial.groupby(keys).aggregate(Sum("n", alias_name=alias))
+
+
+def _empty_counts(ds, keys: list[str], alias: str):
+    """Empty result carrying the upstream key TYPES (untyped empty
+    lists infer null and break schema-sensitive compares)."""
+    import ray.data as rd
+
+    up = ds.schema()
+    fields = [pa.field(k, up.base_schema.field(k).type) for k in keys] + [
+        pa.field(alias, pa.int64())
+    ]
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.nulls(0, f.type) for f in fields], schema=pa.schema(fields)
+        )
+    )
+
+
+def _tree_combine(partial, ds, keys: list[str], alias: str,
+                  fanin: int = 16):
+    """Fan-in tree over the partial-count BLOCKS with raw Ray tasks.
+
+    Ray's sort-based ``groupby().aggregate()`` costs ~1s of fixed
+    all-to-all machinery even when the partials total a few thousand
+    rows (measured flat r1->r2; repartition/hash_shuffle/polars all
+    worse).  The partials here are one row per key per input block —
+    tiny — so the natural plan is a combiner tree: each task
+    concatenates ``fanin`` partial blocks and group_by-sums them;
+    rounds repeat until one block remains.  log_fanin(B) rounds, every
+    combine on workers, zero sort machinery.
+
+    Partitioning assumption (documented per the build rules): the
+    DISTINCT-KEY result of any combine — ultimately ALL distinct keys —
+    fits one task's memory (conv counts: one conv per ~1.2k turns, so
+    the result is ~0.1% of the input; at 10^12 turns that is ~10^9
+    rows x ~24 B ≈ 24 GB — at that point use ``final="shuffle"``, or
+    split the tree by hash(key) range first).  This is a raw-task
+    escape hatch in the sense of SURVEY §2.9(c): the Dataset API's
+    groupby can express the semantics but not the cost shape.
+    """
+    import ray
+    import ray.data as rd
+
+    mat = partial.materialize()
+    # drop empty blocks via bundle METADATA (no ray.get needed) — an
+    # all-empty input may surface pass-through blocks with a schema
+    # that never went through the partial combiner
+    refs = [
+        r
+        for b in mat.iter_internal_ref_bundles()
+        for r, m in b.blocks
+        if m.num_rows
+    ]
+    if not refs:
+        return _empty_counts(ds, keys, alias)
+
+    @ray.remote(num_returns=1)
+    def combine(*blocks):
+        ts = [t for t in blocks if t.num_rows] or [blocks[0]]
+        if len(ts) == 1:
+            merged = ts[0]
+        else:
+            merged = pa.concat_tables(ts, promote_options="default")
+        return (
+            merged.group_by(keys)
+            .aggregate([("n", "sum")])
+            .rename_columns(keys + ["n"])
+        )
+
+    if len(refs) == 1:  # a lone partial block may still hold dup keys
+        refs = [combine.remote(refs[0])]
+    while len(refs) > 1:
+        refs = [
+            combine.remote(*refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    out = ray.get(refs[0])
+    return rd.from_arrow(out.rename_columns(keys + [alias]))
 
 
 def salted_counts_by(

@@ -617,3 +617,36 @@ def test_cosine_lsh_shuffle_carries_no_embeddings(ray_session):
     names = set(exploded.schema().names)
     assert names == {"table_id", "bucket", "bpart", "vec_id"}
     assert exploded.count() == 60  # n_tables x rows, nothing else
+
+
+def test_tree_counts_match_shuffle_and_driver(ray_session):
+    """final='tree' (raw-task combiner tree) == 'shuffle' == 'driver',
+    including the empty-input schema contract."""
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import counts_by
+
+    rng = np.random.default_rng(9)
+    keys = [f"conv-{int(v) % 37}" for v in rng.zipf(1.4, 20_000)]
+    ds = rd.from_arrow(pa.table({"conv_id": keys})).repartition(8)
+
+    def norm(d):
+        return (
+            d.to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+
+    tree = norm(counts_by(ds, ["conv_id"], final="tree"))
+    shuf = norm(counts_by(ds, ["conv_id"], final="shuffle"))
+    drv = norm(counts_by(ds, ["conv_id"], final="driver"))
+    assert tree.equals(shuf)
+    assert tree.equals(drv)
+
+    empty = rd.from_arrow(
+        pa.table({"conv_id": pa.array([], pa.string())})
+    )
+    out = counts_by(empty, ["conv_id"], final="tree")
+    sch = out.schema()
+    assert sch.names == ["conv_id", "n_turns"]
+    assert out.count() == 0

@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": p.q_token_counts,
         "lang_id": p.q_lang_id,
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
+        "repetition": p.q_repetition,
+        "stratified_sample": p.q_stratified_sample,
         "dedup_minhash": p.q_dedup_minhash,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)

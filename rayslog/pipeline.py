@@ -212,6 +212,43 @@ def q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def q_repetition(sf_dir: str):
+    """Gopher/C4-style repetition metrics per document (dup-line /
+    dup-paragraph fractions, top-bigram share)."""
+    from rayslog.stages.text import repetition_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_features(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8_192,  # bounds the O(total-token) bigram temporaries
+    )
+
+
+#: stratified-sample rates shared by the Ray query AND its SQL oracle —
+#: downsample the dominant language, keep rare ones nearly whole
+SAMPLE_RATES = {"en": 0.25, "zh": 0.9}
+SAMPLE_DEFAULT_RATE = 0.5
+SAMPLE_SEED = 42
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language sample: keep iff
+    splitmix64(doc_id, seed) < rate(lang) * 2^64 — reproducible across
+    runs and exactly SQL-checkable."""
+    from rayslog.stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return stratified_sample(
+        ds,
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        seed=SAMPLE_SEED,
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints; rows-only check."""
     from rayslog.stages.text import rolling_fingerprint

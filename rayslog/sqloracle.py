@@ -185,6 +185,26 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def _stratified_sample_sql() -> str:
+    """Oracle for q_stratified_sample — rates/seed/hash literals shared
+    with the Ray query via rayslog.stages.sample + pipeline constants."""
+    from rayslog.pipeline import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        SAMPLE_SEED,
+    )
+    from rayslog.stages.sample import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents",
+        ["doc_id", "lang", "source"],
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        seed=SAMPLE_SEED,
+    )
+
+
 def training_oracle_queries() -> dict[str, str]:
     """Oracles for the training-data operators — these run on the
     driver's pre-registered views (documents/embeddings/events/
@@ -242,6 +262,48 @@ SELECT doc_id, lang,
   END AS lang_pred
 FROM s
 """,
+        # Gopher/C4 repetition metrics: line/paragraph splits are
+        # str_split (same non-overlapping left-to-right rule as Arrow's
+        # split_pattern); bigrams via list_zip of adjacent \S+ tokens
+        "repetition": r"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '\S+') AS toks,
+    str_split(text, chr(10)) AS lines,
+    str_split(text, chr(10)||chr(10)) AS paras
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+    CAST(len(paras) AS BIGINT) AS n_paras,
+    CAST(len(list_distinct(paras)) AS BIGINT) AS n_dparas,
+    CAST(len(toks) AS BIGINT) AS n_toks,
+    toks
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bi
+  FROM base WHERE n_toks >= 2
+),
+bgc AS (SELECT doc_id, bi, count(*) AS c FROM bg GROUP BY doc_id, bi),
+bgm AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+  b.n_lines,
+  CAST(b.n_lines - b.n_dlines AS DOUBLE) / greatest(b.n_lines, 1)
+    AS dup_line_frac,
+  b.n_paras,
+  CAST(b.n_paras - b.n_dparas AS DOUBLE) / greatest(b.n_paras, 1)
+    AS dup_para_frac,
+  CASE WHEN b.n_toks IS NULL THEN NULL
+       WHEN b.n_toks >= 2
+       THEN CAST(bgm.mc AS DOUBLE) / (b.n_toks - 1)
+       ELSE 0.0 END AS top_bigram_share
+FROM base b LEFT JOIN bgm USING (doc_id)
+""",
+        "stratified_sample": _stratified_sample_sql(),
         "text_quality": rf"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_measured,

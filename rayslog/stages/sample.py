@@ -1,0 +1,160 @@
+"""Deterministic stratified sampling.
+
+Every curation pipeline ends in a sample step; a seeded hash-threshold
+rule makes it exactly reproducible (and exactly SQL-checkable): keep a
+row iff ``splitmix64(key * GOLDEN + seed) < rate(stratum) * 2^64``.
+Properties that matter at 100 TB:
+
+- **stateless + embarrassingly parallel**: the keep decision is a pure
+  function of (key, seed, stratum) — no shuffle, no coordination, no
+  RNG state; any re-run / retry / resume selects the identical rows.
+- **stratified**: each stratum (e.g. language or source) gets its own
+  rate, so the sample rebalances a skewed corpus in one streaming pass.
+- **oracle-exact**: the same splitmix64 is expressed in portable SQL
+  (128-bit split multiply; see ``sample_sql_hash_expr``) — engine and
+  DuckDB agree bit-for-bit, verified in tests and the driver's
+  correctness gate.
+
+Keys must be non-negative int64 (the SQL side casts BIGINT -> UBIGINT,
+which rejects negatives; the engine raises to match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GOLDEN = 0x9E3779B97F4A7C15
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 keys (wraparound
+    arithmetic; mirrored exactly by ``sample_sql_hash_expr``)."""
+    h = x.astype(np.uint64) * np.uint64(_GOLDEN) + np.uint64(seed)
+    h ^= h >> np.uint64(30)
+    h = h * np.uint64(_C1)
+    h ^= h >> np.uint64(27)
+    h = h * np.uint64(_C2)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def rate_threshold(rate: float) -> int:
+    """The integer threshold for ``hash < rate * 2^64`` — computed ONCE
+    here and embedded as a literal on both the engine and SQL sides so
+    the comparison is identical."""
+    if rate >= 1.0:
+        return _M64  # keep-all sentinel (engine: all-true mask)
+    if rate <= 0.0:
+        return 0
+    return int(rate * _M64)
+
+
+def _sql_mul64(xcol: str, c: int) -> str:
+    """64-bit wraparound multiply in DuckDB without INT128 overflow:
+    split the multiplicand into 32-bit halves."""
+    return (
+        f"CAST(((CAST(({xcol} >> 32) AS HUGEINT) * {c} % {_M32}) * {_M32} "
+        f"+ CAST(({xcol} % {_M32}) AS HUGEINT) * {c}) % {_M64} AS UBIGINT)"
+    )
+
+
+def sample_sql_hash_expr(key_col: str, seed: int) -> str:
+    """A DuckDB scalar expression computing ``splitmix64(key, seed)``
+    as UBIGINT — verified bit-identical to the numpy kernel."""
+    x0 = (
+        f"CAST(({_sql_mul64(f'CAST({key_col} AS UBIGINT)', _GOLDEN)}"
+        f" + {seed}) % {_M64} AS UBIGINT)"
+    )
+    x1 = f"xor({x0}, ({x0}) >> 30)"
+    x2 = _sql_mul64(f"({x1})", _C1)
+    x3 = f"xor({x2}, ({x2}) >> 27)"
+    x4 = _sql_mul64(f"({x3})", _C2)
+    return f"xor({x4}, ({x4}) >> 31)"
+
+
+def stratified_sample(
+    ds,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Keep each row iff splitmix64(key, seed) < rate(stratum) * 2^64.
+
+    One streaming ``map_batches`` pass; the stratum->threshold map is a
+    tiny closure constant (no broadcast needed).  Deterministic: two
+    runs — or a run and its SQL oracle — select identical rows.
+    """
+    rates = dict(rates or {})
+    strata = sorted(rates)
+    thresholds = np.array(
+        [min(rate_threshold(rates[s]), _M64 - 1) for s in strata],
+        dtype=np.uint64,
+    )
+    keep_all = np.array(
+        [rate_threshold(rates[s]) >= _M64 for s in strata], dtype=bool
+    )
+    def_th = np.uint64(min(rate_threshold(default_rate), _M64 - 1))
+    def_keep_all = rate_threshold(default_rate) >= _M64
+    value_set = pa.array(strata, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                f"stratified_sample: negative {key_col} (SQL parity "
+                "requires non-negative keys)"
+            )
+        h = splitmix64(ids.astype(np.uint64), seed)
+        idx = pc.fill_null(
+            pc.index_in(t.column(strata_col), value_set=value_set), -1
+        )
+        ii = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        known = ii >= 0
+        ii = np.where(known, ii, 0)
+        if len(strata):
+            thr = np.where(known, thresholds[ii], def_th)
+            ka = np.where(known, keep_all[ii], def_keep_all)
+        else:
+            thr = np.full(len(ids), def_th, dtype=np.uint64)
+            ka = np.full(len(ids), def_keep_all, dtype=bool)
+        keep = ka | (h < thr)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql(
+    table_sql: str,
+    columns: list[str],
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """The DuckDB oracle for :func:`stratified_sample` — same strata,
+    same thresholds (shared ``rate_threshold`` literals), same hash."""
+    rates = dict(rates or {})
+    h = sample_sql_hash_expr(key_col, seed)
+    # per-stratum predicate: keep-all strata compare TRUE, others
+    # compare hash < literal threshold
+    preds = []
+    for s, r in sorted(rates.items()):
+        t = rate_threshold(r)
+        if t >= _M64:
+            preds.append(f"WHEN {strata_col} = '{s}' THEN TRUE")
+        else:
+            preds.append(f"WHEN {strata_col} = '{s}' THEN {h} < {t}")
+    dt = rate_threshold(default_rate)
+    default_pred = "TRUE" if dt >= _M64 else f"{h} < {dt}"
+    case = "CASE " + " ".join(preds) + f" ELSE {default_pred} END"
+    cols = ", ".join(columns)
+    return f"SELECT {cols} FROM {table_sql} WHERE {case}"

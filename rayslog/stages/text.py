@@ -150,6 +150,107 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     return _default_langid()(batch)
 
 
+def _segmented_distinct_counts(listarr) -> tuple[np.ndarray, np.ndarray]:
+    """(total, distinct) element counts per list row, via 128-bit
+    element hashes + one lexsort — no per-row Python.  Null rows get
+    (0, 0); mask them downstream."""
+    if isinstance(listarr, pa.ChunkedArray):
+        listarr = listarr.combine_chunks()
+    counts = (
+        pc.fill_null(pc.list_value_length(listarr), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    flat = listarr.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return counts, counts.copy()
+    h1, h2 = tx.hash_utf8_pair(flat, seed1=0, seed2=1)
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((h2, h1, seg))
+    s, a, b = seg[order], h1[order], h2[order]
+    new = np.r_[True, (s[1:] != s[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    distinct = np.bincount(s[new], minlength=len(counts)).astype(np.int64)
+    return counts, distinct
+
+
+_BIGRAM_BASE = np.uint64(0x100000001B3)
+
+
+def repetition_features(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher/C4-style repetition metrics, appended per document:
+
+    - ``n_lines`` / ``dup_line_frac``: line count (split on ``\\n``) and
+      the fraction of lines that are repeats of an earlier line
+      ((n_lines - distinct_lines) / max(n_lines, 1)),
+    - ``n_paras`` / ``dup_para_frac``: same over ``\\n\\n`` paragraphs,
+    - ``top_bigram_share``: occurrences of the most frequent
+      whitespace-token bigram / total bigrams (0.0 when < 2 tokens).
+
+    Everything is vectorized: Arrow split kernels, 128-bit element
+    hashes + one lexsort for distinct counts, token-hash pairs + run
+    detection for the bigram mode.  IEEE division of exact integer
+    counts matches the DuckDB oracle bit-for-bit.
+    """
+    t = batch.column(col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    n = len(t)
+    null = pc.is_null(t).to_numpy(zero_copy_only=False)
+
+    n_lines, d_lines = _segmented_distinct_counts(pc.split_pattern(t, "\n"))
+    n_paras, d_paras = _segmented_distinct_counts(pc.split_pattern(t, "\n\n"))
+    dup_line = (n_lines - d_lines) / np.maximum(n_lines, 1)
+    dup_para = (n_paras - d_paras) / np.maximum(n_paras, 1)
+
+    # top-bigram share over case-sensitive whitespace tokens.  The SQL
+    # oracle extracts \S+ (ASCII RE2); Arrow splits on Unicode
+    # whitespace — identical on ASCII corpora (the generated documents
+    # are ASCII; non-ASCII whitespace would need split_pattern_regex)
+    th, offs = tx.token_hashes(t, lower=False)
+    tok_counts = np.diff(offs)
+    nbi = np.maximum(tok_counts - 1, 0)
+    top_share = np.zeros(n, dtype=np.float64)
+    if nbi.sum() > 0:
+        # flat bigram hashes: rows with >= 2 tokens contribute
+        # (count-1) consecutive-pair hashes
+        rows = np.nonzero(nbi)[0]
+        reps = nbi[rows]
+        bi_offs = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(reps, out=bi_offs[1:])
+        within = (
+            np.arange(int(bi_offs[-1]), dtype=np.int64)
+            - np.repeat(bi_offs[:-1], reps)
+        )
+        base_pos = np.repeat(offs[:-1][rows], reps) + within
+        bh = tx.fmix64(
+            th[base_pos] * _BIGRAM_BASE + th[base_pos + 1]
+        )
+        seg = np.repeat(rows, reps)
+        order = np.lexsort((bh, seg))
+        s, b = seg[order], bh[order]
+        new = np.r_[True, (s[1:] != s[:-1]) | (b[1:] != b[:-1])]
+        starts = np.nonzero(new)[0]
+        run_len = np.diff(np.r_[starts, len(s)])
+        np.maximum.at(top_share, s[starts], run_len.astype(np.float64))
+        top_share[rows] = top_share[rows] / nbi[rows]
+
+    def col_i64(v):
+        return pa.array(v.astype(np.int64), pa.int64(), mask=null)
+
+    def col_f64(v):
+        return pa.array(v.astype(np.float64), pa.float64(), mask=null)
+
+    return (
+        batch.append_column("n_lines", col_i64(n_lines))
+        .append_column("dup_line_frac", col_f64(dup_line))
+        .append_column("n_paras", col_i64(n_paras))
+        .append_column("dup_para_frac", col_f64(dup_para))
+        .append_column("top_bigram_share", col_f64(top_share))
+    )
+
+
 def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fingerprint``: order-sensitive polynomial rolling hash
     over whitespace-token hashes (Horner, mod 2^64; vectorized)."""

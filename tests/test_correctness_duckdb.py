@@ -41,6 +41,8 @@ QUERY_NAMES = [
     "hourly_traffic",
     "host_traffic",
     "dedup_exact",
+    "repetition",
+    "stratified_sample",
     "text_quality",
     "token_counts",
     "lang_id",

@@ -650,3 +650,138 @@ def test_tree_counts_match_shuffle_and_driver(ray_session):
     sch = out.schema()
     assert sch.names == ["conv_id", "n_turns"]
     assert out.count() == 0
+
+
+def test_repetition_features_vs_duckdb_on_multiline_docs(ray_session):
+    """Line/paragraph dup fractions and top-bigram share match the SQL
+    oracle on a corpus that actually HAS newlines, paragraphs, repeated
+    lines and dominant bigrams (the generated documents are
+    single-line, so this covers what the sf oracle run cannot)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.text import repetition_features
+
+    texts = [
+        "a b c\na b c\nx y z",                      # 1 dup line of 3
+        "p q\n\np q\n\nr s",                         # 1 dup para of 3
+        "t t t t t t",                               # one bigram dominates
+        "one two three four",                        # all bigrams distinct
+        "solo",                                      # no bigrams
+        "",                                          # empty text
+        "tail newline\n",                            # trailing newline
+        "a\n\n\nb",                                  # 3x newline run
+        "x\nx\nx\nx",                                # all-dup lines
+        "mix mix mix two two",                       # competing bigrams
+        None,                                        # null text
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            lambda t: repetition_features(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("documents_arrow", tbl)
+    con.sql("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+    from rayslog.sqloracle import training_oracle_queries
+
+    sql_df = (
+        con.sql(training_oracle_queries()["repetition"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], sql_df[sorted(sql_df.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    # spot-check semantics
+    row = got.set_index("doc_id")
+    assert row.loc[0, "dup_line_frac"] == pytest.approx(1 / 3)
+    assert row.loc[1, "dup_para_frac"] == pytest.approx(1 / 3)
+    assert row.loc[2, "top_bigram_share"] == 1.0
+    assert row.loc[3, "top_bigram_share"] == pytest.approx(1 / 3)
+    assert row.loc[4, "top_bigram_share"] == 0.0
+    assert row.loc[8, "dup_line_frac"] == pytest.approx(3 / 4)
+    assert pd.isna(row.loc[10, "n_lines"])
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(ray_session):
+    """Two runs produce IDENTICAL samples; per-stratum keep rates land
+    near their targets; unknown strata fall to the default rate."""
+    import ray.data as rd
+
+    from rayslog.stages.sample import stratified_sample
+
+    n = 40_000
+    langs = np.array(["en", "fr", "zh", "xx"])[
+        np.arange(n) % 4
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    rates = {"en": 0.25, "fr": 1.0, "zh": 0.0}
+    s1 = (
+        stratified_sample(ds, rates=rates, default_rate=0.5, seed=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    s2 = (
+        stratified_sample(ds, rates=rates, default_rate=0.5, seed=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert s1.equals(s2)
+    per = s1.groupby("lang").size()
+    assert abs(per.get("en", 0) / (n / 4) - 0.25) < 0.02
+    assert per.get("fr", 0) == n / 4          # rate 1.0 keeps all
+    assert per.get("zh", 0) == 0              # rate 0.0 drops all
+    assert abs(per.get("xx", 0) / (n / 4) - 0.5) < 0.02  # default
+    # a different seed selects a different (still deterministic) set
+    s3 = (
+        stratified_sample(ds, rates=rates, default_rate=0.5, seed=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert not s1.equals(s3)
+
+
+def test_splitmix64_sql_parity():
+    """The numpy splitmix64 and its DuckDB expression agree bit-for-bit
+    across the key range (the foundation of the sample oracle)."""
+    import duckdb
+
+    from rayslog.stages.sample import sample_sql_hash_expr, splitmix64
+
+    ids = np.array(
+        [0, 1, 2, 999, 10**6, 2**31, 2**62, 2**63 - 1], dtype=np.uint64
+    )
+    py = splitmix64(ids, seed=42)
+    con = duckdb.connect()
+    vals = ", ".join(f"({int(i)})" for i in ids)
+    expr = sample_sql_hash_expr("k", 42)
+    got = np.array(
+        [
+            r[0]
+            for r in con.sql(
+                f"SELECT {expr} FROM (VALUES {vals}) AS t(k) "
+            ).fetchall()
+        ],
+        dtype=np.uint64,
+    )
+    assert (got == py).all()

@@ -99,6 +99,12 @@ def rows_for(sf_dir: str) -> int:
     return 60_000
 
 
+#: rows at/above which generation fans out over Ray (when a session is
+#: already up — the library never calls ray.init itself)
+PARALLEL_MIN_ROWS = 4_000_000
+_CHUNK_ROWS = 1_200_000
+
+
 def transcripts_path(sf_dir: str) -> str:
     """Generate (once, cached) and return the transcripts parquet DIR.
 
@@ -106,24 +112,40 @@ def transcripts_path(sf_dir: str) -> str:
     Ray Data — a single file would serialize the read into one task and
     bottleneck the whole pipeline) written atomically via tmp-dir +
     rename so concurrent generators converge.
+
+    Tables >= PARALLEL_MIN_ROWS generate over Ray when a session is
+    initialized (chunked two-phase plan, part files written inside the
+    tasks — the driver never materializes the table); smaller tables
+    use the byte-stable single-process path.
     """
     base = sf_key(sf_dir)
     out = DATA_ROOT / base / "transcripts.parquet"
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
-        tbl = generate_transcripts(rows_for(sf_dir), seed=SEED)
         tmp = DATA_ROOT / base / f".tmp.transcripts.{os.getpid()}"
         tmp.mkdir(parents=True, exist_ok=True)
-        n = len(tbl)
-        n_parts = min(256, max(1, n // 37_500))
-        per = (n + n_parts - 1) // n_parts
-        for i in range(n_parts):
-            part = tbl.slice(i * per, per)
-            if len(part):
-                pq.write_table(
-                    part, tmp / f"part-{i:05d}.parquet",
-                    row_group_size=32_768,
-                )
+        n = rows_for(sf_dir)
+        parallel = False
+        if n >= PARALLEL_MIN_ROWS:
+            try:
+                import ray
+
+                parallel = ray.is_initialized()
+            except ImportError:  # pragma: no cover
+                parallel = False
+        if parallel:
+            _parallel_generate_to(tmp, n, seed=SEED)
+        else:
+            tbl = generate_transcripts(n, seed=SEED)
+            n_parts = min(256, max(1, n // 37_500))
+            per = (n + n_parts - 1) // n_parts
+            for i in range(n_parts):
+                part = tbl.slice(i * per, per)
+                if len(part):
+                    pq.write_table(
+                        part, tmp / f"part-{i:05d}.parquet",
+                        row_group_size=32_768,
+                    )
         try:
             os.replace(tmp, out)
         except OSError:  # a concurrent generator won the race
@@ -133,34 +155,121 @@ def transcripts_path(sf_dir: str) -> str:
     return str(out)
 
 
-def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
-    rng = np.random.default_rng(seed)
-    n_convs = max(20, n_rows // 120)
-
-    # conv assignment: conv 0 is the hot key (~20% of rows); the rest
-    # follow a 1/k Zipf tail.
+def _conv_weights(n_convs: int) -> np.ndarray:
+    """conv 0 is the hot key (~20% of rows); the rest follow a 1/k
+    Zipf tail."""
     w = 1.0 / np.arange(1, n_convs + 1)
     w[0] = 0.0
     w = w / w.sum() * 0.8
     w[0] = 0.2
-    conv = rng.choice(n_convs, size=n_rows, p=w)
+    return w
 
-    # dense per-conv turn_idx in row order
+
+def _dense_turns(conv: np.ndarray) -> np.ndarray:
+    """Dense per-conv rank in row order (0..count-1 per conv)."""
+    n = len(conv)
     order = np.argsort(conv, kind="stable")
     sorted_conv = conv[order]
     run_start = np.flatnonzero(
         np.r_[True, sorted_conv[1:] != sorted_conv[:-1]]
     )
-    counts = np.diff(np.r_[run_start, n_rows])
-    turn_sorted = np.arange(n_rows) - np.repeat(run_start, counts)
-    turn_idx = np.empty(n_rows, dtype=np.int64)
+    counts = np.diff(np.r_[run_start, n])
+    turn_sorted = np.arange(n) - np.repeat(run_start, counts)
+    turn_idx = np.empty(n, dtype=np.int64)
     turn_idx[order] = turn_sorted
+    return turn_idx
 
+
+def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Single-process generation (byte-stable: draw order unchanged
+    since round 1; the parallel path reuses _assemble per chunk)."""
+    rng = np.random.default_rng(seed)
+    n_convs = max(20, n_rows // 120)
+    conv = rng.choice(n_convs, size=n_rows, p=_conv_weights(n_convs))
+    turn_idx = _dense_turns(conv)
+    return _assemble(rng, conv, turn_idx, n_convs, row_start=0)
+
+
+def _parallel_generate_to(tmp, n_rows: int, seed: int = SEED) -> None:
+    """Chunked two-phase generation over Ray tasks; part files are
+    written INSIDE the tasks (the driver never holds the table).
+
+    Invariants preserved vs the single-process path (same distributions,
+    not the same bytes — per-chunk rng streams differ):
+
+    - hot-conv share: every chunk draws convs from the same weight
+      vector, so conv 0 still carries ~20% overall;
+    - turn_idx density: phase 1 counts per-(chunk, conv) occupancy;
+      the driver computes exclusive per-conv prefix offsets across
+      chunks; phase 2 adds them to the chunk-local dense ranks — the
+      result is 0..count-1 per conv over the WHOLE table, exactly like
+      _dense_turns on the full array;
+    - canonical/edge text contract: _assemble is the same code.
+    """
+    import ray
+
+    n_convs = max(20, n_rows // 120)
+    chunks = []
+    start = 0
+    while start < n_rows:
+        n = min(_CHUNK_ROWS, n_rows - start)
+        chunks.append((len(chunks), start, n))
+        start += n
+    w_ref = ray.put(_conv_weights(n_convs))
+
+    @ray.remote
+    def phase1(i: int, n: int):
+        rng = np.random.default_rng([seed, i])
+        conv = rng.choice(n_convs, size=n, p=ray.get(w_ref))
+        return np.bincount(conv, minlength=n_convs).astype(np.int64)
+
+    counts = ray.get([phase1.remote(i, n) for i, _, n in chunks])
+    # exclusive prefix across chunks, per conv
+    offsets = [np.zeros(n_convs, dtype=np.int64)]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    tmp = str(tmp)
+
+    @ray.remote
+    def phase2(i: int, row_start: int, n: int, off_vec: np.ndarray):
+        rng = np.random.default_rng([seed, i])
+        conv = rng.choice(n_convs, size=n, p=ray.get(w_ref))
+        turn_idx = _dense_turns(conv) + off_vec[conv]
+        tbl = _assemble(rng, conv, turn_idx, n_convs, row_start=row_start)
+        pq.write_table(
+            tbl, f"{tmp}/part-{i:05d}.parquet", row_group_size=32_768
+        )
+        return n
+
+    done = ray.get(
+        [
+            phase2.remote(i, s, n, offsets[i])
+            for i, s, n in chunks
+        ]
+    )
+    assert sum(done) == n_rows
+
+
+def _assemble(
+    rng: np.random.Generator,
+    conv: np.ndarray,
+    turn_idx: np.ndarray,
+    n_convs: int,
+    row_start: int,
+) -> pa.Table:
+    """Everything after conv/turn assignment: the remaining draws (in
+    the round-1 stream order) + vectorized Arrow text assembly.
+    ``row_start`` anchors global-row-derived values (ts base, the
+    odd-row day padding) so chunked generation matches the full-table
+    shapes."""
+    n_rows = len(conv)
+    global_idx = row_start + np.arange(n_rows, dtype=np.int64)
     role = rng.choice(len(ROLES), size=n_rows)
     tool = rng.choice(len(TOOLS), size=n_rows, p=[0.6, 0.1, 0.1, 0.1, 0.1])
     ts_us = (
         np.int64(1_748_736_000_000_000)  # 2025-06-01T00:00:00Z
-        + np.arange(n_rows, dtype=np.int64) * 1_000_000
+        + global_idx * 1_000_000
         + rng.integers(0, 1_000_000, n_rows)
     )
 
@@ -227,7 +336,7 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
     hosts_a = pc.take(pa.array(HOSTS, pa.large_string()), pa.array(host_i))
     apps_a = pc.take(pa.array(APPS, pa.large_string()), pa.array(app_i))
     pri_s, pid_s = s_(pri), s_(pid)
-    odd = pa.array((np.arange(n_rows) & 1).astype(bool))
+    odd = pa.array((global_idx & 1).astype(bool))
     dayf = pc.if_else(odd, pad(day, 2, " "), pad(day, 2))
     head3 = J(const("<"), pri_s, const(">"), months_a, const(" "), dayf,
               const(" "), pad(hh, 2), const(":"), pad(mi, 2), const(":"),

@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
+        "quality_filter": p.q_quality_filter,
+        "redact_pii": p.q_redact_pii,
+        "top_ngrams": p.q_top_ngrams,
+        "doc_freq": p.q_doc_freq,
         "dedup_minhash": p.q_dedup_minhash,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)

@@ -249,6 +249,51 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+#: quality-gate thresholds shared by the Ray query AND its SQL oracle
+QUALITY_GATES = {
+    "min_tokens": 30,
+    "max_tokens": 90,
+    "min_alpha_ratio": 0.5,
+    "max_top_bigram_share": 0.10,
+}
+
+
+def q_quality_filter(sf_dir: str):
+    """Documents passing the composed quality gates (length window +
+    alpha ratio + repetition cap); returns surviving doc_ids."""
+    from rayslog.stages.text import quality_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_filter(ds, **QUALITY_GATES).select_columns(["doc_id"])
+
+
+def q_redact_pii(sf_dir: str):
+    """Transcript text with IPv4s -> [ip] and bracketed pids -> [pid]
+    (log-scrubbing stage over the syslog corpus, which contains both)."""
+    from rayslog.stages.text import redact_pii
+
+    ds = read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        lambda t: redact_pii(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_top_ngrams(sf_dir: str):
+    """Corpus-wide top-20 token bigrams with counts."""
+    from rayslog.stages.text import top_ngrams
+
+    return top_ngrams(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
+def q_doc_freq(sf_dir: str):
+    """Top-20 tokens by document frequency (the IDF denominator)."""
+    from rayslog.stages.text import doc_freq
+
+    return doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints; rows-only check."""
     from rayslog.stages.text import rolling_fingerprint

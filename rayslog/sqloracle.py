@@ -158,6 +158,10 @@ def _literal_error_arms() -> str:
 
 #: TOKEN_RE kept in sync with rayslog.stages.text.TOKEN_RE
 _TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# redact_pii patterns — imported from the stage so engine and oracle
+# can never drift (the SQL embeds them verbatim; both are RE2)
+from rayslog.stages.text import IPV4_RE as _IPV4_RE_SQL  # noqa: E402
+from rayslog.stages.text import PID_RE as _PID_RE_SQL  # noqa: E402
 
 
 def _jaccard_sql(threshold: float, cap: str) -> str:
@@ -203,6 +207,44 @@ def _stratified_sample_sql() -> str:
         default_rate=SAMPLE_DEFAULT_RATE,
         seed=SAMPLE_SEED,
     )
+
+
+def _quality_filter_sql() -> str:
+    """Oracle for q_quality_filter — thresholds shared with the Ray
+    query via pipeline.QUALITY_GATES; features recomputed with the same
+    IEEE divisions as the engine kernels."""
+    from rayslog.pipeline import QUALITY_GATES as G
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1]
+    )) AS bi
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bi, count(*) AS c FROM bg GROUP BY doc_id, bi),
+bgm AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id),
+f AS (
+  SELECT t.doc_id,
+    CAST(len(toks) AS BIGINT) AS n_toks,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / greatest(length(text), 1) AS alpha_ratio,
+    CASE WHEN len(toks) >= 2
+         THEN CAST(bgm.mc AS DOUBLE) / (len(toks) - 1)
+         ELSE 0.0 END AS top_share
+  FROM t LEFT JOIN bgm ON t.doc_id = bgm.doc_id
+)
+SELECT doc_id FROM f
+WHERE n_toks >= {G["min_tokens"]} AND n_toks <= {G["max_tokens"]}
+  AND alpha_ratio >= {G["min_alpha_ratio"]}
+  AND top_share <= {G["max_top_bigram_share"]}
+"""
 
 
 def training_oracle_queries() -> dict[str, str]:
@@ -304,6 +346,33 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN bgm USING (doc_id)
 """,
         "stratified_sample": _stratified_sample_sql(),
+        "quality_filter": _quality_filter_sql(),
+        # corpus-wide top-20 token bigrams, deterministic tie-break
+        "top_ngrams": r"""
+WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1]
+  )) AS ngram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+""",
+        # top-20 tokens by document frequency (lowercased)
+        "doc_freq": r"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, unnest(toks) AS token FROM t)
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM d GROUP BY token
+ORDER BY df DESC, token LIMIT 20
+""",
         "text_quality": rf"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_measured,
@@ -489,6 +558,16 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
         "host_traffic": base
 + "SELECT hostname, count(*) AS n_turns FROM allok GROUP BY hostname"
 " ORDER BY n_turns DESC, hostname LIMIT 20",
+        # PII/log scrubbing: same RE2 patterns as stages/text.py
+        # (IPV4_RE / PID_RE), global replacement on both sides
+        "redact_pii": f"""
+SELECT conv_id, turn_idx,
+  regexp_replace(
+    regexp_replace(text, '{_IPV4_RE_SQL}', '[ip]', 'g'),
+    '{_PID_RE_SQL}', '[pid]', 'g'
+  ) AS redacted
+FROM read_parquet('{path}/*.parquet')
+""",
         "parse_errors": base
         + f"""
 , okk AS (

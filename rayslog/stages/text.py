@@ -251,6 +251,157 @@ def repetition_features(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+def quality_filter(
+    ds,
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+    min_alpha_ratio: float = 0.5,
+    max_top_bigram_share: float = 0.10,
+    col: str = "text",
+):
+    """Keep documents passing the standard quality gates (Gopher-style
+    length window + alphabetic ratio + repetition cap) — the filter
+    every curation pipeline composes from the feature stages.  One
+    streaming pass; the features are computed per batch and dropped
+    after the predicate (only the surviving input columns flow on)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        feats = repetition_features(quality_features(t, col), col)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), min_tokens),
+                pc.less_equal(feats.column("n_tokens"), max_tokens),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    feats.column("alpha_ratio"), min_alpha_ratio
+                ),
+                pc.less_equal(
+                    feats.column("top_bigram_share"), max_top_bigram_share
+                ),
+            ),
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=8_192
+    )
+
+
+#: IPv4-looking runs (RE2, shared verbatim with the SQL oracle)
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+#: bracketed-pid process tags like "sshd[12345]"
+PID_RE = r"\[\d+\]"
+
+
+def redact_pii(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``redacted``: the text with IPv4s -> ``[ip]`` and
+    bracketed pids -> ``[pid]`` (the log-scrubbing stage; swap in real
+    PII patterns the same way).  Pure RE2 ``replace_substring_regex``
+    — identical semantics to the oracle's ``regexp_replace(..., 'g')``."""
+    t = batch.column(col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    red = pc.replace_substring_regex(t, IPV4_RE, "[ip]")
+    red = pc.replace_substring_regex(red, PID_RE, "[pid]")
+    return batch.append_column("redacted", red)
+
+
+def top_ngrams(ds, k: int = 20, col: str = "text"):
+    """Corpus-wide top-k token bigrams: per-batch partial counts (one
+    row per distinct bigram per batch) -> groupby-sum -> deterministic
+    (count desc, ngram asc) sort + limit.  The shuffle moves distinct
+    bigram strings per batch, never the corpus; the classic corpus-
+    statistics shape (same plan scales to n-grams of any order)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column(col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=False)
+        counts = np.diff(offs)
+        nbi = np.maximum(counts - 1, 0)
+        if nbi.sum() == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        rows = np.nonzero(nbi)[0]
+        reps = nbi[rows]
+        bi_offs = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(reps, out=bi_offs[1:])
+        within = (
+            np.arange(int(bi_offs[-1]), dtype=np.int64)
+            - np.repeat(bi_offs[:-1], reps)
+        )
+        pos = np.repeat(offs[:-1][rows], reps) + within
+        a = flat.take(pa.array(pos))
+        b = flat.take(pa.array(pos + 1))
+        joined = pc.binary_join_element_wise(a, b, " ")  # sep is last arg
+        g = (
+            pa.table({"ngram": joined})
+            .group_by(["ngram"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["ngram", "n"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
+    )
+    totals = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def doc_freq(ds, k: int = 20, col: str = "text", id_col: str = "doc_id"):
+    """Top-k tokens by DOCUMENT frequency (distinct docs containing the
+    token — the IDF denominator).  Per-batch: per-row distinct tokens
+    (one row per (doc, token)) collapse to per-batch df partials; then
+    groupby-sum + deterministic top-k.  Distinctness within a doc is
+    resolved inside the batch, so the shuffle carries df partials, not
+    (doc, token) pairs."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column(col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=True)
+        n = len(offs) - 1
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        h = tx.hash_utf8(flat, seed=0)
+        seg = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(offs)
+        )
+        order = np.lexsort((h, seg))
+        s, hh = seg[order], h[order]
+        first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        idx = np.asarray(order)[first]
+        uniq = flat.take(pa.array(idx))
+        g = (
+            pa.table({"token": uniq})
+            .group_by(["token"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["token", "df"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
+    )
+    totals = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    return totals.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
 def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fingerprint``: order-sensitive polynomial rolling hash
     over whitespace-token hashes (Horner, mod 2^64; vectorized)."""

@@ -43,6 +43,10 @@ QUERY_NAMES = [
     "dedup_exact",
     "repetition",
     "stratified_sample",
+    "quality_filter",
+    "redact_pii",
+    "top_ngrams",
+    "doc_freq",
     "text_quality",
     "token_counts",
     "lang_id",

@@ -307,29 +307,45 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FILE METADATA (no data read) — used to
+    size shuffle partitioning (bucket_parts) to the corpus."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs with exact-Jaccard verify; rows-only."""
-    from rayslog.stages.dedup import minhash_near_dups
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify."""
+    from rayslog.stages.dedup import minhash_near_dups, tuned_bucket_parts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_near_dups(ds, threshold=0.5)
+    return minhash_near_dups(
+        ds, threshold=0.5,
+        bucket_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents")),
+    )
 
 
 def q_dedup_minhash_keep(sf_dir: str):
     """One-pass LSH survivor selection (near-dup dedup without pair
     enumeration — the template-heavy-corpus scale shape); rows-only."""
-    from rayslog.stages.dedup import minhash_dedup_survivors
+    from rayslog.stages.dedup import minhash_dedup_survivors, tuned_bucket_parts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_survivors(ds)
+    return minhash_dedup_survivors(
+        ds, bucket_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents"))
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3); rows-only."""
-    from rayslog.stages.dedup import simhash_near_dups
+    from rayslog.stages.dedup import simhash_near_dups, tuned_bucket_parts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=3)
+    return simhash_near_dups(
+        ds, max_hamming=3,
+        key_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents")),
+    )
 
 
 def _query_vectors(sf_dir: str, n: int = 8):

@@ -291,7 +291,8 @@ def _oversize_msg(n_over: int, max_bucket: int) -> str:
 
 
 def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
-                            bucket_parts: int = 64):
+                            bucket_parts: int = 64,
+                            doc_parts: int | None = None):
     """Near-dup DEDUP (survivor selection) — the scale shape for
     template-heavy corpora where pair ENUMERATION explodes (measured:
     180k short log lines -> 4.6M near-dup pairs; 1M -> O(10^8)).
@@ -348,10 +349,12 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
     # >9 min for 32M rows / 1M keys, where the same-shape map_groups
     # with salted parts takes ~2s) — so reduce inside bounded
     # (doc_id % parts) groups with a vectorized reduceat.
+    dparts = doc_parts if doc_parts is not None else max(bucket_parts, 64)
+
     def add_dpart(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.append_column(
-            "dpart", pa.array((d % 1024).astype(np.int32))
+            "dpart", pa.array((d % dparts).astype(np.int32))
         )
 
     def part_parents(g: pd.DataFrame) -> pd.DataFrame:
@@ -402,9 +405,20 @@ def fetch_texts_for_ids(ds, ids, id_col: str = "doc_id", text_col: str = "text")
     return dict(zip(small[id_col], small[text_col]))
 
 
+def tuned_bucket_parts(n_docs: int) -> int:
+    """bucket_parts sizing rule: ~50k docs' band rows per (band, part)
+    group keeps the vectorized group bodies large while bounding both
+    the per-group memory (n_docs/parts x 24 B) and the fixed ~0.4 ms
+    map_groups machinery per group (measured; bands x parts groups
+    total).  At 5k docs this gives 8 parts (0.65s vs 1.76s with the old
+    flat 64); at 10^9 docs, 4096 parts x 32 bands = 131k groups of
+    ~250k band rows each."""
+    return max(8, min(4096, -(-n_docs // 50_000)))
+
+
 def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
                       rows_per_band: int = 4, k: int = 3,
-                      max_bucket: int = 256):
+                      max_bucket: int = 256, bucket_parts: int = 64):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     Two-pass verify (no corpus materialization): (1) raw per-band pairs
@@ -424,7 +438,8 @@ def minhash_near_dups(ds, threshold: float = 0.7, bands: int = 32,
     # to_pandas, NOT take_all: row-wise collection pays ~1ms/row on
     # this host (per-row dict churn); the columnar pull is instant
     raw = minhash_candidates(
-        ds, bands, rows_per_band, dedupe=False, max_bucket=max_bucket
+        ds, bands, rows_per_band, bucket_parts=bucket_parts,
+        dedupe=False, max_bucket=max_bucket,
     ).to_pandas()
     n_over = int((raw["doc_a"] == -1).sum())
     if n_over:

@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
         "quality_filter": p.q_quality_filter,
+        "curation": p.q_curation,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
         "doc_freq": p.q_doc_freq,

@@ -294,6 +294,36 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
 
+def q_curation(sf_dir: str):
+    """The composed curation flagship over documents: quality gates →
+    exact dedup (keep min doc_id per text) → deterministic stratified
+    sample by language.  Every stage streams; the dedup survivors join
+    back to the filtered rows with the distributed bucket hash join
+    (no driver-side id set), and the whole composition is exactly
+    SQL-expressible — this is the green-oracle end-to-end demo of the
+    curation operators."""
+    from rayslog.stages.dedup import dedup_exact
+    from rayslog.stages.relational import hash_join
+    from rayslog.stages.sample import stratified_sample
+    from rayslog.stages.text import quality_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    filtered = quality_filter(ds, **QUALITY_GATES)
+    survivors = dedup_exact(filtered)  # (doc_id) of kept rows
+    joined = hash_join(
+        filtered.select_columns(["doc_id", "lang", "source"]),
+        survivors,
+        key="doc_id",
+    )
+    return stratified_sample(
+        joined,
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        seed=SAMPLE_SEED,
+    ).select_columns(["doc_id", "lang", "source"])
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints; rows-only check."""
     from rayslog.stages.text import rolling_fingerprint

@@ -247,6 +247,36 @@ WHERE n_toks >= {G["min_tokens"]} AND n_toks <= {G["max_tokens"]}
 """
 
 
+def _curation_sql() -> str:
+    """Oracle for q_curation — the same composition (quality gates ->
+    exact dedup keep-min -> stratified sample) built from the SAME
+    shared pieces, so thresholds/rates/hash can never drift."""
+    from rayslog.pipeline import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        SAMPLE_SEED,
+    )
+    from rayslog.stages.sample import stratified_sample_sql
+
+    qf = _quality_filter_sql()
+    inner = f"""(
+WITH kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM ({qf}) qf)
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+SELECT k.doc_id, k.lang, k.source FROM kept k JOIN surv USING (doc_id)
+) c"""
+    return stratified_sample_sql(
+        inner,
+        ["doc_id", "lang", "source"],
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        seed=SAMPLE_SEED,
+    )
+
+
 def training_oracle_queries() -> dict[str, str]:
     """Oracles for the training-data operators — these run on the
     driver's pre-registered views (documents/embeddings/events/
@@ -347,6 +377,7 @@ FROM base b LEFT JOIN bgm USING (doc_id)
 """,
         "stratified_sample": _stratified_sample_sql(),
         "quality_filter": _quality_filter_sql(),
+        "curation": _curation_sql(),
         # corpus-wide top-20 token bigrams, deterministic tie-break
         "top_ngrams": r"""
 WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "repetition",
     "stratified_sample",
     "quality_filter",
+    "curation",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

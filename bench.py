@@ -147,6 +147,9 @@ def _run_bench() -> dict:
             "text_quality", lambda: p.q_text_quality(SF_DIR).count()
         )
         timed_extra("ann_topk", lambda: p.q_ann_topk(SF_DIR).to_pandas())
+        timed_extra("repetition", lambda: p.q_repetition(SF_DIR).count())
+        timed_extra("curation", lambda: p.q_curation(SF_DIR).to_pandas())
+        timed_extra("top_ngrams", lambda: p.q_top_ngrams(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
     headline_tps = round(n_rows / timings["parse_route"], 1)

@@ -302,21 +302,20 @@ def q_curation(sf_dir: str):
     (no driver-side id set), and the whole composition is exactly
     SQL-expressible — this is the green-oracle end-to-end demo of the
     curation operators."""
-    from rayslog.stages.dedup import dedup_exact
-    from rayslog.stages.relational import hash_join
+    from rayslog.stages.dedup import dedup_exact_keep_rows
     from rayslog.stages.sample import stratified_sample
     from rayslog.stages.text import quality_filter
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
     filtered = quality_filter(ds, **QUALITY_GATES)
-    survivors = dedup_exact(filtered)  # (doc_id) of kept rows
-    joined = hash_join(
-        filtered.select_columns(["doc_id", "lang", "source"]),
-        survivors,
-        key="doc_id",
+    # keep-rows dedup: one hash-partitioned shuffle carrying
+    # (h1, h2, doc_id, lang, source) — min doc_id per distinct text
+    # with the row attributes attached (no join-back needed)
+    survivors = dedup_exact_keep_rows(
+        filtered, keep_cols=["lang", "source"]
     )
     return stratified_sample(
-        joined,
+        survivors,
         strata_col="lang",
         rates=SAMPLE_RATES,
         default_rate=SAMPLE_DEFAULT_RATE,

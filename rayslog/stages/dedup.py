@@ -56,6 +56,45 @@ def dedup_exact(ds, id_col: str = "doc_id"):
     )
 
 
+def dedup_exact_keep_rows(ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          keep_cols: list[str] | None = None,
+                          parts: int = 64):
+    """Exact dedup that RETURNS THE SURVIVING ROWS (min id per distinct
+    text) with ``keep_cols`` attached — one hash-partitioned shuffle
+    instead of dedup_exact's aggregate + join-back (half the all-to-all
+    cost when downstream needs row attributes).  The shuffle carries
+    16-byte hash keys + id + keep_cols per row, never the text; groups
+    are bounded (h1 % parts) slices with vectorized run detection."""
+    import pandas as pd
+
+    keep_cols = list(keep_cols or [])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        out = add_text_hash(t, col=text_col)
+        h1 = out.column("h1").to_numpy(zero_copy_only=False)
+        part = (h1.view(np.uint64) % np.uint64(parts)).astype(np.int32)
+        return out.select(["h1", "h2", id_col] + keep_cols).append_column(
+            "hpart", pa.array(part)
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        sel = np.asarray(order)[first]
+        return g.iloc[sel][[id_col] + keep_cols]
+
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- shingles
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Sorted unique 64-bit k-token shingle hashes of one text (the

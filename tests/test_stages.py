@@ -785,3 +785,27 @@ def test_splitmix64_sql_parity():
         dtype=np.uint64,
     )
     assert (got == py).all()
+
+
+def test_dedup_exact_keep_rows_matches_dedup_exact(docs_with_dups):
+    """Keep-rows dedup (single shuffle, attributes attached) selects
+    exactly dedup_exact's survivor ids."""
+    import ray.data as rd
+
+    from rayslog.stages.dedup import dedup_exact, dedup_exact_keep_rows
+
+    ids = set(dedup_exact(docs_with_dups).to_pandas()["doc_id"])
+    rows = dedup_exact_keep_rows(docs_with_dups).to_pandas()
+    assert set(rows["doc_id"]) == ids
+    assert list(rows.columns) == ["doc_id"]
+    # with keep_cols, the attributes come from the surviving row
+    docs2 = docs_with_dups.map_batches(
+        lambda t: t.append_column(
+            "mark", pa.array([f"m{int(i)}" for i in t.column("doc_id").to_pylist()])
+        ),
+        batch_format="pyarrow",
+    )
+    rows2 = dedup_exact_keep_rows(docs2, keep_cols=["mark"]).to_pandas()
+    assert set(rows2["doc_id"]) == ids
+    got = dict(zip(rows2["doc_id"], rows2["mark"]))
+    assert all(got[i] == f"m{i}" for i in ids)

@@ -50,3 +50,46 @@ def parse_syslog_files(paths, cfg=None):
     from rayslog.stages.parse import parse_dataset
 
     return parse_dataset(read_syslog_text(paths), cfg or DEFAULT_CONFIG)
+
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts_jsonl(paths, columns: list[str] | None = None):
+    """Transcripts from NDJSON (one JSON object per line, the
+    input_hint schema) — the same Dataset shape as the parquet reader,
+    so every pipeline runs unchanged over JSONL drops.  ``ts`` accepts
+    epoch-micros ints or ISO strings; ``turn_idx`` is cast to int32.
+    Column pruning happens right after decode (JSON can't prune at the
+    read the way parquet row groups do — noted trade-off)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cols = list(columns or TRANSCRIPT_COLUMNS)
+    ds = rd.read_json(paths)
+
+    def fix(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = t.column(c)
+            if c == "turn_idx":
+                col = pc.cast(col, pa.int32())
+            elif c == "ts":
+                if pa.types.is_integer(col.type):
+                    col = col.cast(pa.timestamp("us"))
+                elif pa.types.is_string(col.type):
+                    col = pc.strptime(col, "%Y-%m-%dT%H:%M:%S", "us")
+            out[c] = col
+        return pa.table(out)
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_transcripts_jsonl(paths, cfg=None):
+    """read JSONL -> parse: the drop-in for pipelines whose upstream
+    lands NDJSON instead of parquet."""
+    from rayslog.config import DEFAULT_CONFIG
+    from rayslog.stages.parse import parse_dataset
+
+    ds = read_transcripts_jsonl(paths, ["conv_id", "turn_idx", "text"])
+    return parse_dataset(ds, cfg or DEFAULT_CONFIG)

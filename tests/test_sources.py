@@ -95,3 +95,52 @@ def test_parallel_generator_matches_invariants(ray_session):
         assert h1 == h2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_jsonl_transcripts_match_parquet_parse(ray_session, tmp_path):
+    """The NDJSON source yields the same parse results as the parquet
+    path on the same rows (epoch-us and ISO ts variants)."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayslog.sources.rawlog import parse_transcripts_jsonl
+    from rayslog.stages.parse import parse_dataset
+    from rayslog.config import DEFAULT_CONFIG
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "<34>Oct 11 22:14:15 mymachine su: hello",
+         "tool": "", "ts": 1_748_736_000_000_000},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "<165>1 2003-10-11T22:14:15.003Z host su 123 ID47 - ok",
+         "tool": "bash", "ts": 1_748_736_001_000_000},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "not syslog at all", "tool": "", "ts": 1_748_736_002_000_000},
+    ]
+    f = tmp_path / "t.jsonl"
+    f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    got = (
+        parse_transcripts_jsonl([str(f)])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref_tbl = pa.table(
+        {
+            "conv_id": [r["conv_id"] for r in rows],
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "text": [r["text"] for r in rows],
+        }
+    )
+    want = (
+        parse_dataset(rd.from_arrow(ref_tbl), DEFAULT_CONFIG)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[0, "severity"] == 2 and got.loc[2, "parse_error"] is not None

@@ -40,12 +40,12 @@ def counts_by(
     - ``"shuffle"``: Ray's hash-shuffle aggregate — the scale path for
       high-cardinality keys (conv_id at 10^12 turns).
     - ``"tree"``: distributed fan-in tree over the partial BLOCKS with
-      raw Ray tasks (see ``tree_counts_by``) — no sort-shuffle
+      raw Ray tasks (see ``_tree_combine``) — no sort-shuffle
       machinery at all.  The right plan when distinct keys << rows
       (conv counts: one key per ~1.2k turns) but the key domain is
       still too big for a driver pull; the combine stays on workers.
       Partitioning assumption: the DISTINCT-KEY result fits one task
-      (documented in tree_counts_by) — beyond that, use "shuffle".
+      (documented in _tree_combine) — beyond that, use "shuffle".
     - ``"driver"``: stream the partials (O(groups x blocks) rows, NOT
       raw rows) to the driver and reduce with one Arrow group_by —
       for known-small key domains (severity/rfc/hour/error-class) the

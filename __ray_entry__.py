@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": p.q_stratified_sample,
         "quality_filter": p.q_quality_filter,
         "curation": p.q_curation,
+        "pack_sequences": p.q_pack_sequences,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
         "doc_freq": p.q_doc_freq,

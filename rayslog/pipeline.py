@@ -323,6 +323,16 @@ def q_curation(sf_dir: str):
     ).select_columns(["doc_id", "lang", "source"])
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-shard packing: each doc assigned to the 256-token bin
+    its global (doc_id-ordered) token offset falls in — the
+    distributed ordered-prefix-sum pattern."""
+    from rayslog.stages.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, budget=256)
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints; rows-only check."""
     from rayslog.stages.text import rolling_fingerprint

@@ -378,6 +378,20 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "stratified_sample": _stratified_sample_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
+        # sequence packing: bin = exclusive global prefix sum of token
+        # counts (doc_id order) // budget — pure integer arithmetic
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  coalesce(SUM(n_tokens) OVER
+    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0) // 256 AS bin_id
+FROM t
+""",
         # corpus-wide top-20 token bigrams, deterministic tie-break
         "top_ngrams": r"""
 WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),

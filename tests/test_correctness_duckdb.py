@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "stratified_sample",
     "quality_filter",
     "curation",
+    "pack_sequences",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

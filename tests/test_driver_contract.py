@@ -45,4 +45,4 @@ def test_queries_and_oracles_line_up():
         "ann_ivf", "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 44 and len(o) == 36
+    assert len(q) == 45 and len(o) == 37

@@ -809,3 +809,38 @@ def test_dedup_exact_keep_rows_matches_dedup_exact(docs_with_dups):
     assert set(rows2["doc_id"]) == ids
     got = dict(zip(rows2["doc_id"], rows2["mark"]))
     assert all(got[i] == f"m{i}" for i in ids)
+
+
+def test_pack_sequences_global_prefix_sums(ray_session):
+    """Distributed packing == the single-machine prefix-sum answer,
+    across part boundaries and block splits; bins cover docs in order
+    and every bin except possibly the last reaches the budget."""
+    import ray.data as rd
+
+    from rayslog.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(13)
+    n = 9_000
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    out = (
+        pack_sequences(ds, budget=100, chunk=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_tok = np.array([t.count("w") for t in texts], dtype=np.int64)
+    excl = np.cumsum(n_tok) - n_tok
+    want = excl // 100
+    assert (out["n_tokens"].to_numpy() == n_tok).all()
+    assert (out["bin_id"].to_numpy() == want).all()
+    # bins are contiguous, start at 0
+    bins = out["bin_id"].to_numpy()
+    assert bins[0] == 0 and (np.diff(bins) >= 0).all()
+    assert set(np.unique(bins)) == set(range(int(bins[-1]) + 1))

@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": p.q_pack_sequences,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
+        "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)
         "doc_freq": p.q_doc_freq,
         "dedup_minhash": p.q_dedup_minhash,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)

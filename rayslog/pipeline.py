@@ -294,6 +294,22 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
 
+def q_approx_top_ngrams(sf_dir: str):
+    """Approximate top-20 bigrams via the mergeable SpaceSaving-style
+    counter tree — O(capacity) state per node, the 10^9-distinct-ngram
+    scale path beside exact top_ngrams; rows-only (pytest proves
+    equality with the exact operator on this skewed corpus)."""
+    from rayslog.stages.sketch import approx_heavy_hitters
+    from rayslog.stages.text import bigram_counts_partial
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return approx_heavy_hitters(
+        ds,
+        lambda t: bigram_counts_partial(t).rename_columns(["key", "n"]),
+        k=20,
+    )
+
+
 def q_curation(sf_dir: str):
     """The composed curation flagship over documents: quality gates →
     exact dedup (keep min doc_id per text) → deterministic stratified

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hash64(arr: pa.Array) -> np.ndarray:
@@ -115,3 +116,80 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
         for blob in t.column("sketch").to_pylist():
             merged = merged.merge(HllSketch.from_bytes(blob))
     return merged.estimate()
+
+
+def approx_heavy_hitters(ds, key_fn, k: int = 20, capacity: int = 2_048):
+    """Approximate top-k heavy hitters via mergeable SpaceSaving-style
+    counter truncation — the SCALE path beside an exact
+    groupby-sum+sort (stages/text.py:top_ngrams): per-batch exact
+    counts truncate to the ``capacity`` largest, partials merge by
+    summation + re-truncation through the raw-task combiner tree, and
+    the final top-k reads off the merged counters.
+
+    ``key_fn(batch: pa.Table) -> pa.Table`` must return exact
+    (key:string, n:int64) partial counts for the batch (reuse an exact
+    operator's partial stage).  Guarantee: any key whose true count
+    exceeds ~(total_mass / capacity) per merge node survives
+    truncation; with capacity >> k the returned top-k equals the exact
+    top-k on skewed (Zipf-like) distributions — verified against the
+    exact operator in tests.  State per node is O(capacity), never
+    O(distinct keys): at 10^9 distinct ngrams the exact plan shuffles
+    every distinct key once, while this one moves ``capacity`` rows
+    per block, full stop.
+    """
+    import ray
+    import ray.data as rd
+
+    def truncate(t: pa.Table) -> pa.Table:
+        if t.num_rows <= capacity:
+            return t
+        idx = pc.select_k_unstable(
+            t, k=capacity, sort_keys=[("n", "descending")]
+        )
+        return t.take(idx)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return truncate(key_fn(t))
+
+    partial = ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
+    )
+    mat = partial.materialize()
+    refs = [
+        r
+        for b in mat.iter_internal_ref_bundles()
+        for r, m in b.blocks
+        if m.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(
+            pa.table(
+                {"key": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        )
+
+    @ray.remote
+    def combine(*blocks):
+        merged = (
+            pa.concat_tables(list(blocks), promote_options="default")
+            .group_by(["key"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["key", "n"])
+        )
+        return truncate(merged)
+
+    if len(refs) == 1:
+        refs = [combine.remote(refs[0])]
+    while len(refs) > 1:
+        refs = [
+            combine.remote(*refs[i : i + 16])
+            for i in range(0, len(refs), 16)
+        ]
+    final = ray.get(refs[0])
+    order = pc.select_k_unstable(
+        final, k=min(k, final.num_rows),
+        sort_keys=[("n", "descending"), ("key", "ascending")],
+    )
+    return rd.from_arrow(final.take(order))

@@ -307,46 +307,26 @@ def redact_pii(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("redacted", red)
 
 
+def bigram_counts_partial(t: pa.Table, col: str = "text") -> pa.Table:
+    """Exact per-batch bigram counts (ngram, n) — the shared partial
+    for the exact top_ngrams plan AND the approximate heavy-hitters
+    sketch (stages/sketch.py:approx_heavy_hitters)."""
+    return _bigram_partial_impl(t, col)
+
+
 def top_ngrams(ds, k: int = 20, col: str = "text"):
     """Corpus-wide top-k token bigrams: per-batch partial counts (one
     row per distinct bigram per batch) -> groupby-sum -> deterministic
     (count desc, ngram asc) sort + limit.  The shuffle moves distinct
     bigram strings per batch, never the corpus; the classic corpus-
-    statistics shape (same plan scales to n-grams of any order)."""
+    statistics shape (same plan scales to n-grams of any order).  At
+    extreme ngram cardinality compose with
+    sketch.approx_heavy_hitters(bigram_counts_partial) — O(capacity)
+    state per node instead of one shuffled row per distinct ngram."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        txt = t.column(col)
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        flat, offs = tx.tokens(txt, lower=False)
-        counts = np.diff(offs)
-        nbi = np.maximum(counts - 1, 0)
-        if nbi.sum() == 0:
-            return pa.table(
-                {
-                    "ngram": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        rows = np.nonzero(nbi)[0]
-        reps = nbi[rows]
-        bi_offs = np.zeros(len(rows) + 1, dtype=np.int64)
-        np.cumsum(reps, out=bi_offs[1:])
-        within = (
-            np.arange(int(bi_offs[-1]), dtype=np.int64)
-            - np.repeat(bi_offs[:-1], reps)
-        )
-        pos = np.repeat(offs[:-1][rows], reps) + within
-        a = flat.take(pa.array(pos))
-        b = flat.take(pa.array(pos + 1))
-        joined = pc.binary_join_element_wise(a, b, " ")  # sep is last arg
-        g = (
-            pa.table({"ngram": joined})
-            .group_by(["ngram"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["ngram", "n"])
+        return _bigram_partial_impl(t, col)
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True,
@@ -354,6 +334,40 @@ def top_ngrams(ds, k: int = 20, col: str = "text"):
     )
     totals = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
     return totals.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def _bigram_partial_impl(t: pa.Table, col: str = "text") -> pa.Table:
+    txt = t.column(col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    flat, offs = tx.tokens(txt, lower=False)
+    counts = np.diff(offs)
+    nbi = np.maximum(counts - 1, 0)
+    if nbi.sum() == 0:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    rows = np.nonzero(nbi)[0]
+    reps = nbi[rows]
+    bi_offs = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(reps, out=bi_offs[1:])
+    within = (
+        np.arange(int(bi_offs[-1]), dtype=np.int64)
+        - np.repeat(bi_offs[:-1], reps)
+    )
+    pos = np.repeat(offs[:-1][rows], reps) + within
+    a = flat.take(pa.array(pos))
+    b = flat.take(pa.array(pos + 1))
+    joined = pc.binary_join_element_wise(a, b, " ")  # sep is last arg
+    g = (
+        pa.table({"ngram": joined})
+        .group_by(["ngram"])
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns(["ngram", "n"])
 
 
 def doc_freq(ds, k: int = 20, col: str = "text", id_col: str = "doc_id"):

@@ -70,7 +70,7 @@ QUERY_NAMES = [
     "mktsegment_revenue",
 ]
 
-ROWS_ONLY = ["doc_fingerprint", "dedup_simhash",
+ROWS_ONLY = ["doc_fingerprint", "dedup_simhash", "approx_top_ngrams",
              "ann_ivf", "media_features", "approx_distinct"]
 
 

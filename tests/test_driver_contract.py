@@ -42,7 +42,7 @@ def test_queries_and_oracles_line_up():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
-        "ann_ivf", "cosine_dups_lsh",
+        "ann_ivf", "cosine_dups_lsh", "approx_top_ngrams",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 45 and len(o) == 37
+    assert len(q) == 46 and len(o) == 37

@@ -844,3 +844,36 @@ def test_pack_sequences_global_prefix_sums(ray_session):
     bins = out["bin_id"].to_numpy()
     assert bins[0] == 0 and (np.diff(bins) >= 0).all()
     assert set(np.unique(bins)) == set(range(int(bins[-1]) + 1))
+
+
+def test_approx_heavy_hitters_matches_exact_topk(ray_session):
+    """The SpaceSaving-style counter tree returns the EXACT top-k on a
+    skewed corpus when capacity >> k, including across many blocks."""
+    import ray.data as rd
+
+    from rayslog.stages.sketch import approx_heavy_hitters
+    from rayslog.stages.text import bigram_counts_partial, top_ngrams
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(50)]
+    # zipf-ish doc mix: heavy bigrams dominate
+    texts = [
+        " ".join(vocab[int(v) % 50] for v in rng.zipf(1.3, 30))
+        for _ in range(4_000)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(9)
+    exact = top_ngrams(ds, k=10).to_pandas()
+    approx = approx_heavy_hitters(
+        ds,
+        lambda t: bigram_counts_partial(t).rename_columns(["key", "n"]),
+        k=10,
+        capacity=1_024,
+    ).to_pandas()
+    assert list(approx["key"]) == list(exact["ngram"])
+    assert list(approx["n"]) == list(exact["n"])

@@ -183,3 +183,53 @@ def test_segment_sum_empty_segments():
     offs = np.array([0, 0, 2, 2, 3, 3], dtype=np.int64)
     out = tx.segment_sum_u64(vals, offs)
     assert out.tolist() == [0, 3, 0, 3, 0]
+
+
+# ---------------- repetition kernel vs DuckDB oracle (property fuzz)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcXYZ09.,!", min_size=1, max_size=5)
+_line = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+_doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_repetition_features_fuzz_vs_duckdb(texts):
+    """repetition_features == the SQL oracle on arbitrary ASCII docs
+    with newline runs, dup lines/paragraphs, empty lines, punctuation
+    tokens — the property form of the curated multi-line test."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayslog.sqloracle import training_oracle_queries
+    from rayslog.stages.text import repetition_features
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        repetition_features(tbl)
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents_arrow", tbl)
+    con.sql("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+    want = (
+        con.sql(training_oracle_queries()["repetition"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )

@@ -3,6 +3,7 @@
 Commands::
 
     run     --input <dir-or-files> --out <dir>    resumable parse→route job
+    curate  --input <dir-or-files> --out <dir>    resumable curation job
     query   --name <q> --sf-dir <dir>             run one pipeline, print head
     bench                                          delegate to bench.py
     stats   --sf-dir <dir>                        parse-stage ds.stats()
@@ -49,6 +50,36 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _init_ray(args.num_cpus)
+    import pyarrow.parquet as pq
+
+    from rayslog.pipeline import (
+        QUALITY_GATES,
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        SAMPLE_SEED,
+    )
+    from rayslog.state.checkpoint import run_resumable_curation
+
+    files = sorted(glob.glob(f"{args.input}/*.parquet")) if os.path.isdir(
+        args.input
+    ) else [args.input]
+    done, final = run_resumable_curation(
+        files, args.out,
+        budget_gates=QUALITY_GATES,
+        sample_rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        seed=SAMPLE_SEED,
+    )
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{final}/*.parquet")
+    )
+    print(json.dumps({"processed": done, "curated_rows": n, "out": final}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
     import __ray_entry__ as entrymod
@@ -83,6 +114,14 @@ def main(argv=None) -> int:
     p_run.add_argument("--out", required=True)
     p_run.add_argument("--num-cpus", type=int, default=None)
     p_run.set_defaults(fn=cmd_run)
+
+    p_c = sub.add_parser(
+        "curate", help="resumable curation job over document shards"
+    )
+    p_c.add_argument("--input", required=True)
+    p_c.add_argument("--out", required=True)
+    p_c.add_argument("--num-cpus", type=int, default=None)
+    p_c.set_defaults(fn=cmd_curate)
 
     p_q = sub.add_parser("query", help="run one named pipeline")
     p_q.add_argument("--name", required=True)

@@ -160,3 +160,116 @@ def run_resumable_route(
         )
         processed.append(part)
     return processed
+
+
+def run_resumable_curation(
+    input_files: list[str],
+    out_dir: str,
+    budget_gates: dict | None = None,
+    sample_rates: dict | None = None,
+    default_rate: float = 0.5,
+    seed: int = 42,
+) -> tuple[list[str], str]:
+    """Resumable curation over document parquet shards.
+
+    Two stages, mirroring how real curation jobs shard:
+
+    - **Stage A (per input file, RESUMABLE)** — the expensive pass that
+      reads text: quality-gate filter + content hashing; survivors'
+      (doc_id, h1, h2, lang, source) land in a per-partition candidates
+      parquet (temp-dir + atomic rename, manifest committed last).  A
+      rerun skips committed partitions — text is never re-read.
+    - **Stage B (global, cheap)** — keep-min-id exact dedup + the
+      deterministic stratified sample over the SMALL candidate rows
+      (16-byte hashes + ids, no text), rewritten atomically every run
+      (it is orders of magnitude cheaper than stage A and depends on
+      all partitions, so re-running it is the correct semantics).
+
+    Returns (newly processed partitions, final output parquet path).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.stages.sample import stratified_sample
+    from rayslog.stages.text import add_text_hash, quality_filter
+
+    gates = budget_gates or {}
+    store = ManifestStore(out_dir)
+    processed = []
+    for path in sorted(input_files):
+        part = partition_id(path)
+        if store.done(part, input_path=path):
+            continue
+        tmp_dir = Path(out_dir) / f"_tmp.{part}.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        tmp_dir.mkdir(parents=True)
+        ds = rd.read_parquet(
+            path, columns=["doc_id", "text", "lang", "source"]
+        )
+        cands = quality_filter(ds, **gates).map_batches(
+            lambda t: add_text_hash(t).select(
+                ["doc_id", "h1", "h2", "lang", "source"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cands.write_parquet(str(tmp_dir / "candidates"))
+        n_rows = sum(
+            pq.read_metadata(f).num_rows
+            for f in sorted((tmp_dir / "candidates").rglob("*.parquet"))
+        )
+        part_dir = Path(out_dir) / part
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        outputs = sorted(
+            str(p.relative_to(part_dir)) for p in part_dir.rglob("*.parquet")
+        )
+        store.commit(
+            PartitionResult(
+                partition=part, rows=n_rows, parsed=n_rows, errors=0,
+                outputs=outputs, metrics={"input": path},
+            )
+        )
+        processed.append(part)
+
+    # ---- stage B: global dedup + sample over ALL committed candidates
+    cand_files = sorted(
+        str(f)
+        for f in Path(out_dir).glob("part-*/candidates/*.parquet")
+    )
+    final_path = str(Path(out_dir) / "curated.parquet")
+    all_cands = rd.read_parquet(cand_files)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        first = ~g.duplicated(["h1", "h2"])
+        return g[first][["doc_id", "lang", "source"]]
+
+    def add_hpart(t):
+        import pyarrow as pa
+
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "hpart",
+            pa.array((h1.view(np.uint64) % np.uint64(64)).astype(np.int32)),
+        )
+
+    surv = (
+        all_cands.map_batches(
+            add_hpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+    sampled = stratified_sample(
+        surv, strata_col="lang", rates=sample_rates or {},
+        default_rate=default_rate, seed=seed,
+    )
+    tmp_final = f"{final_path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_final, ignore_errors=True)
+    sampled.write_parquet(tmp_final)
+    shutil.rmtree(final_path, ignore_errors=True)
+    os.replace(tmp_final, final_path)
+    return processed, final_path

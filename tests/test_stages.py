@@ -877,3 +877,76 @@ def test_approx_heavy_hitters_matches_exact_topk(ray_session):
     ).to_pandas()
     assert list(approx["key"]) == list(exact["ngram"])
     assert list(approx["n"]) == list(exact["n"])
+
+
+def test_resumable_curation(ray_session, tmp_path):
+    """Stage A (per-shard filter+hash) resumes: a second run processes
+    nothing new; the final curated set equals the single-table
+    composition (quality gates -> keep-min dedup -> sample) regardless
+    of sharding."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.state.checkpoint import run_resumable_curation
+    from rayslog.stages.sample import stratified_sample
+    from rayslog.stages.dedup import dedup_exact_keep_rows
+    from rayslog.stages.text import quality_filter
+
+    rng = np.random.default_rng(23)
+    words = [f"w{j}" for j in range(300)]
+    n = 900
+    texts = []
+    for i in range(n):
+        if i % 7 == 0 and i > 0:
+            texts.append(texts[i - 1])  # planted exact dup
+        else:
+            texts.append(" ".join(rng.choice(words, size=45, replace=True)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "fr", "zh"][0:1] * n, pa.string()),
+            "source": pa.array([f"s{i%3}" for i in range(n)], pa.string()),
+        }
+    )
+    files = []
+    for i in range(3):
+        f = tmp_path / f"docs-{i}.parquet"
+        pq.write_table(tbl.slice(i * 300, 300), f)
+        files.append(str(f))
+
+    gates = {"min_tokens": 10, "max_tokens": 100,
+             "min_alpha_ratio": 0.0, "max_top_bigram_share": 1.0}
+    rates = {"en": 0.5}
+    out = tmp_path / "curated"
+    done1, final1 = run_resumable_curation(
+        files, str(out), budget_gates=gates, sample_rates=rates, seed=5
+    )
+    assert len(done1) == 3
+    got1 = pq.read_table(final1).to_pandas().sort_values("doc_id")
+
+    # resume: nothing reprocessed, identical final output
+    done2, final2 = run_resumable_curation(
+        files, str(out), budget_gates=gates, sample_rates=rates, seed=5
+    )
+    assert done2 == []
+    got2 = pq.read_table(final2).to_pandas().sort_values("doc_id")
+    assert got1.reset_index(drop=True).equals(got2.reset_index(drop=True))
+
+    # equivalence with the unsharded composition
+    ds = rd.from_arrow(tbl)
+    want = (
+        stratified_sample(
+            dedup_exact_keep_rows(
+                quality_filter(ds, **gates), keep_cols=["lang", "source"]
+            ),
+            strata_col="lang", rates=rates, default_rate=0.5, seed=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert set(got1["doc_id"]) == set(want["doc_id"])
+    # dups were actually dropped before sampling
+    n_dups = sum(1 for i in range(n) if i % 7 == 0 and i > 0)
+    assert n_dups > 0

@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": p.q_quality_filter,
         "curation": p.q_curation,
         "pack_sequences": p.q_pack_sequences,
+        "token_quantiles_by_lang": p.q_token_quantiles_by_lang,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
         "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)

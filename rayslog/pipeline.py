@@ -302,6 +302,30 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
 
+def q_token_quantiles_by_lang(sf_dir: str):
+    """Exact p50/p95 of per-doc token counts per language (grouped
+    inverse-CDF over the integer token-count domain)."""
+    from rayslog.stages.aggregate import grouped_quantiles_int
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def n_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    feats = ds.map_batches(n_tok, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles_int(
+        feats, "lang", "n_tokens", quantiles=(0.5, 0.95)
+    )
+
+
 def q_approx_top_ngrams(sf_dir: str):
     """Approximate top-20 bigrams via the mergeable SpaceSaving-style
     counter tree — O(capacity) state per node, the 10^9-distinct-ngram

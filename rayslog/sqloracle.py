@@ -378,6 +378,28 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "stratified_sample": _stratified_sample_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
+        # per-language token-count quantiles: same inverse-CDF rule as
+        # value_quantiles (smallest v with cum >= ceil(q*n)), windowed
+        # per group
+        "token_quantiles_by_lang": r"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+  FROM documents
+),
+c AS (SELECT lang, v, count(*) AS n FROM t GROUP BY 1, 2),
+w AS (
+  SELECT lang, v,
+    sum(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+    sum(n) OVER (PARTITION BY lang) AS tot
+  FROM c
+)
+SELECT lang, 'p50' AS q, CAST(min(v) AS DOUBLE) AS value
+FROM w WHERE cum >= ceil(0.5 * tot) GROUP BY lang
+UNION ALL
+SELECT lang, 'p95', CAST(min(v) AS DOUBLE)
+FROM w WHERE cum >= ceil(0.95 * tot) GROUP BY lang
+""",
         # sequence packing: bin = exclusive global prefix sum of token
         # counts (doc_id order) // budget — pure integer arithmetic
         "pack_sequences": r"""

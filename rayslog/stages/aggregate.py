@@ -278,3 +278,54 @@ def exact_quantiles_cents(ds, value_col: str, quantiles=(0.5, 0.95, 0.99)):
             rows, schema=pa.schema([("q", pa.string()), ("value", pa.float64())])
         )
     )
+
+
+def grouped_quantiles_int(ds, group_col: str, value_col: str,
+                          quantiles=(0.5, 0.95)):
+    """Exact per-group quantiles for an INTEGER-domain value column.
+
+    Same histogram discipline as exact_quantiles_cents, per group: the
+    per-batch combiner emits one (group, v, n) row per distinct value
+    per batch, the shuffle moves O(groups x distinct v) rows (never the
+    raw rows), and each group's inverse CDF is read off inside
+    ``map_groups`` — smallest v with cum_count >= ceil(q * n), mirrored
+    exactly by the SQL oracle's window form.  Returns
+    (group, q, value:float64) rows.
+    """
+    import math
+
+    import pandas as pd
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, "v", "n"])
+
+    partial = ds.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def read_cdf(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("v", as_index=False)["n"].sum().sort_values("v")
+        v = agg["v"].to_numpy()
+        cum = np.cumsum(agg["n"].to_numpy())
+        total = int(cum[-1])
+        rows = []
+        for q in quantiles:
+            target = math.ceil(q * total)
+            idx = int(np.searchsorted(cum, target))
+            rows.append(
+                {
+                    group_col: g[group_col].iloc[0],
+                    "q": f"p{int(q * 100)}",
+                    "value": float(v[idx]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return partial.groupby(group_col).map_groups(
+        read_cdf, batch_format="pandas"
+    )

@@ -241,6 +241,10 @@ def run_resumable_curation(
     )
     final_path = str(Path(out_dir) / "curated.parquet")
     all_cands = rd.read_parquet(cand_files)
+    # dedup partition count scales with the candidate volume (parquet
+    # footer metadata, no data read): ~2M rows (~80 MB) per group
+    n_cands = sum(pq.read_metadata(f).num_rows for f in cand_files)
+    hparts = max(64, n_cands // 2_000_000)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
@@ -253,7 +257,9 @@ def run_resumable_curation(
         h1 = t.column("h1").to_numpy(zero_copy_only=False)
         return t.append_column(
             "hpart",
-            pa.array((h1.view(np.uint64) % np.uint64(64)).astype(np.int32)),
+            pa.array(
+                (h1.view(np.uint64) % np.uint64(hparts)).astype(np.int32)
+            ),
         )
 
     surv = (

@@ -46,6 +46,7 @@ QUERY_NAMES = [
     "quality_filter",
     "curation",
     "pack_sequences",
+    "token_quantiles_by_lang",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

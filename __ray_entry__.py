@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": p.q_curation,
         "pack_sequences": p.q_pack_sequences,
         "token_quantiles_by_lang": p.q_token_quantiles_by_lang,
+        "tf_idf": p.q_tf_idf,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
         "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)

@@ -326,6 +326,16 @@ def q_token_quantiles_by_lang(sf_dir: str):
     )
 
 
+def q_tf_idf(sf_dir: str):
+    """Top-3 salient terms per doc by tf x (N/df) — large-vocabulary
+    shape: exploded term rows join the df table via the distributed
+    bucket hash join (no broadcast)."""
+    from rayslog.stages.text import tf_idf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tf_idf_top_terms(ds, n_docs=_table_rows(sf_dir, "documents"), k=3)
+
+
 def q_approx_top_ngrams(sf_dir: str):
     """Approximate top-20 bigrams via the mergeable SpaceSaving-style
     counter tree — O(capacity) state per node, the 10^9-distinct-ngram

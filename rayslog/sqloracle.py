@@ -378,6 +378,34 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "stratified_sample": _stratified_sample_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
+        # tf x (N/df) top terms — linear idf (one IEEE division, no
+        # transcendentals, so engine and oracle match bit-for-bit)
+        "tf_idf": r"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+dfq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+),
+s AS (
+  SELECT tf.doc_id, tf.token,
+    CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE) / dfq.df AS score
+  FROM tf JOIN dfq USING (token)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank
+  FROM s
+)
+SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
+""",
         # per-language token-count quantiles: same inverse-CDF rule as
         # value_quantiles (smallest v with cum >= ceil(q*n)), windowed
         # per group

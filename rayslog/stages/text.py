@@ -428,3 +428,112 @@ def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column(
         "fingerprint", pa.array(fp.view(np.int64), pa.int64(), mask=null)
     )
+
+
+def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64):
+    """Top-k salient terms per document by tf x (N/df) — the linear-idf
+    variant (no transcendentals, so the score is one IEEE division and
+    the SQL oracle matches bit-for-bit).
+
+    The composition is the scale shape for a LARGE vocabulary:
+
+    1. per-batch explode to (doc_id, token, tf) — per-doc term counts
+       resolved inside the batch (lexsort run detection, no Python);
+    2. the document-frequency table is a partial-combine + groupby-sum
+       (one row per distinct token — never the corpus);
+    3. term rows join df via the distributed bucket hash join on the
+       64-bit token hash (both sides large; no broadcast);
+    4. per-doc top-k inside bounded (doc_id % dparts) groups.
+
+    Returns (doc_id, rank, token, score).
+    """
+    import pandas as pd
+
+    from rayslog.stages.relational import hash_join
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offs = tx.tokens(txt, lower=True)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tok_h": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        h = tx.hash_utf8(flat, seed=0)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, seg))
+        s, hh = seg[order], h[order]
+        first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        starts = np.nonzero(first)[0]
+        run_len = np.diff(np.r_[starts, len(s)])
+        idx = np.asarray(order)[starts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[s[starts]].astype(np.int64)),
+                "token": flat.take(pa.array(idx)),
+                "tok_h": pa.array(hh[starts].view(np.int64)),
+                "tf": pa.array(run_len.astype(np.int64)),
+            }
+        )
+
+    terms = ds.map_batches(
+        explode_tf, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
+    )
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["tok_h"])
+            .group_by(["tok_h"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["tok_h", "df"])
+
+    df_table = (
+        terms.map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("tok_h")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    joined = hash_join(terms, df_table, key="tok_h")
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = (tf * n_docs).astype(np.float64) / dfv
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token": t.column("token"),
+                "score": pa.array(sc),
+                "dpart": pa.array((d % dparts).astype(np.int32)),
+            }
+        )
+
+    scored = joined.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True]
+        )
+        g = g.groupby("doc_id", as_index=False).head(k)
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        return g[["doc_id", "rank", "token", "score"]].astype(
+            {"doc_id": "int64", "rank": "int64"}
+        )
+
+    return scored.groupby("dpart").map_groups(topk, batch_format="pandas")

@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "curation",
     "pack_sequences",
     "token_quantiles_by_lang",
+    "tf_idf",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

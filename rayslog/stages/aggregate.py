@@ -291,6 +291,11 @@ def grouped_quantiles_int(ds, group_col: str, value_col: str,
     ``map_groups`` — smallest v with cum_count >= ceil(q * n), mirrored
     exactly by the SQL oracle's window form.  Returns
     (group, q, value:float64) rows.
+
+    Cardinality note: one map_groups call per GROUP — right for
+    bounded strata (language, source, severity).  For corpus-growing
+    group keys, bucket by hash(group) % parts and loop groups inside
+    the part (the dedup.py pattern) before paying per-group machinery.
     """
     import math
 

@@ -430,7 +430,8 @@ def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
-def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64):
+def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64,
+                     join_buckets: int | None = None):
     """Top-k salient terms per document by tf x (N/df) — the linear-idf
     variant (no transcendentals, so the score is one IEEE division and
     the SQL oracle matches bit-for-bit).
@@ -506,7 +507,10 @@ def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64):
         .aggregate(Sum("df", alias_name="df"))
     )
 
-    joined = hash_join(terms, df_table, key="tok_h")
+    # join partitioning scales with the corpus (~term rows per bucket
+    # stays bounded); override join_buckets for skewed vocabularies
+    buckets = join_buckets or max(32, min(4096, n_docs // 20_000))
+    joined = hash_join(terms, df_table, key="tok_h", buckets=buckets)
 
     def score(t: pa.Table) -> pa.Table:
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": p.q_token_counts,
         "lang_id": p.q_lang_id,
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
+        "render_3164": p.q_render_3164,
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
         "quality_filter": p.q_quality_filter,

@@ -220,6 +220,26 @@ def q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def q_render_3164(sf_dir: str):
+    """Canonical RFC3164 re-rendering of every cleanly-parsed 3164 turn
+    (the normalization stage: parse -> render rewrites logs into
+    canonical form; parse(render(x)) == x's fields, tested)."""
+    from rayslog.stages.text import render_rfc3164
+
+    ds = parsed_dataset(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("rfc"), 1),
+                pc.is_null(t.column("parse_error")),
+            )
+        )
+        return render_rfc3164(t).select(["conv_id", "turn_idx", "rendered"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_repetition(sf_dir: str):
     """Gopher/C4-style repetition metrics per document (dup-line /
     dup-paragraph fractions, top-bigram share)."""

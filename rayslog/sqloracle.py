@@ -653,6 +653,17 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
         "host_traffic": base
 + "SELECT hostname, count(*) AS n_turns FROM allok GROUP BY hostname"
 " ORDER BY n_turns DESC, hostname LIMIT 20",
+        # canonical 3164 re-render from parsed fields (inverse of Dump)
+        "render_3164": base
+        + """
+SELECT conv_id, turn_idx,
+  '<' || priority || '>' || strftime(ts_parsed, '%b %d %H:%M:%S')
+  || ' ' || hostname || ' '
+  || CASE WHEN tag IS NOT NULL AND tag <> ''
+          THEN tag || ': ' || coalesce(content, '')
+          ELSE coalesce(content, '') END AS rendered
+FROM ok3
+""",
         # PII/log scrubbing: same RE2 patterns as stages/text.py
         # (IPV4_RE / PID_RE), global replacement on both sides
         "redact_pii": f"""

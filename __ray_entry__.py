@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_3164": p.q_render_3164,
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
+        "decontaminate": p.q_decontaminate,
         "quality_filter": p.q_quality_filter,
         "curation": p.q_curation,
         "pack_sequences": p.q_pack_sequences,

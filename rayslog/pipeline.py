@@ -254,6 +254,32 @@ def q_repetition(sf_dir: str):
     )
 
 
+#: decontamination parameters shared by the Ray query AND its SQL
+#: oracle: strict n-token grams, eval set = doc_id % DECON_EVAL_MOD == 0
+DECON_N = 4
+DECON_EVAL_MOD = 50
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: non-eval docs sharing >= 1 distinct
+    4-token-gram with the eval subset, with the distinct-shared-gram
+    count per doc.  Eval gram keys broadcast once via ray.put; the
+    training pass is shuffle-free (stages/decontam.py docstring)."""
+    import ray
+
+    from rayslog.stages.decontam import decontaminate, eval_gram_keys
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keys = eval_gram_keys(ds, n=DECON_N, eval_mod=DECON_EVAL_MOD)
+    flagged = decontaminate(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ray.put(keys),
+        n=DECON_N,
+        eval_mod=DECON_EVAL_MOD,
+    )
+    return flagged.sort("doc_id")
+
+
 #: stratified-sample rates shared by the Ray query AND its SQL oracle —
 #: downsample the dominant language, keep rare ones nearly whole
 SAMPLE_RATES = {"en": 0.25, "zh": 0.9}

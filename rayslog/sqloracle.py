@@ -442,6 +442,30 @@ SELECT doc_id, n_tokens,
     0) // 256 AS bin_id
 FROM t
 """,
+        # benchmark decontamination: non-eval docs sharing >= 1
+        # distinct 4-token-gram with the eval subset (doc_id % 50 = 0),
+        # n_shared = the doc's distinct shared grams.  The Ray side
+        # compares 128-bit dual-seed gram hashes; this joins the gram
+        # STRINGS, so any hash collision would surface as a mismatch.
+        # Constants mirror pipeline.DECON_N / DECON_EVAL_MOD.
+        "decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(t) - 3),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+  ))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN e USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
         # corpus-wide top-20 token bigrams, deterministic tie-break
         "top_ngrams": r"""
 WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),

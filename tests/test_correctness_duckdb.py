@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "render_3164",
     "repetition",
     "stratified_sample",
+    "decontaminate",
     "quality_filter",
     "curation",
     "pack_sequences",

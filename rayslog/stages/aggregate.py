@@ -106,33 +106,61 @@ def _empty_counts(ds, keys: list[str], alias: str):
 
 def _tree_combine(partial, ds, keys: list[str], alias: str,
                   fanin: int = 16):
-    """Fan-in tree over the partial-count BLOCKS with raw Ray tasks.
+    return tree_aggregate(
+        partial,
+        keys,
+        [("n", "sum")],
+        [alias],
+        empty_fn=lambda: _empty_counts(ds, keys, alias),
+        fanin=fanin,
+    )
+
+
+def tree_aggregate(
+    partial,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    out_names: list[str],
+    empty_fn=None,
+    fanin: int = 16,
+):
+    """Fan-in tree over a dataset's BLOCKS with raw Ray tasks, for any
+    re-applicable Arrow reduce (sum/min/max — fns where
+    fn(fn(a), fn(b)) == fn(a ∪ b)).
 
     Ray's sort-based ``groupby().aggregate()`` costs ~1s of fixed
     all-to-all machinery even when the partials total a few thousand
     rows (measured flat r1->r2; repartition/hash_shuffle/polars all
-    worse).  The partials here are one row per key per input block —
-    tiny — so the natural plan is a combiner tree: each task
-    concatenates ``fanin`` partial blocks and group_by-sums them;
-    rounds repeat until one block remains.  log_fanin(B) rounds, every
-    combine on workers, zero sort machinery.
+    worse).  When the input is one row per key per block — tiny — the
+    natural plan is a combiner tree: each task concatenates ``fanin``
+    blocks and group_by-reduces them; rounds repeat until one block
+    remains.  log_fanin(B) rounds, every combine on workers, zero sort
+    machinery.  Used by counts_by(final="tree") for the conv-count sum
+    and by simhash_near_dups for the cross-band min-hamming dedupe.
+
+    ``aggs`` is ``[(col, arrow_fn), ...]``; each round renames the
+    result back to ``keys + cols`` so the reduce re-applies; the final
+    block is renamed to ``keys + out_names``.
 
     Partitioning assumption (documented per the build rules): the
     DISTINCT-KEY result of any combine — ultimately ALL distinct keys —
     fits one task's memory (conv counts: one conv per ~1.2k turns, so
     the result is ~0.1% of the input; at 10^12 turns that is ~10^9
-    rows x ~24 B ≈ 24 GB — at that point use ``final="shuffle"``, or
-    split the tree by hash(key) range first).  This is a raw-task
+    rows x ~24 B ≈ 24 GB — at that point use the sort-shuffle groupby,
+    or split the tree by hash(key) range first).  This is a raw-task
     escape hatch in the sense of SURVEY §2.9(c): the Dataset API's
     groupby can express the semantics but not the cost shape.
     """
     import ray
     import ray.data as rd
 
+    cols = [c for c, _ in aggs]
+    spec = list(aggs)
+
     mat = partial.materialize()
     # drop empty blocks via bundle METADATA (no ray.get needed) — an
     # all-empty input may surface pass-through blocks with a schema
-    # that never went through the partial combiner
+    # that never went through the upstream combiner
     refs = [
         r
         for b in mat.iter_internal_ref_bundles()
@@ -140,22 +168,41 @@ def _tree_combine(partial, ds, keys: list[str], alias: str,
         if m.num_rows
     ]
     if not refs:
-        return _empty_counts(ds, keys, alias)
+        if empty_fn is not None:
+            return empty_fn()
+        up = mat.schema()
+        fields = [
+            pa.field(n, up.base_schema.field(c).type)
+            for c, n in zip(keys + cols, keys + out_names)
+        ]
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in fields], schema=pa.schema(fields)
+            )
+        )
 
     @ray.remote(num_returns=1)
     def combine(*blocks):
-        ts = [t for t in blocks if t.num_rows] or [blocks[0]]
+        # blocks may be pandas (e.g. downstream of map_groups) — the
+        # tree reduces in Arrow regardless
+        ts = [
+            t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in blocks
+        ]
+        ts = [t for t in ts if t.num_rows] or [ts[0]]
         if len(ts) == 1:
             merged = ts[0]
         else:
             merged = pa.concat_tables(ts, promote_options="default")
         return (
-            merged.group_by(keys)
-            .aggregate([("n", "sum")])
-            .rename_columns(keys + ["n"])
+            merged.select(keys + cols)
+            .group_by(keys)
+            .aggregate(spec)
+            .rename_columns(keys + cols)
         )
 
-    if len(refs) == 1:  # a lone partial block may still hold dup keys
+    if len(refs) == 1:  # a lone block may still hold duplicate keys
         refs = [combine.remote(refs[0])]
     while len(refs) > 1:
         refs = [
@@ -163,7 +210,7 @@ def _tree_combine(partial, ds, keys: list[str], alias: str,
             for i in range(0, len(refs), fanin)
         ]
     out = ray.get(refs[0])
-    return rd.from_arrow(out.rename_columns(keys + [alias]))
+    return rd.from_arrow(out.rename_columns(keys + out_names))
 
 
 def salted_counts_by(

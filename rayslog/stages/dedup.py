@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Min
 
 from rayslog.kernels import texthash as tx
+from rayslog.stages.aggregate import tree_aggregate
 from rayslog.stages.text import add_text_hash
 
 _MERSENNE = (1 << 61) - 1
@@ -642,8 +643,28 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
     pairs = exploded.groupby(["part", "kpart"]).map_groups(
         part_verify, batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    # cross-band dedupe: a pair can surface in up to 4 pigeonhole
+    # parts; min-hamming per (doc_a, doc_b).  The pair list is a few
+    # hundred rows spread over block-sized partials — the raw-task
+    # combiner tree replaces a second ~0.5s sort-shuffle (min is
+    # re-applicable, so the same tree as conv_counts' sum applies).
+    import ray.data as rd
+
+    empty = lambda: rd.from_arrow(  # noqa: E731
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return tree_aggregate(
+        pairs,
+        ["doc_a", "doc_b"],
+        [("hamming", "min")],
+        ["hamming"],
+        empty_fn=empty,
     )
 
 

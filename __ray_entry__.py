@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
         "decontaminate": p.q_decontaminate,
+        "shuffle_shards": p.q_shuffle_shards,
         "quality_filter": p.q_quality_filter,
         "curation": p.q_curation,
         "pack_sequences": p.q_pack_sequences,

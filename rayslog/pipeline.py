@@ -280,6 +280,24 @@ def q_decontaminate(sf_dir: str):
     return flagged.sort("doc_id")
 
 
+#: training-shard shuffle parameters shared by the Ray query AND its
+#: SQL oracle
+SHARD_SIZE = 100
+SHARD_SEED = 7
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into fixed-size training shards:
+    (doc_id, shard, pos) under the seeded splitmix64 permutation
+    (stages/shard.py docstring for the distributed-rank plan)."""
+    from rayslog.stages.shard import shuffle_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_shards(ds, shard_size=SHARD_SIZE, seed=SHARD_SEED).sort(
+        "doc_id"
+    )
+
+
 #: stratified-sample rates shared by the Ray query AND its SQL oracle —
 #: downsample the dominant language, keep rare ones nearly whole
 SAMPLE_RATES = {"en": 0.25, "zh": 0.9}

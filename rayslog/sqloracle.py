@@ -209,6 +209,19 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _shuffle_shards_sql() -> str:
+    """Oracle for q_shuffle_shards — shard size/seed literals shared
+    with the Ray query; the hash expression is the same bit-exact
+    splitmix64 the stratified sampler uses."""
+    from rayslog.pipeline import SHARD_SEED, SHARD_SIZE
+    from rayslog.stages.shard import shuffle_shards_sql
+
+    return (
+        shuffle_shards_sql("documents", SHARD_SIZE, SHARD_SEED)
+        + " ORDER BY doc_id"
+    )
+
+
 def _quality_filter_sql() -> str:
     """Oracle for q_quality_filter — thresholds shared with the Ray
     query via pipeline.QUALITY_GATES; features recomputed with the same
@@ -376,6 +389,7 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN bgm USING (doc_id)
 """,
         "stratified_sample": _stratified_sample_sql(),
+        "shuffle_shards": _shuffle_shards_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
         # tf x (N/df) top terms — linear idf (one IEEE division, no

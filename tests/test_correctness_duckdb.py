@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "repetition",
     "stratified_sample",
     "decontaminate",
+    "shuffle_shards",
     "quality_filter",
     "curation",
     "pack_sequences",

@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)
         "doc_freq": p.q_doc_freq,
         "dedup_minhash": p.q_dedup_minhash,
+        "dup_clusters": p.q_dup_clusters,
+        "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
         "ngram_jaccard": p.q_ngram_jaccard,

@@ -487,6 +487,38 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate groups: connected components (min-label propagation)
+    over the MinHash near-dup pair graph — (doc_id, cluster_id) with
+    cluster_id = the component's min doc_id (stages/cluster.py)."""
+    from rayslog.stages.cluster import connected_components
+    from rayslog.stages.dedup import minhash_near_dups, tuned_bucket_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(
+        ds, threshold=0.5,
+        bucket_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents")),
+    )
+    return connected_components(pairs).sort("doc_id")
+
+
+def q_dedup_survivors_cc(sf_dir: str):
+    """Transitive-closure near-dup dedup: one representative (min
+    doc_id) per MinHash-pair connected component, all singletons kept;
+    drop set removed via partitioned hash ANTI join
+    (stages/cluster.py:cluster_survivors)."""
+    from rayslog.stages.cluster import cluster_survivors
+    from rayslog.stages.dedup import minhash_near_dups, tuned_bucket_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(
+        ds, threshold=0.5,
+        bucket_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents")),
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return cluster_survivors(docs, pairs).sort("doc_id")
+
+
 def q_dedup_minhash_keep(sf_dir: str):
     """One-pass LSH survivor selection (near-dup dedup without pair
     enumeration — the template-heavy-corpus scale shape); rows-only."""

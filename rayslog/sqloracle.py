@@ -209,6 +209,54 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _dup_clusters_sql() -> str:
+    """Oracle for q_dup_clusters: transitive closure (recursive CTE)
+    over the SAME exact-Jaccard >= 0.5 pair set that checks
+    dedup_minhash — valid for the same reason (CLAUDE.md invariant #6:
+    the 32x4 banding catches every >= 0.5 pair on this corpus), so a
+    propagation bug OR a missed pair both surface as a mismatch."""
+    pairs = _jaccard_sql(threshold=0.5, cap="")
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({pairs}) jp),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(v, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v ORDER BY v
+"""
+
+
+def _dedup_survivors_cc_sql() -> str:
+    """Oracle for q_dedup_survivors_cc: drop every component member
+    that is not its component's min doc_id (same recursive closure as
+    _dup_clusters_sql), keep everything else."""
+    pairs = _jaccard_sql(threshold=0.5, cap="")
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({pairs}) jp),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(v, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v
+),
+drops AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING min(r) <> v)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY doc_id
+"""
+
+
 def _shuffle_shards_sql() -> str:
     """Oracle for q_shuffle_shards — shard size/seed literals shared
     with the Ray query; the hash expression is the same bit-exact
@@ -390,6 +438,8 @@ FROM base b LEFT JOIN bgm USING (doc_id)
 """,
         "stratified_sample": _stratified_sample_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
+        "dup_clusters": _dup_clusters_sql(),
+        "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
         # tf x (N/df) top terms — linear idf (one IEEE division, no

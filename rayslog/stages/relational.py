@@ -133,6 +133,11 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     keys should be salted into sub-buckets before calling (same key =>
     same bucket is the correctness assumption).  Key must be integral
     (string keys: pre-hash to int64 in a map_batches).
+
+    ``how="anti"`` keeps left rows whose key does NOT appear on the
+    right (left columns only) — the large-side complement of a
+    broadcast ``is_in`` filter, for when the exclusion set is too big
+    to ship to every task.
     """
     import numpy as np
     import pandas as pd
@@ -187,6 +192,8 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][left_cols]
         rg = g[g["__side"] == 1][right_cols]
+        if how == "anti":
+            return lg[~lg[key].isin(rg[key])]
         return lg.merge(rg, on=key, how=how)
 
     return both.groupby("__bucket").map_groups(

@@ -58,6 +58,8 @@ QUERY_NAMES = [
     "token_counts",
     "lang_id",
     "dedup_minhash",
+    "dup_clusters",
+    "dedup_survivors_cc",
     "ngram_jaccard",
     "ann_topk",
     "cosine_dups",

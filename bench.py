@@ -157,6 +157,9 @@ def _run_bench() -> dict:
         timed_extra("repetition", lambda: p.q_repetition(SF_DIR).count())
         timed_extra("curation", lambda: p.q_curation(SF_DIR).to_pandas())
         timed_extra("top_ngrams", lambda: p.q_top_ngrams(SF_DIR).to_pandas())
+        timed_extra(
+            "dup_clusters", lambda: p.q_dup_clusters(SF_DIR).to_pandas()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

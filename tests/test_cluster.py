@@ -34,23 +34,45 @@ def _result(ds):
     return list(zip(df["doc_id"], df["cluster_id"]))
 
 
-def test_chain_is_one_component(ray_session):
+# threshold=0 forces the distributed BSP path; the default takes the
+# driver numpy kernel — every shape must hold on BOTH plans.
+BOTH_PATHS = [0, 5_000_000]
+
+
+@pytest.mark.parametrize("thresh", BOTH_PATHS)
+def test_chain_is_one_component(ray_session, thresh):
     # a-b, b-c, c-d: the a-d pair was never emitted, yet all four must
     # land in one cluster labeled by the min id.
-    out = _result(connected_components(_pairs([(7, 3), (3, 9), (9, 5)])))
+    out = _result(connected_components(
+        _pairs([(7, 3), (3, 9), (9, 5)]), small_edges_threshold=thresh))
     assert out == [(3, 3), (5, 3), (7, 3), (9, 3)]
 
 
-def test_disjoint_components(ray_session):
-    out = _result(connected_components(_pairs([(1, 2), (10, 11), (11, 12)])))
+@pytest.mark.parametrize("thresh", BOTH_PATHS)
+def test_disjoint_components(ray_session, thresh):
+    out = _result(connected_components(
+        _pairs([(1, 2), (10, 11), (11, 12)]), small_edges_threshold=thresh))
     assert out == [(1, 1), (2, 1), (10, 10), (11, 10), (12, 10)]
 
 
-def test_long_path_diameter(ray_session):
+@pytest.mark.parametrize("thresh", BOTH_PATHS)
+def test_long_path_diameter(ray_session, thresh):
     # 0-1-2-...-9 path: diameter 9 exercises multiple propagation rounds.
     edges = [(i, i + 1) for i in range(9)]
-    out = _result(connected_components(_pairs(edges)))
+    out = _result(connected_components(
+        _pairs(edges), small_edges_threshold=thresh))
     assert out == [(i, 0) for i in range(10)]
+
+
+def test_paths_agree_on_random_graph(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(80, 2))
+             if a != b]
+    a = _result(connected_components(_pairs(edges), small_edges_threshold=0))
+    b = _result(connected_components(_pairs(edges)))
+    assert a == b
 
 
 def test_empty_pairs(ray_session):
@@ -62,15 +84,17 @@ def test_empty_pairs(ray_session):
     ]
 
 
-def test_schema_is_int64(ray_session):
-    ds = connected_components(_pairs([(1, 2)]))
+@pytest.mark.parametrize("thresh", BOTH_PATHS)
+def test_schema_is_int64(ray_session, thresh):
+    ds = connected_components(_pairs([(1, 2)]), small_edges_threshold=thresh)
     assert ds.schema().types == [pa.int64(), pa.int64()]
 
 
 def test_max_rounds_guard(ray_session):
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(
-            _pairs([(i, i + 1) for i in range(6)]), max_rounds=1
+            _pairs([(i, i + 1) for i in range(6)]), max_rounds=1,
+            small_edges_threshold=0,
         )
 
 

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
+        "embed_kmeans": p.q_embed_kmeans,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
         "ngram_jaccard": p.q_ngram_jaccard,

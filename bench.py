@@ -160,6 +160,9 @@ def _run_bench() -> dict:
         timed_extra(
             "dup_clusters", lambda: p.q_dup_clusters(SF_DIR).to_pandas()
         )
+        timed_extra(
+            "embed_kmeans", lambda: p.q_embed_kmeans(SF_DIR).to_pandas()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

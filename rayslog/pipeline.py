@@ -559,6 +559,18 @@ def _query_vectors(sf_dir: str, n: int = 8):
     return mat[order], ids[order]
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 iterations, cosine assign)
+    over the embeddings corpus: broadcast centroids + per-batch partial
+    sums, O(model) driver state (stages/kmeans.py); returns
+    (vec_id, cluster, score)."""
+    from rayslog.stages.kmeans import kmeans
+
+    init, _ = _query_vectors(sf_dir, n=8)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans(ds, init, iters=2).sort("vec_id")
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for queries vec_id<8 (brute-force baseline)."""
     from rayslog.stages.ann import brute_force_topk

@@ -257,6 +257,55 @@ ORDER BY doc_id
 """
 
 
+def _embed_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Oracle for q_embed_kmeans — the SAME Lloyd recurrence unrolled
+    as chained CTEs: init = round-6 vectors of vec_id<k, each
+    iteration assigns by round-6 cosine (ties -> smallest cluster) and
+    re-averages coordinates (round-6, empty clusters keep the previous
+    centroid), final select assigns against the last centroids.  The
+    round-6 contract on scores AND centroids is what makes the
+    distributed float64 sums and DuckDB's avg agree exactly
+    (stages/kmeans.py docstring)."""
+    parts = [
+        f"""c0 AS (SELECT vec_id AS cluster,
+        list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ce
+      FROM embeddings WHERE vec_id < {k})""",
+        """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings)""",
+    ]
+    for t in range(iters):
+        parts += [
+            f"""s{t} AS (SELECT ev.vec_id, c{t}.cluster,
+        round(list_cosine_similarity(ev.e, c{t}.ce), 6) AS score
+      FROM ev CROSS JOIN c{t})""",
+            f"""a{t} AS (SELECT vec_id, cluster FROM
+      (SELECT *, row_number() OVER (PARTITION BY vec_id
+         ORDER BY score DESC, cluster) AS rn FROM s{t}) WHERE rn = 1)""",
+            f"""m{t} AS (SELECT a{t}.cluster,
+        unnest(range(1, len(ev.e)+1)) AS i, unnest(ev.e) AS x
+      FROM a{t} JOIN ev USING (vec_id))""",
+            f"""mm{t} AS (SELECT cluster, i, round(avg(x), 6) AS cx
+      FROM m{t} GROUP BY cluster, i)""",
+            f"""cl{t} AS (SELECT cluster, list(cx ORDER BY i) AS ce
+      FROM mm{t} GROUP BY cluster)""",
+            f"""c{t + 1} AS (SELECT c{t}.cluster,
+        coalesce(cl{t}.ce, c{t}.ce) AS ce
+      FROM c{t} LEFT JOIN cl{t} USING (cluster))""",
+        ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, score FROM
+  (SELECT ev.vec_id, c{iters}.cluster,
+     round(list_cosine_similarity(ev.e, c{iters}.ce), 6) AS score,
+     row_number() OVER (PARTITION BY ev.vec_id
+       ORDER BY round(list_cosine_similarity(ev.e, c{iters}.ce), 6) DESC,
+                c{iters}.cluster) AS rn
+   FROM ev CROSS JOIN c{iters})
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def _shuffle_shards_sql() -> str:
     """Oracle for q_shuffle_shards — shard size/seed literals shared
     with the Ray query; the hash expression is the same bit-exact
@@ -440,6 +489,7 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "shuffle_shards": _shuffle_shards_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
+        "embed_kmeans": _embed_kmeans_sql(),
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
         # tf x (N/df) top terms — linear idf (one IEEE division, no

@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "dedup_survivors_cc",
     "ngram_jaccard",
     "ann_topk",
+    "embed_kmeans",
     "cosine_dups",
     "events_filtered",
     "asof_attribution",

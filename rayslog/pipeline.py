@@ -606,6 +606,29 @@ def q_cosine_dups(sf_dir: str):
     return cosine_near_dup_pairs(ds, threshold=0.4)
 
 
+def q_embed_dedup_cc(sf_dir: str):
+    """Semantic near-dup dedup: cosine>=0.4 pair graph -> connected
+    components -> one representative (min vec_id) per component via
+    hash ANTI join — the same transitive-closure plan as
+    dedup_survivors_cc, driven by the embedding pair source."""
+    from rayslog.stages.ann import cosine_near_dup_pairs
+    from rayslog.stages.cluster import cluster_survivors
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_near_dup_pairs(ds, threshold=0.4)
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    return cluster_survivors(
+        vecs,
+        pairs.map_batches(
+            lambda t: t.select(["vec_a", "vec_b"]).rename_columns(
+                ["doc_a", "doc_b"]
+            ),
+            batch_format="pyarrow",
+        ),
+        id_col="vec_id",
+    ).sort("vec_id")
+
+
 def q_cosine_dups_lsh(sf_dir: str):
     """Random-hyperplane-LSH cosine near-dups (the bucketed scale path
     of cosine_dups); rows-only (approximate by construction)."""

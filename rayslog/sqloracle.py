@@ -490,6 +490,24 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        "embed_dedup_cc": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+),
+e AS (SELECT va AS u, vb AS v FROM p UNION SELECT vb, va FROM p),
+reach(v, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v
+),
+drops AS (SELECT v AS vec_id FROM reach GROUP BY v HAVING min(r) <> v)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+ORDER BY vec_id
+""",
         "quality_filter": _quality_filter_sql(),
         "curation": _curation_sql(),
         # tf x (N/df) top terms — linear idf (one IEEE division, no

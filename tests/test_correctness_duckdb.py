@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "ngram_jaccard",
     "ann_topk",
     "embed_kmeans",
+    "embed_dedup_cc",
     "cosine_dups",
     "events_filtered",
     "asof_attribution",

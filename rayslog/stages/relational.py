@@ -193,7 +193,13 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
         lg = g[g["__side"] == 0][left_cols]
         rg = g[g["__side"] == 1][right_cols]
         if how == "anti":
-            return lg[~lg[key].isin(rg[key])]
+            out = lg[~lg[key].isin(rg[key])]
+            # the union null-pads left columns on right-side rows, so
+            # pandas widened ints to float inside this group; the anti
+            # output is pure left rows (no nulls) — restore dtypes.
+            return out.astype(
+                {c: types[c].to_pandas_dtype() for c in left_cols}
+            )
         return lg.merge(rg, on=key, how=how)
 
     return both.groupby("__bucket").map_groups(

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
+        "lm_score": p.q_lm_score,
         "embed_kmeans": p.q_embed_kmeans,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)

@@ -559,6 +559,17 @@ def _query_vectors(sf_dir: str, n: int = 8):
     return mat[order], ids[order]
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring: per-doc bits/transition under a
+    Laplace-smoothed corpus char-bigram LM (stages/lm.py — count pass
+    with tree fan-in, broadcast model, vectorized score pass)."""
+    from rayslog.stages.lm import score_bigram_lm, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bigram_lm(ds)
+    return score_bigram_lm(ds, model).sort("doc_id")
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd k-means (k=8, 2 iterations, cosine assign)
     over the embeddings corpus: broadcast centroids + per-batch partial

@@ -490,6 +490,27 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        # Laplace bigram LM: identical smoothing/ratio-before-log
+        # expression as stages/lm.py; V = distinct corpus codepoints
+        "lm_score": """
+WITH pos AS (SELECT doc_id, text AS s, unnest(range(1, length(text))) AS i
+             FROM documents WHERE length(text) >= 2),
+bg AS (SELECT doc_id, substring(s, CAST(i AS INT), 2) AS xy,
+              substring(s, CAST(i AS INT), 1) AS x FROM pos),
+bc AS (SELECT xy, count(*) AS cxy FROM bg GROUP BY xy),
+pc AS (SELECT x, count(*) AS cx FROM bg GROUP BY x),
+allchars AS (SELECT substring(text, CAST(i AS INT), 1) AS c
+             FROM (SELECT text, unnest(range(1, length(text)+1)) AS i
+                   FROM documents)),
+v AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS vv FROM allchars),
+scored AS (SELECT bg.doc_id,
+    round(-avg(log2((bc.cxy + 1.0) / (pc.cx + v.vv))), 6) AS lm_bits
+  FROM bg JOIN bc USING (xy) JOIN pc USING (x) CROSS JOIN v
+  GROUP BY bg.doc_id)
+SELECT d.doc_id, coalesce(s.lm_bits, 0.0) AS lm_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
         "embed_dedup_cc": """
 WITH RECURSIVE p AS (
   SELECT a.vec_id AS va, b.vec_id AS vb

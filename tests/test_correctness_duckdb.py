@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "ann_topk",
     "embed_kmeans",
     "embed_dedup_cc",
+    "lm_score",
     "cosine_dups",
     "events_filtered",
     "asof_attribution",

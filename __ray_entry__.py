@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": p.q_dup_clusters,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "lm_score": p.q_lm_score,
+        "domain_mix": p.q_domain_mix,
         "embed_kmeans": p.q_embed_kmeans,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)

@@ -304,6 +304,33 @@ SAMPLE_RATES = {"en": 0.25, "zh": 0.9}
 SAMPLE_DEFAULT_RATE = 0.5
 SAMPLE_SEED = 42
 
+# domain-mix rebalance: uniform language target over 60% of the corpus
+MIX_TARGET = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+MIX_FRACTION = 0.6
+MIX_SEED = 7
+
+
+def q_domain_mix(sf_dir: str):
+    """Rebalance the skewed language mix to a uniform target: one tiny
+    counts pass (lang domain is bounded by construction, ISO-639-size
+    — the counts_by driver-final rule), derive per-stratum keep rates
+    (quota/N_s), then the same deterministic splitmix64-threshold
+    sample as stratified_sample — one streaming pass, no shuffle."""
+    from rayslog.stages.aggregate import counts_by
+    from rayslog.stages.sample import mix_rates, stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    cdf = counts_by(ds, ["lang"], alias="n", final="driver").to_pandas()
+    counts = dict(zip(cdf["lang"], (int(x) for x in cdf["n"])))
+    rates = mix_rates(counts, MIX_TARGET, MIX_FRACTION)
+    return stratified_sample(
+        ds,
+        strata_col="lang",
+        rates=rates,
+        default_rate=0.0,
+        seed=MIX_SEED,
+    )
+
 
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language sample: keep iff

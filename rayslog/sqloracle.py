@@ -209,6 +209,22 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _domain_mix_sql() -> str:
+    """Oracle for q_domain_mix — target/fraction/seed literals shared
+    with the pipeline; the SQL recomputes counts and rates itself."""
+    from rayslog.pipeline import MIX_FRACTION, MIX_SEED, MIX_TARGET
+    from rayslog.stages.sample import domain_mix_sql
+
+    return domain_mix_sql(
+        "documents",
+        ["doc_id", "lang", "source"],
+        strata_col="lang",
+        target=MIX_TARGET,
+        out_fraction=MIX_FRACTION,
+        seed=MIX_SEED,
+    )
+
+
 def _dup_clusters_sql() -> str:
     """Oracle for q_dup_clusters: transitive closure (recursive CTE)
     over the SAME exact-Jaccard >= 0.5 pair set that checks
@@ -486,6 +502,7 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN bgm USING (doc_id)
 """,
         "stratified_sample": _stratified_sample_sql(),
+        "domain_mix": _domain_mix_sql(),
         "shuffle_shards": _shuffle_shards_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),

@@ -131,6 +131,59 @@ def stratified_sample(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mix_rates(
+    counts: dict[str, int],
+    target: dict[str, float],
+    out_fraction: float,
+) -> dict[str, float]:
+    """Per-stratum keep rates that rebalance a skewed corpus to a
+    target mix: quota_s = target_share_s x out_fraction x N_total,
+    rate_s = min(1, quota_s / N_s).  The float expression is evaluated
+    left-to-right exactly as ``domain_mix_sql`` writes it, so the
+    derived thresholds are bit-identical on both sides."""
+    n_total = float(sum(counts.values()))
+    return {
+        s: min(1.0, target.get(s, 0.0) * out_fraction * n_total / float(n))
+        for s, n in counts.items()
+    }
+
+
+def domain_mix_sql(
+    table_sql: str,
+    columns: list[str],
+    strata_col: str,
+    target: dict[str, float],
+    out_fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for the domain-mix sample: recomputes the SAME
+    rates from its own counts (same float literals, same left-to-right
+    expression as :func:`mix_rates`), then applies the same
+    splitmix64-threshold rule (`floor(rate * 2^64)` == Python
+    ``int(rate * 2**64)`` for rate in [0,1))."""
+    h = sample_sql_hash_expr(key_col, seed)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s = '{k}' THEN {v!r}" for k, v in sorted(target.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    cols = ", ".join(f"t.{c}" for c in columns)
+    return f"""
+WITH c AS (SELECT {strata_col} AS s, CAST(count(*) AS DOUBLE) AS ns
+           FROM {table_sql} GROUP BY {strata_col}),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table_sql}),
+r AS (SELECT s, LEAST(1.0, ({case}) * {out_fraction!r} * tot.n / ns)
+        AS rate FROM c CROSS JOIN tot)
+SELECT {cols} FROM {table_sql} t JOIN r ON t.{strata_col} = r.s
+WHERE CASE WHEN r.rate >= 1.0 THEN TRUE
+      ELSE {h} < CAST(floor(r.rate * 18446744073709551616.0) AS UBIGINT)
+      END
+"""
+
+
 def stratified_sample_sql(
     table_sql: str,
     columns: list[str],

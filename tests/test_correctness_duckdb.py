@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "render_3164",
     "repetition",
     "stratified_sample",
+    "domain_mix",
     "decontaminate",
     "shuffle_shards",
     "quality_filter",

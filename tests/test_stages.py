@@ -761,6 +761,19 @@ def test_stratified_sample_deterministic_and_rate_accurate(ray_session):
     assert not s1.equals(s3)
 
 
+def test_mix_rates_quota_math():
+    """rate_s = min(1, target_s * fraction * N / N_s); missing target
+    strata get 0."""
+    from rayslog.stages.sample import mix_rates
+
+    counts = {"en": 600, "fr": 100, "zh": 300}
+    rates = mix_rates(counts, {"en": 0.5, "fr": 0.5}, 0.4)
+    # N=1000, quota en = 0.5*0.4*1000 = 200 -> 200/600
+    assert rates["en"] == pytest.approx(0.5 * 0.4 * 1000 / 600)
+    assert rates["fr"] == 1.0          # quota 200 > 100 available
+    assert rates["zh"] == 0.0          # not in target
+
+
 def test_splitmix64_sql_parity():
     """The numpy splitmix64 and its DuckDB expression agree bit-for-bit
     across the key range (the foundation of the sample oracle)."""

@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
         "decontaminate": p.q_decontaminate,
+        "dup_spans": p.q_dup_spans,
+        "top_docs_by_lang": p.q_top_docs_by_lang,
+        "distinct_users_by_type": p.q_distinct_users_by_type,
         "shuffle_shards": p.q_shuffle_shards,
         "quality_filter": p.q_quality_filter,
         "curation": p.q_curation,

@@ -956,3 +956,33 @@ def q_value_quantiles(sf_dir: str):
     from rayslog.stages.aggregate import exact_quantiles_cents
 
     return exact_quantiles_cents(_read(sf_dir, "events", ["value"]), "value")
+
+
+def q_dup_spans(sf_dir: str):
+    """Intra-corpus duplicated-span statistic (Lee et al. 2022 exact
+    substring dedup, gram granularity): per doc, the fraction of its
+    distinct 4-token grams appearing in >= 2 documents."""
+    from rayslog.stages.decontam import dup_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_stats(ds, n=4)
+
+
+def q_top_docs_by_lang(sf_dir: str):
+    """Distributed window rank — row_number() OVER (PARTITION BY lang
+    ORDER BY n_chars DESC, doc_id) <= 5 — via the re-applicable
+    per-batch top-k + combiner-tree plan (no sort-shuffle)."""
+    from rayslog.stages.aggregate import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_top_k(ds, "lang", "n_chars", "doc_id", k=5)
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event_type: per-batch pair
+    dedupe (the combiner), ONE pair-dedupe shuffle, tree-combined
+    counts."""
+    from rayslog.stages.aggregate import distinct_count_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count_by(ds, "event_type", "user_id")

@@ -679,6 +679,42 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS bpe_tokens
 FROM documents
 """,
+        # intra-corpus duplicated-span statistic: per doc, distinct
+        # 4-token grams + how many appear in >= 2 docs.  The Ray side
+        # compares 128-bit dual-seed gram hashes; this joins the gram
+        # STRINGS, so any hash collision would surface as a mismatch.
+        "dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(t) - 3),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+  ))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_grams,
+  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_frac
+FROM g JOIN df USING (gram) GROUP BY g.doc_id
+""",
+        # distributed window rank (ties broken by doc_id asc)
+        "top_docs_by_lang": """
+SELECT doc_id, lang, n_chars, rank FROM (
+  SELECT doc_id, lang, n_chars,
+    CAST(row_number() OVER
+      (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+  FROM documents) WHERE rank <= 5
+""",
+        "distinct_users_by_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 8),

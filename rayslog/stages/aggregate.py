@@ -116,46 +116,43 @@ def _tree_combine(partial, ds, keys: list[str], alias: str,
     )
 
 
-def tree_aggregate(
+def tree_reduce(
     partial,
-    keys: list[str],
-    aggs: list[tuple[str, str]],
-    out_names: list[str],
+    reduce_fn,
     empty_fn=None,
     fanin: int = 16,
+    final_fn=None,
 ):
-    """Fan-in tree over a dataset's BLOCKS with raw Ray tasks, for any
-    re-applicable Arrow reduce (sum/min/max — fns where
-    fn(fn(a), fn(b)) == fn(a ∪ b)).
+    """Fan-in tree over a dataset's BLOCKS with raw Ray tasks, for ANY
+    re-applicable table reduce — ``reduce_fn(a ∪ b) ==
+    reduce_fn(reduce_fn(a) ∪ reduce_fn(b))`` (grouped sum/min/max,
+    grouped top-k row selection, distinct, ...).
 
     Ray's sort-based ``groupby().aggregate()`` costs ~1s of fixed
     all-to-all machinery even when the partials total a few thousand
     rows (measured flat r1->r2; repartition/hash_shuffle/polars all
-    worse).  When the input is one row per key per block — tiny — the
-    natural plan is a combiner tree: each task concatenates ``fanin``
-    blocks and group_by-reduces them; rounds repeat until one block
-    remains.  log_fanin(B) rounds, every combine on workers, zero sort
-    machinery.  Used by counts_by(final="tree") for the conv-count sum
-    and by simhash_near_dups for the cross-band min-hamming dedupe.
+    worse).  When the input is already one (or k) rows per key per
+    block — tiny — the natural plan is a combiner tree: each task
+    concatenates ``fanin`` blocks and reduces them; rounds repeat until
+    one block remains.  log_fanin(B) rounds, every combine on workers,
+    zero sort machinery.
 
-    ``aggs`` is ``[(col, arrow_fn), ...]``; each round renames the
-    result back to ``keys + cols`` so the reduce re-applies; the final
-    block is renamed to ``keys + out_names``.
+    ``final_fn`` (optional, table -> table) runs once on the last
+    block — for renames / rank columns that must not re-enter the
+    reduce.  ``empty_fn`` supplies the typed empty result when every
+    input block is empty.
 
     Partitioning assumption (documented per the build rules): the
-    DISTINCT-KEY result of any combine — ultimately ALL distinct keys —
-    fits one task's memory (conv counts: one conv per ~1.2k turns, so
-    the result is ~0.1% of the input; at 10^12 turns that is ~10^9
-    rows x ~24 B ≈ 24 GB — at that point use the sort-shuffle groupby,
-    or split the tree by hash(key) range first).  This is a raw-task
-    escape hatch in the sense of SURVEY §2.9(c): the Dataset API's
-    groupby can express the semantics but not the cost shape.
+    reduced result of any combine — ultimately the FULL reduced
+    output — fits one task's memory (conv counts: one conv per ~1.2k
+    turns, so the result is ~0.1% of the input; at 10^12 turns that is
+    ~10^9 rows x ~24 B ≈ 24 GB — at that point use the sort-shuffle
+    groupby, or split the tree by hash(key) range first).  This is a
+    raw-task escape hatch in the sense of SURVEY §2.9(c): the Dataset
+    API's groupby can express the semantics but not the cost shape.
     """
     import ray
     import ray.data as rd
-
-    cols = [c for c, _ in aggs]
-    spec = list(aggs)
 
     mat = partial.materialize()
     # drop empty blocks via bundle METADATA (no ray.get needed) — an
@@ -170,16 +167,7 @@ def tree_aggregate(
     if not refs:
         if empty_fn is not None:
             return empty_fn()
-        up = mat.schema()
-        fields = [
-            pa.field(n, up.base_schema.field(c).type)
-            for c, n in zip(keys + cols, keys + out_names)
-        ]
-        return rd.from_arrow(
-            pa.Table.from_arrays(
-                [pa.nulls(0, f.type) for f in fields], schema=pa.schema(fields)
-            )
-        )
+        raise ValueError("tree_reduce: empty input and no empty_fn")
 
     @ray.remote(num_returns=1)
     def combine(*blocks):
@@ -195,12 +183,7 @@ def tree_aggregate(
             merged = ts[0]
         else:
             merged = pa.concat_tables(ts, promote_options="default")
-        return (
-            merged.select(keys + cols)
-            .group_by(keys)
-            .aggregate(spec)
-            .rename_columns(keys + cols)
-        )
+        return reduce_fn(merged)
 
     if len(refs) == 1:  # a lone block may still hold duplicate keys
         refs = [combine.remote(refs[0])]
@@ -210,7 +193,241 @@ def tree_aggregate(
             for i in range(0, len(refs), fanin)
         ]
     out = ray.get(refs[0])
-    return rd.from_arrow(out.rename_columns(keys + out_names))
+    if final_fn is not None:
+        out = final_fn(out)
+    return rd.from_arrow(out)
+
+
+def tree_aggregate(
+    partial,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    out_names: list[str],
+    empty_fn=None,
+    fanin: int = 16,
+):
+    """Grouped Arrow aggregate (sum/min/max) over ``tree_reduce``.
+
+    ``aggs`` is ``[(col, arrow_fn), ...]``; each round renames the
+    result back to ``keys + cols`` so the reduce re-applies; the final
+    block is renamed to ``keys + out_names``.  Used by
+    counts_by(final="tree") for the conv-count sum and by
+    simhash_near_dups for the cross-band min-hamming dedupe.
+    """
+    cols = [c for c, _ in aggs]
+    spec = list(aggs)
+
+    def reduce_fn(merged: pa.Table) -> pa.Table:
+        return (
+            merged.select(keys + cols)
+            .group_by(keys)
+            .aggregate(spec)
+            .rename_columns(keys + cols)
+        )
+
+    def fallback_empty():
+        import ray.data as rd
+
+        up = partial.schema()
+        fields = [
+            pa.field(n, up.base_schema.field(c).type)
+            for c, n in zip(keys + cols, keys + out_names)
+        ]
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in fields], schema=pa.schema(fields)
+            )
+        )
+
+    return tree_reduce(
+        partial,
+        reduce_fn,
+        empty_fn=empty_fn or fallback_empty,
+        fanin=fanin,
+        final_fn=lambda t: t.rename_columns(keys + out_names),
+    )
+
+
+def _topk_reduce_fn(group_col: str, value_col: str, id_col: str, k: int,
+                    with_rank: bool = False):
+    """Table -> per-group top-k rows by (value desc, id asc).
+
+    Vectorized: one Arrow multi-key sort + dictionary-encode run
+    detection + a within-run position mask — no per-group Python.
+    Re-applicable (top-k of a union == top-k of per-part top-ks), so it
+    drops straight into ``tree_reduce``.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                (value_col, "descending"),
+                (id_col, "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        g = s.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = np.asarray(g.dictionary_encode().indices)
+        if len(codes) == 0:
+            within = np.empty(0, dtype=np.int64)
+        else:
+            starts = np.r_[0, np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+            reps = np.diff(np.r_[starts, len(codes)])
+            within = (
+                np.arange(len(codes), dtype=np.int64)
+                - np.repeat(starts, reps)
+            )
+        out = s.filter(pa.array(within < k))
+        if with_rank:
+            out = out.append_column(
+                "rank", pa.array(within[within < k] + 1, pa.int64())
+            )
+        return out
+
+    return fn
+
+
+def grouped_top_k(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 5,
+    batch_size: int | None = 8_192,
+    fanin: int = 16,
+):
+    """Top-k rows per group by (value desc, id asc), with a ``rank``
+    column (1-based) — the distributed window-rank /
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, id)`` shape.
+
+    Plan: per-batch local top-k (bounded at k x groups rows per block)
+    -> ``tree_reduce`` with the SAME top-k reducer (top-k is
+    re-applicable) -> rank assignment on the final block only.  No
+    sort-shuffle; the combine tree moves at most k x distinct-groups
+    rows per task.  Partitioning assumption: k x distinct groups fits
+    one task (tree_reduce docstring) — for unbounded group domains at
+    extreme k use groupby(group).map_groups instead.
+    """
+    reduce_fn = _topk_reduce_fn(group_col, value_col, id_col, k)
+    partial = ds.map_batches(
+        reduce_fn,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+    def empty_fn():
+        import ray.data as rd
+
+        up = ds.schema().base_schema
+        fields = [pa.field(n, up.field(n).type)
+                  for n in up.names] + [pa.field("rank", pa.int64())]
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in fields], schema=pa.schema(fields)
+            )
+        )
+
+    return tree_reduce(
+        partial,
+        reduce_fn,
+        empty_fn=empty_fn,
+        fanin=fanin,
+        final_fn=_topk_reduce_fn(
+            group_col, value_col, id_col, k, with_rank=True
+        ),
+    )
+
+
+def _null_fill_value(t: pa.DataType):
+    """A placeholder of ``t``'s type for null-filling a shuffle key
+    (the real nullness travels in a sibling marker column)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_integer(t):
+        return 0
+    if pa.types.is_floating(t):
+        return 0.0
+    if pa.types.is_boolean(t):
+        return False
+    raise TypeError(f"no null-fill placeholder for key type {t}")
+
+
+def distinct_count_by(
+    ds,
+    group_col: str,
+    value_col: str,
+    alias: str = "n_distinct",
+    batch_size: int | None = None,
+):
+    """Exact ``count(DISTINCT value) GROUP BY group`` at scale.
+
+    Plan: per-batch distinct (group, value) pairs (Arrow group_by — the
+    combiner, so the shuffle moves distinct-pairs-per-batch, never raw
+    rows) -> global pair dedupe via hash-shuffle groupby (the ONE
+    unavoidable all-to-all: exact distinct must co-locate equal values)
+    -> per-group count of the deduped pairs via the combiner tree
+    (pair rows are already unique, so the count partials are tiny).
+
+    Null values are dropped (SQL ``count(DISTINCT)`` semantics); null
+    group keys form a group, matching DuckDB's GROUP BY.  Ray's
+    sort-based shuffle cannot order null keys, so the group column
+    travels null-filled beside an explicit ``__gnull`` marker and is
+    restored after the final combine.
+    """
+    from ray.data.aggregate import Count
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t2 = t.select([group_col, value_col])
+        v = t2.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        t2 = t2.filter(pc.is_valid(v))
+        out = t2.group_by([group_col, value_col]).aggregate([])
+        g = out.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        return pa.table(
+            {
+                group_col: pc.fill_null(g, _null_fill_value(g.type)),
+                "__gnull": pc.cast(pc.is_null(g), pa.int8()),
+                value_col: out.column(value_col),
+            }
+        )
+
+    pairs = ds.map_batches(
+        pair_partial,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    deduped = pairs.groupby([group_col, "__gnull", value_col]).aggregate(
+        Count(alias_name="__c")
+    )
+    counted = counts_by(
+        deduped.select_columns([group_col, "__gnull"]),
+        [group_col, "__gnull"],
+        alias=alias,
+        final="tree",
+    )
+
+    def restore(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        mask = pc.equal(t.column("__gnull"), pa.scalar(1, pa.int8()))
+        g = pc.if_else(mask, pa.nulls(len(t), g.type), g)
+        return pa.table({group_col: g, alias: t.column(alias)})
+
+    return counted.map_batches(
+        restore, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def salted_counts_by(

@@ -161,3 +161,127 @@ def decontaminate(
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=8_192
     )
+
+
+def dup_span_stats(
+    ds,
+    n: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 64,
+    batch_size: int = 8_192,
+):
+    """Intra-corpus duplicated-span analysis (the exact-substring-dedup
+    statistic of Lee et al. 2022, at gram granularity): for every doc
+    with >= n tokens, the fraction of its DISTINCT n-token grams that
+    also appear in at least one other document.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_frac).
+
+    100-TB shape
+    ------------
+    Unlike :func:`decontaminate` the "other side" is the corpus itself,
+    so no broadcast is possible — exact intra-corpus document frequency
+    requires co-locating equal grams once.  The plan keeps that single
+    all-to-all minimal:
+
+    1. per-batch explode to distinct (doc_id, g1, g2) gram rows — 24 B
+       per gram, never text; distinctness per doc resolved in-batch
+       (docs never span batches);
+    2. gram-hash-bucketed groupby into ``parts`` BOUNDED groups (not
+       one group per gram — millions of tiny map_groups is the
+       measured Ray pathology, see dedup.py); inside a part one
+       lexsort run-detects equal grams, flags df >= 2, and collapses to
+       per-doc partials (doc_id, n_grams, n_dup) before anything
+       leaves the task;
+    3. per-doc partials sum via hash-shuffle groupby (one row per
+       (doc, part) at most — tiny).
+
+    ``parts`` must scale with the corpus (a part holds
+    total_grams/parts rows); callers size it like tf_idf's join
+    buckets.  Gram identity is the 128-bit dual-seed Horner hash — the
+    SQL oracle joins gram STRINGS, so collisions would surface as
+    mismatches.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys, gram_row = _gram_keys(t.column(col), n)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "g1": pa.array([], pa.uint64()),
+                "g2": pa.array([], pa.uint64()),
+                "gpart": pa.array([], pa.int32()),
+            }
+        )
+        if not len(keys):
+            return empty
+        # distinct (doc, gram): docs never span batches
+        rec = np.empty(len(keys), dtype=[("d", ">i8"), ("k", "S16")])
+        rec["d"] = gram_row
+        rec["k"] = keys
+        uniq = np.unique(rec.view("S24")).view(rec.dtype)
+        pair = np.ascontiguousarray(uniq["k"]).view(">u8").reshape(-1, 2)
+        g1 = pair[:, 0].astype(np.uint64)
+        g2 = pair[:, 1].astype(np.uint64)
+        mix = ((g1 ^ g2) * _GRAM_K) >> _U64(33)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids[uniq["d"].astype(np.int64)].astype(np.int64)
+                ),
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                "gpart": pa.array((mix % _U64(parts)).astype(np.int32)),
+            }
+        )
+
+    rows = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+    def resolve_part(t: pa.Table) -> pa.Table:
+        g1 = t.column("g1").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g2 = t.column("g2").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g2, g1))
+        s1, s2 = g1[order], g2[order]
+        first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.r_[starts, len(s1)])
+        dup_sorted = np.repeat(sizes >= 2, sizes)
+        dup = np.empty(len(s1), dtype=bool)
+        dup[order] = dup_sorted
+        out = (
+            pa.table(
+                {
+                    "doc_id": pa.array(doc),
+                    "dup": pa.array(dup.astype(np.int64)),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("dup", "sum"), ([], "count_all")])
+        )
+        return out.rename_columns(["doc_id", "n_dup_grams", "n_grams"])
+
+    per_part = rows.groupby("gpart").map_groups(
+        resolve_part, batch_format="pyarrow"
+    )
+    totals = per_part.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_dup_grams", alias_name="n_dup_grams"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nd = t.column("n_dup_grams").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dup_frac", pa.array(nd.astype(np.float64) / ng)
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

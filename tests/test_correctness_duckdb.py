@@ -46,6 +46,9 @@ QUERY_NAMES = [
     "stratified_sample",
     "domain_mix",
     "decontaminate",
+    "dup_spans",
+    "top_docs_by_lang",
+    "distinct_users_by_type",
     "shuffle_shards",
     "quality_filter",
     "curation",

@@ -1017,3 +1017,123 @@ def test_render_3164_roundtrip(ray_session):
         pd.testing.assert_series_equal(
             merged[c], merged[f"{c}_rt"], check_names=False
         )
+
+
+def test_grouped_top_k_matches_pandas_rank(ray_session):
+    """grouped_top_k == row_number() OVER (PARTITION BY g ORDER BY v
+    DESC, id) <= k, on skewed data with heavy value ties across many
+    partitions (exercises the per-batch top-k + tree combine)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import grouped_top_k
+
+    rng = np.random.default_rng(11)
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 23, n).astype(str),
+            "v": rng.integers(0, 40, n),   # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        grouped_top_k(ds, "g", "v", "id", k=7, batch_size=1_024)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(
+        ["g", "v", "id"], ascending=[True, False, True]
+    ).copy()
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp[exp["rank"] <= 7].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id", "rank"]].astype({"rank": "int64"}),
+        exp[["g", "v", "id", "rank"]].astype({"rank": "int64"}),
+    )
+
+    # k larger than any group: every row comes back, ranked
+    tiny = rd.from_arrow(
+        pa.table({"g": ["a", "a", "b"], "v": [1, 2, 3],
+                  "id": [10, 11, 12]})
+    )
+    allrows = grouped_top_k(tiny, "g", "v", "id", k=100).to_pandas()
+    assert len(allrows) == 3
+    assert set(allrows["rank"]) <= {1, 2}
+
+    # empty input keeps the schema contract
+    empty = rd.from_arrow(
+        pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64()),
+                  "id": pa.array([], pa.int64())})
+    )
+    out = grouped_top_k(empty, "g", "v", "id", k=3)
+    assert out.count() == 0
+    assert out.schema().names == ["g", "v", "id", "rank"]
+
+
+def test_distinct_count_by_null_semantics(ray_session):
+    """count(DISTINCT value): null values dropped, null group keys form
+    a group (DuckDB GROUP BY semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import distinct_count_by
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b", None, None],
+            "v": [1, 1, 2, None, 7, 7, 9],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = (
+        distinct_count_by(ds, "g", "v")
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"g": ["a", "b", None], "n_distinct": [2, 1, 2]}
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_distinct": "int64"}), exp.astype({"n_distinct": "int64"})
+    )
+
+
+def test_dup_span_stats_planted(ray_session):
+    """Hand-built corpus: a shared 4-gram counts as duplicated for all
+    docs carrying it; docs with <4 tokens yield no row; fully-unique
+    docs report dup_frac 0."""
+    import ray.data as rd
+
+    from rayslog.stages.decontam import dup_span_stats
+
+    rows = [
+        # docs 0 and 1 share exactly the span "w x y z" (one 4-gram each
+        # amid otherwise-unique grams)
+        {"doc_id": 0, "text": "a0 b0 w x y z c0 d0"},
+        {"doc_id": 1, "text": "a1 b1 w x y z c1 d1"},
+        # doc 2: all grams unique
+        {"doc_id": 2, "text": "p q r s t u"},
+        # doc 3: too short — no row
+        {"doc_id": 3, "text": "one two three"},
+        # doc 4: exact copy of doc 2 — every gram duplicated
+        {"doc_id": 4, "text": "p q r s t u"},
+    ]
+    got = (
+        dup_span_stats(rd.from_items(rows).repartition(3), n=4, parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2, 4]
+    # docs 0/1: 5 grams, exactly one shared
+    assert list(got["n_grams"][:2]) == [5, 5]
+    assert list(got["n_dup_grams"][:2]) == [1, 1]
+    # docs 2/4: 3 grams each, all duplicated via the exact copy
+    assert list(got["n_grams"][2:]) == [3, 3]
+    assert list(got["n_dup_grams"][2:]) == [3, 3]
+    assert np.allclose(got["dup_frac"], [0.2, 0.2, 1.0, 1.0])

@@ -163,6 +163,15 @@ def _run_bench() -> dict:
         timed_extra(
             "embed_kmeans", lambda: p.q_embed_kmeans(SF_DIR).to_pandas()
         )
+        timed_extra("dup_spans", lambda: p.q_dup_spans(SF_DIR).count())
+        timed_extra(
+            "top_docs_by_lang",
+            lambda: p.q_top_docs_by_lang(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "distinct_users",
+            lambda: p.q_distinct_users_by_type(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

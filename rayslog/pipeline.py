@@ -965,7 +965,13 @@ def q_dup_spans(sf_dir: str):
     from rayslog.stages.decontam import dup_span_stats
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dup_span_stats(ds, n=4)
+    # ~40k docs (~2M gram rows, ~60 MB) per resolve group: bounded
+    # per-task memory, amortized map_groups machinery (same sizing
+    # rationale as dedup.tuned_bucket_parts)
+    n_docs = _table_rows(sf_dir, "documents")
+    return dup_span_stats(
+        ds, n=4, parts=max(8, min(8192, -(-n_docs // 40_000)))
+    )
 
 
 def q_top_docs_by_lang(sf_dir: str):

@@ -249,8 +249,8 @@ def tree_aggregate(
 
 
 def _topk_reduce_fn(group_col: str, value_col: str, id_col: str, k: int,
-                    with_rank: bool = False):
-    """Table -> per-group top-k rows by (value desc, id asc).
+                    with_rank: bool = False, ascending: bool = False):
+    """Table -> per-group top-k rows by (value desc|asc, id asc).
 
     Vectorized: one Arrow multi-key sort + dictionary-encode run
     detection + a within-run position mask — no per-group Python.
@@ -263,7 +263,7 @@ def _topk_reduce_fn(group_col: str, value_col: str, id_col: str, k: int,
             t,
             sort_keys=[
                 (group_col, "ascending"),
-                (value_col, "descending"),
+                (value_col, "ascending" if ascending else "descending"),
                 (id_col, "ascending"),
             ],
         )
@@ -299,9 +299,11 @@ def grouped_top_k(
     k: int = 5,
     batch_size: int | None = 8_192,
     fanin: int = 16,
+    ascending: bool = False,
 ):
-    """Top-k rows per group by (value desc, id asc), with a ``rank``
-    column (1-based) — the distributed window-rank /
+    """Top-k rows per group by (value desc — or asc with
+    ``ascending=True`` — then id asc), with a ``rank`` column
+    (1-based) — the distributed window-rank /
     ``row_number() OVER (PARTITION BY g ORDER BY v DESC, id)`` shape.
 
     Plan: per-batch local top-k (bounded at k x groups rows per block)
@@ -312,7 +314,9 @@ def grouped_top_k(
     one task (tree_reduce docstring) — for unbounded group domains at
     extreme k use groupby(group).map_groups instead.
     """
-    reduce_fn = _topk_reduce_fn(group_col, value_col, id_col, k)
+    reduce_fn = _topk_reduce_fn(
+        group_col, value_col, id_col, k, ascending=ascending
+    )
     partial = ds.map_batches(
         reduce_fn,
         batch_format="pyarrow",
@@ -338,7 +342,8 @@ def grouped_top_k(
         empty_fn=empty_fn,
         fanin=fanin,
         final_fn=_topk_reduce_fn(
-            group_col, value_col, id_col, k, with_rank=True
+            group_col, value_col, id_col, k, with_rank=True,
+            ascending=ascending,
         ),
     )
 
@@ -365,21 +370,33 @@ def distinct_count_by(
     value_col: str,
     alias: str = "n_distinct",
     batch_size: int | None = None,
+    final: str = "tree",
 ):
     """Exact ``count(DISTINCT value) GROUP BY group`` at scale.
 
-    Plan: per-batch distinct (group, value) pairs (Arrow group_by — the
-    combiner, so the shuffle moves distinct-pairs-per-batch, never raw
-    rows) -> global pair dedupe via hash-shuffle groupby (the ONE
-    unavoidable all-to-all: exact distinct must co-locate equal values)
-    -> per-group count of the deduped pairs via the combiner tree
-    (pair rows are already unique, so the count partials are tiny).
+    The per-batch combiner is always a distinct-(group, value) pair
+    dedupe (Arrow group_by), so only distinct-pairs-per-batch ever
+    leave a task, never raw rows.  The global pair dedupe then takes
+    one of two shapes:
+
+    - ``final="tree"`` (default): distinct is re-applicable
+      (distinct(a ∪ b) == distinct(distinct(a) ∪ distinct(b))), so the
+      pair partials ride the raw-task combiner tree and the final block
+      counts per group — zero sort-shuffle machinery (the measured ~1s
+      fixed cost at any size).  Partitioning assumption (tree_reduce
+      docstring): the GLOBAL distinct-pair set fits one task —
+      (event_type × user) at 10^9 users is ~80 GB/5 groups... use
+      "shuffle" there; (type × user) at 10^6 users is ~80 MB — fine.
+    - ``final="shuffle"``: hash-shuffle groupby on (group, value)
+      co-locates equal pairs — the unbounded-cardinality path; the
+      deduped pairs then count via the tiny combiner tree.
 
     Null values are dropped (SQL ``count(DISTINCT)`` semantics); null
     group keys form a group, matching DuckDB's GROUP BY.  Ray's
     sort-based shuffle cannot order null keys, so the group column
     travels null-filled beside an explicit ``__gnull`` marker and is
-    restored after the final combine.
+    restored after the final combine (the tree's Arrow group_by handles
+    nulls natively but the marker keeps both plans identical).
     """
     from ray.data.aggregate import Count
 
@@ -407,15 +424,46 @@ def distinct_count_by(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    deduped = pairs.groupby([group_col, "__gnull", value_col]).aggregate(
-        Count(alias_name="__c")
-    )
-    counted = counts_by(
-        deduped.select_columns([group_col, "__gnull"]),
-        [group_col, "__gnull"],
-        alias=alias,
-        final="tree",
-    )
+    keys3 = [group_col, "__gnull", value_col]
+    if final == "tree":
+        def dedupe(t: pa.Table) -> pa.Table:
+            return t.select(keys3).group_by(keys3).aggregate([])
+
+        def count_groups(t: pa.Table) -> pa.Table:
+            return (
+                dedupe(t)
+                .group_by([group_col, "__gnull"])
+                .aggregate([([], "count_all")])
+                .rename_columns([group_col, "__gnull", alias])
+            )
+
+        def empty_fn():
+            import ray.data as rd
+
+            up = ds.schema().base_schema
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        group_col: pa.nulls(0, up.field(group_col).type),
+                        "__gnull": pa.nulls(0, pa.int8()),
+                        alias: pa.nulls(0, pa.int64()),
+                    }
+                )
+            )
+
+        counted = tree_reduce(
+            pairs, dedupe, empty_fn=empty_fn, final_fn=count_groups
+        )
+    elif final == "shuffle":
+        deduped = pairs.groupby(keys3).aggregate(Count(alias_name="__c"))
+        counted = counts_by(
+            deduped.select_columns([group_col, "__gnull"]),
+            [group_col, "__gnull"],
+            alias=alias,
+            final="tree",
+        )
+    else:
+        raise ValueError(f"distinct_count_by: unknown final={final!r}")
 
     def restore(t: pa.Table) -> pa.Table:
         g = t.column(group_col)

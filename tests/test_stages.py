@@ -1074,9 +1074,10 @@ def test_grouped_top_k_matches_pandas_rank(ray_session):
     assert out.schema().names == ["g", "v", "id", "rank"]
 
 
-def test_distinct_count_by_null_semantics(ray_session):
+@pytest.mark.parametrize("final", ["tree", "shuffle"])
+def test_distinct_count_by_null_semantics(ray_session, final):
     """count(DISTINCT value): null values dropped, null group keys form
-    a group (DuckDB GROUP BY semantics)."""
+    a group (DuckDB GROUP BY semantics); tree and shuffle plans agree."""
     import pandas as pd
     import ray.data as rd
 
@@ -1090,7 +1091,7 @@ def test_distinct_count_by_null_semantics(ray_session):
     )
     ds = rd.from_arrow(t).repartition(3)
     got = (
-        distinct_count_by(ds, "g", "v")
+        distinct_count_by(ds, "g", "v", final=final)
         .to_pandas()
         .sort_values("g", na_position="last")
         .reset_index(drop=True)

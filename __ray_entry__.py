@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_3164": p.q_render_3164,
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
+        "sample_k_per_lang": p.q_sample_k_per_lang,
         "decontaminate": p.q_decontaminate,
         "dup_spans": p.q_dup_spans,
         "top_docs_by_lang": p.q_top_docs_by_lang,

@@ -984,6 +984,42 @@ def q_top_docs_by_lang(sf_dir: str):
     return grouped_top_k(ds, "lang", "n_chars", "doc_id", k=5)
 
 
+#: exact-k sample parameters shared by the Ray query AND its SQL oracle
+SAMPLE_K = 10
+SAMPLE_K_SEED = 9
+
+
+def q_sample_k_per_lang(sf_dir: str):
+    """EXACT-k deterministic sample per stratum (rate-based sampling
+    only hits k in expectation): rank docs within each language by
+    splitmix64(doc_id, seed) — a seeded uniform order — ties by
+    doc_id, keep rank <= k.  Composes the sampling hash with the
+    distributed window-rank operator: per-batch top-k partials ride
+    the combiner tree, no shuffle, and two runs (or a run and the SQL
+    oracle) pick identical rows."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import grouped_top_k
+    from rayslog.stages.sample import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("sample_k: negative doc_id (SQL parity)")
+        h = splitmix64(ids.astype(np.uint64), SAMPLE_K_SEED)
+        return t.append_column("__h", pa.array(h))
+
+    withh = ds.map_batches(
+        add_h, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = grouped_top_k(
+        withh, "lang", "__h", "doc_id", k=SAMPLE_K, ascending=True
+    )
+    return ranked.select_columns(["doc_id", "lang", "rank"])
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact count(DISTINCT user_id) per event_type: per-batch pair
     dedupe (the combiner), ONE pair-dedupe shuffle, tree-combined

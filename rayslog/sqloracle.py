@@ -209,6 +209,23 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _sample_k_sql() -> str:
+    """Oracle for q_sample_k_per_lang — k/seed literals shared with the
+    pipeline; the hash expression is the bit-verified splitmix64 SQL
+    form, compared as UBIGINT exactly like the engine's uint64."""
+    from rayslog.pipeline import SAMPLE_K, SAMPLE_K_SEED
+    from rayslog.stages.sample import sample_sql_hash_expr
+
+    h = sample_sql_hash_expr("doc_id", SAMPLE_K_SEED)
+    return f"""
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER
+      (PARTITION BY lang ORDER BY {h} ASC, doc_id) AS BIGINT) AS rank
+  FROM documents) WHERE rank <= {SAMPLE_K}
+"""
+
+
 def _domain_mix_sql() -> str:
     """Oracle for q_domain_mix — target/fraction/seed literals shared
     with the pipeline; the SQL recomputes counts and rates itself."""
@@ -715,6 +732,7 @@ SELECT doc_id, lang, n_chars, rank FROM (
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
 """,
+        "sample_k_per_lang": _sample_k_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 8),

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "render_3164",
     "repetition",
     "stratified_sample",
+    "sample_k_per_lang",
     "domain_mix",
     "decontaminate",
     "dup_spans",

@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": p.q_distinct_users_by_type,
         "shuffle_shards": p.q_shuffle_shards,
         "quality_filter": p.q_quality_filter,
+        "length_band_filter": p.q_length_band_filter,
         "curation": p.q_curation,
         "pack_sequences": p.q_pack_sequences,
         "token_quantiles_by_lang": p.q_token_quantiles_by_lang,

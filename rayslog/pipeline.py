@@ -988,6 +988,70 @@ def q_top_docs_by_lang(sf_dir: str):
 SAMPLE_K = 10
 SAMPLE_K_SEED = 9
 
+#: percentile band shared by the Ray query AND its SQL oracle
+BAND_QUANTILES = (0.05, 0.95)
+
+
+def q_length_band_filter(sf_dir: str):
+    """Percentile-band length gate: keep docs whose token count lies in
+    the per-language [p5, p95] band — the standard length-outlier
+    filter with thresholds DERIVED from the corpus itself, not fixed.
+
+    Two streaming passes: the exact grouped inverse-CDF quantiles
+    (shuffle moves O(langs x distinct counts) histogram rows, result is
+    langs x 2 — bounded strata, so the driver collect is O(langs),
+    same rationale as domain_mix's counts pass), then one shuffle-free
+    filter with the thresholds as a closure constant."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import grouped_quantiles_int
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def n_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    feats = ds.map_batches(n_tok, batch_format="pyarrow", zero_copy_batch=True)
+    lo_lbl = f"p{int(BAND_QUANTILES[0] * 100)}"
+    qdf = grouped_quantiles_int(
+        feats.select_columns(["lang", "n_tokens"]),
+        "lang",
+        "n_tokens",
+        quantiles=BAND_QUANTILES,
+    ).to_pandas()
+    lo = {}
+    hi = {}
+    for r in qdf.itertuples():
+        (lo if r.q == lo_lbl else hi)[r.lang] = int(r.value)
+
+    langs = sorted(lo)
+    lo_arr = np.array([lo[s] for s in langs], dtype=np.int64)
+    hi_arr = np.array([hi[s] for s in langs], dtype=np.int64)
+    value_set = pa.array(langs, pa.string())
+
+    def band(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ii = (
+            pc.index_in(t.column("lang"), value_set=value_set)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = (n >= lo_arr[ii]) & (n <= hi_arr[ii])
+        return t.filter(pa.array(keep))
+
+    return feats.map_batches(
+        band, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
 def q_sample_k_per_lang(sf_dir: str):
     """EXACT-k deterministic sample per stratum (rate-based sampling

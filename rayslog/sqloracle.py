@@ -733,6 +733,33 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
 """,
         "sample_k_per_lang": _sample_k_sql(),
+        # percentile-band length gate: thresholds are the same
+        # inverse-CDF rule as token_quantiles_by_lang (smallest v with
+        # cum >= ceil(q * tot)), derived per language then applied
+        # inclusively.  Quantile literals mirror pipeline.BAND_QUANTILES.
+        "length_band_filter": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (SELECT lang, n_tokens AS v, count(*) AS n FROM t GROUP BY 1, 2),
+w AS (
+  SELECT lang, v,
+    sum(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+    sum(n) OVER (PARTITION BY lang) AS tot
+  FROM c
+),
+b AS (
+  SELECT lang,
+    min(CASE WHEN cum >= ceil(0.05 * tot) THEN v END) AS lo,
+    min(CASE WHEN cum >= ceil(0.95 * tot) THEN v END) AS hi
+  FROM w GROUP BY lang
+)
+SELECT t.doc_id, t.lang, t.n_tokens
+FROM t JOIN b USING (lang)
+WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 8),

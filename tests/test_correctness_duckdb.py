@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "distinct_users_by_type",
     "shuffle_shards",
     "quality_filter",
+    "length_band_filter",
     "curation",
     "pack_sequences",
     "token_quantiles_by_lang",

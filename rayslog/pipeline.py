@@ -635,6 +635,36 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, qv, qi, k=10, index_dir=index_dir)
 
 
+#: probe tokens shared by the Ray query AND its SQL oracle (common
+#: corpus vocabulary words)
+INDEX_PROBE_TOKENS = ("data", "query", "spark")
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting lookup over a PERSISTED bucket-partitioned inverted
+    index (built once per corpus under /tmp, reused across calls;
+    lookups read ONLY the probed tokens' buckets — pruned at the file
+    listing, the IvfIndex discipline applied to text)."""
+    import hashlib
+    import re as _re
+
+    from rayslog.stages.invindex import inverted_lookup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/rayslog_data/inv/{tag}-{h}"
+    # bucket count scales with the corpus: ~40k docs' postings per
+    # bucket keeps lookups pruned while bounding file counts
+    n_docs = _table_rows(sf_dir, "documents")
+    return inverted_lookup(
+        ds,
+        list(INDEX_PROBE_TOKENS),
+        index_dir=index_dir,
+        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
+    )
+
+
 def q_cosine_dups(sf_dir: str):
     """Embedding near-dup pairs with cosine >= 0.4 (the corpus is
     near-orthogonal random; the threshold is the operator parameter)."""

@@ -733,6 +733,17 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
 """,
         "sample_k_per_lang": _sample_k_sql(),
+        # inverted-index lookup: per-doc distinct lowercased tokens,
+        # posting rows for the probe set (pipeline.INDEX_PROBE_TOKENS)
+        "inverted_index": r"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, unnest(toks) AS token FROM t)
+SELECT token, doc_id FROM d WHERE token IN ('data', 'query', 'spark')
+""",
         # percentile-band length gate: thresholds are the same
         # inverse-CDF rule as token_quantiles_by_lang (smallest v with
         # cum >= ceil(q * tot)), derived per language then applied

@@ -1,0 +1,183 @@
+"""Persisted inverted text index: token -> posting rows, hive-
+partitioned by token-hash bucket, with bucket-pruned lookups.
+
+The search-side sibling of :mod:`rayslog.stages.ann`'s IvfIndex — the
+same persisted-pruned-index discipline applied to text:
+
+- **Build = ONE streaming pass, no shuffle.**  Each batch emits its
+  per-doc DISTINCT (token, doc_id) postings plus
+  ``bucket = hash64(token) % n_buckets`` and
+  ``write_parquet(partition_cols=["bucket"])`` lays them down as hive
+  ``bucket=K/`` directories; multiple files per bucket compose, so
+  blocks never co-locate.  Token distinctness within a doc is resolved
+  in-batch (docs never span batches), so the index holds exactly one
+  posting per (doc, token) — the DF-ready form.
+- **Lookup prunes at the FILE LISTING.**  A query for t tokens hashes
+  them to their buckets and a hive ``PathPartitionFilter`` drops every
+  other ``bucket=K/`` file before a byte is read; I/O scales with
+  t/n_buckets of the corpus postings, not the corpus.  Matching is by
+  token STRING inside the probed buckets (the hash only routes).
+- **Atomic commit**: build into a tmp sibling, ``os.replace`` into
+  place (checkpoint.py discipline) — a crashed build can never leave
+  partial buckets that a later build would append to.
+
+``n_buckets`` must scale with the corpus (postings per bucket ~
+total_postings / n_buckets); size it like dedup.tuned_bucket_parts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayslog.kernels import texthash as tx
+
+
+def _token_buckets(tokens: pa.Array, n_buckets: int) -> np.ndarray:
+    return (tx.hash_utf8(tokens, seed=0) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
+class InvertedIndex:
+    """Handle over a persisted ``bucket=K/`` posting store."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        meta = json.loads(Path(index_dir, "_inv_meta.json").read_text())
+        self.n_buckets = int(meta["n_buckets"])
+
+    def postings_dataset(self, buckets):
+        """Dataset over ONLY the given buckets — non-probed ``bucket=K/``
+        files are pruned from the listing itself (never opened; verify
+        via ``input_files()``)."""
+        import ray.data as rd
+        from ray.data.datasource.partitioning import (
+            Partitioning,
+            PathPartitionFilter,
+        )
+
+        probed = {int(b) for b in buckets}
+        return rd.read_parquet(
+            self.index_dir,
+            file_extensions=["parquet"],
+            partition_filter=PathPartitionFilter.of(
+                # meta files at the index root parse to {} -> excluded
+                lambda kv: "bucket" in kv and int(kv["bucket"]) in probed,
+                style="hive",
+            ),
+            partitioning=Partitioning("hive", field_types={"bucket": int}),
+        )
+
+    def lookup(self, tokens):
+        """(token, doc_id) posting rows for the given tokens
+        (lowercased), reading only their buckets."""
+        lowered = sorted({t.lower() for t in tokens})
+        qt = pa.array(lowered, pa.string())
+        buckets = sorted(set(_token_buckets(qt, self.n_buckets).tolist()))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t.column("token"), value_set=qt)
+            return t.filter(keep).select(["token", "doc_id"])
+
+        return self.postings_dataset(buckets).map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+
+def build_inverted_index(
+    ds,
+    index_dir: str,
+    n_buckets: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8_192,
+) -> InvertedIndex:
+    """One streaming pass -> hive-partitioned posting store.
+
+    Per-doc distinctness is resolved by 64-bit token hash inside the
+    batch (collisions would merge two distinct tokens of ONE doc —
+    ~n_doc_tokens²/2⁶⁵, the same accepted risk as doc_freq); the
+    stored rows carry the token STRING, so lookups are exact.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t.column(col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        flat, offs = tx.tokens(txt, lower=True)
+        n = len(offs) - 1
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        h = tx.hash_utf8(flat, seed=0)
+        seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, seg))
+        s, hh = seg[order], h[order]
+        first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        idx = np.asarray(order)[first]
+        return pa.table(
+            {
+                "token": flat.take(pa.array(idx)),
+                "doc_id": pa.array(ids[seg[idx]].astype(np.int64)),
+                "bucket": pa.array(
+                    (hh[first] % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    final = Path(index_dir)
+    tmp = final.with_name(final.name + f".build.{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    ds.map_batches(
+        explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    ).write_parquet(str(tmp), partition_cols=["bucket"])
+    (tmp / "_inv_meta.json").write_text(
+        json.dumps({"n_buckets": int(n_buckets)})
+    )
+    if final.exists():  # stale partial from a crashed build
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return InvertedIndex(str(final))
+
+
+def inverted_lookup(
+    ds,
+    tokens,
+    index_dir: str | None = None,
+    n_buckets: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Posting lookup over a (possibly cached) persisted index —
+    reuses ``index_dir`` when its meta file exists, else builds it
+    there (default: a fresh scratch dir, so two corpora never share a
+    stale index)."""
+    if index_dir is None:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="rayslog_inv_")
+    if Path(index_dir, "_inv_meta.json").exists():
+        index = InvertedIndex(index_dir)
+    else:
+        index = build_inverted_index(
+            ds, index_dir, n_buckets=n_buckets, col=col, id_col=id_col
+        )
+    return index.lookup(tokens)

@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "pack_sequences",
     "token_quantiles_by_lang",
     "tf_idf",
+    "inverted_index",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

@@ -1138,3 +1138,58 @@ def test_dup_span_stats_planted(ray_session):
     assert list(got["n_grams"][2:]) == [3, 3]
     assert list(got["n_dup_grams"][2:]) == [3, 3]
     assert np.allclose(got["dup_frac"], [0.2, 0.2, 1.0, 1.0])
+
+
+def test_inverted_index_prunes_and_matches(ray_session, tmp_path):
+    """The persisted inverted index returns exactly the per-doc
+    distinct postings, and a lookup's file listing is pruned to the
+    probed tokens' buckets only."""
+    import ray.data as rd
+
+    from rayslog.stages.invindex import (
+        InvertedIndex,
+        _token_buckets,
+        build_inverted_index,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "Alpha beta beta GAMMA"},
+        {"doc_id": 1, "text": "beta delta"},
+        {"doc_id": 2, "text": "epsilon zeta alpha alpha"},
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    idx = build_inverted_index(
+        ds, str(tmp_path / "inv"), n_buckets=8
+    )
+
+    got = (
+        idx.lookup(["ALPHA", "beta"])
+        .to_pandas()
+        .sort_values(["token", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["token"], got["doc_id"])) == [
+        ("alpha", 0), ("alpha", 2), ("beta", 0), ("beta", 1),
+    ]
+
+    # pruning: the probed dataset's files all live in the probe buckets
+    import pyarrow as pa_
+
+    probed = set(
+        _token_buckets(pa_.array(["alpha", "beta"]), 8).tolist()
+    )
+    files = idx.postings_dataset(probed).input_files()
+    assert files, "probed buckets must have files"
+    assert all(f"bucket={b}" in f for f in files
+               for b in [int(f.split("bucket=")[1].split("/")[0])])
+    assert {int(f.split("bucket=")[1].split("/")[0]) for f in files} <= probed
+    all_files = InvertedIndex(str(tmp_path / "inv")).postings_dataset(
+        range(8)
+    ).input_files()
+    assert len(files) < len(all_files)
+
+    # rebuild into the same dir is atomic (no duplicate postings)
+    build_inverted_index(ds, str(tmp_path / "inv"), n_buckets=8)
+    again = InvertedIndex(str(tmp_path / "inv")).lookup(["beta"]).to_pandas()
+    assert sorted(again["doc_id"]) == [0, 1]

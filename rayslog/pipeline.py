@@ -706,6 +706,33 @@ def q_cosine_dups_lsh(sf_dir: str):
     return cosine_lsh_pairs(ds, threshold=0.4)
 
 
+#: funnel parameters shared by the Ray query AND its SQL oracle —
+#: high-value events only, so the stepwise ordering actually gates
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_MIN_VALUE = 95.0
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel over high-value events: users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click — k
+    shuffle-free grouped-min passes with broadcast stage gates
+    (stages/events.py:funnel_counts)."""
+    from rayslog.stages.events import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("value"), FUNNEL_MIN_VALUE)
+        ).select(["user_id", "event_type", "ts"])
+
+    return funnel_counts(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        stages=FUNNEL_STAGES,
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     """5-minute tumbling window counts + value sums per event type."""
     import pyarrow.compute as pc

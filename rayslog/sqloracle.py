@@ -791,6 +791,21 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """,
+        # ordered conversion funnel: stage i strictly after the user's
+        # first completion of the prefix; constants mirror
+        # pipeline.FUNNEL_STAGES / FUNNEL_MIN_VALUE
+        "events_funnel": """
+WITH e2 AS (SELECT user_id, event_type, ts FROM events WHERE value >= 95.0),
+v AS (SELECT user_id, min(ts) AS t1 FROM e2
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e2 e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e2 e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+""",
         "events_tumbling": """
 SELECT event_type,
   make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,

@@ -480,3 +480,115 @@ def asof_attribution(ds, target: str = "purchase", source: str = "view",
     return filtered.select_columns(
         ["event_id", "user_id", "event_type", "ts"]
     ).groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def funnel_counts(
+    ds,
+    stages=("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered conversion funnel: for each prefix of ``stages``, the
+    number of users who completed it IN ORDER (stage i strictly after
+    their first completion of stages 1..i-1).  Returns
+    (stage, n_users) — the classic funnel-analytics shape.
+
+    Plan — k grouped-min passes, no per-user sort and no per-user
+    map_groups:
+
+    - t_1(u) = min ts of stage-1 events per user: per-batch grouped-min
+      combiner -> the raw-task combiner tree (one row per user per
+      block through the tree).
+    - t_i(u) = min ts of stage-i events with ts > t_{i-1}(u): the
+      previous pass's per-user times broadcast ONCE via ``ray.put``
+      (sorted id + time arrays, searchsorted lookup per batch — the
+      broadcast-small-side rule), then the same combiner tree.
+
+    The corpus streams k times; each shuffle-free pass moves one row
+    per qualifying user per block.  Partitioning assumption: the
+    per-user first-completion table fits one task / the driver
+    (tree_reduce docstring).  For fleet-scale user domains swap the
+    broadcast for ``relational.hash_join`` on ``user_col`` and the
+    tree for ``final="shuffle"`` — the pass structure is unchanged.
+
+    Strict ``>`` on microsecond timestamps both here and in the SQL
+    oracle, so ties (same-instant events) never advance the funnel.
+    """
+    import ray
+
+    from rayslog.stages.aggregate import tree_aggregate
+
+    def min_pass(stage: str, prev_ref):
+        def partial(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column(type_col), stage)
+            sub = t.filter(mask)
+            if prev_ref is not None:
+                ids_prev, ts_prev = ray.get(prev_ref)
+                u = sub.column(user_col).to_numpy(zero_copy_only=False)
+                ts = (
+                    sub.column(ts_col)
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                )
+                pos = np.searchsorted(ids_prev, u)
+                pos_c = np.minimum(pos, max(len(ids_prev) - 1, 0))
+                known = len(ids_prev) > 0 and True
+                hit = (
+                    (ids_prev[pos_c] == u) & (ts > ts_prev[pos_c])
+                    if len(ids_prev)
+                    else np.zeros(len(u), dtype=bool)
+                )
+                sub = sub.filter(pa.array(hit))
+            out = (
+                sub.select([user_col, ts_col])
+                .group_by([user_col])
+                .aggregate([(ts_col, "min")])
+            )
+            return out.rename_columns([user_col, ts_col])
+
+        part = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def empty_fn():
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        user_col: pa.nulls(0, pa.int64()),
+                        ts_col: pa.nulls(0, pa.timestamp("us")),
+                    }
+                )
+            )
+
+        return tree_aggregate(
+            part, [user_col], [(ts_col, "min")], [ts_col],
+            empty_fn=empty_fn,
+        ).to_pandas()
+
+    counts = []
+    prev_ref = None
+    for stage in stages:
+        df = min_pass(stage, prev_ref)
+        counts.append(len(df))
+        ids = df[user_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ts_us = (
+            df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        prev_ref = ray.put((ids[order], ts_us[order]))
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array(list(stages), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+    )

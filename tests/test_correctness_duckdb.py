@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "asof_attribution_partitioned",
     "price_bands",
     "value_quantiles",
+    "events_funnel",
     "events_tumbling",
     "events_sessionize",
     "events_sessionize_partitioned",

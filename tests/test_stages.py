@@ -1193,3 +1193,44 @@ def test_inverted_index_prunes_and_matches(ray_session, tmp_path):
     build_inverted_index(ds, str(tmp_path / "inv"), n_buckets=8)
     again = InvertedIndex(str(tmp_path / "inv")).lookup(["beta"]).to_pandas()
     assert sorted(again["doc_id"]) == [0, 1]
+
+
+def test_funnel_counts_ordering_semantics(ray_session):
+    """Stepwise funnel: stages must occur strictly AFTER the first
+    completion of the prefix; ties and out-of-order completions don't
+    advance."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from rayslog.stages.events import funnel_counts
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ev(u, typ, sec):
+        return {
+            "user_id": u,
+            "event_type": typ,
+            "ts": t0 + dt.timedelta(seconds=sec),
+        }
+
+    rows = [
+        # user 1: view -> click -> purchase, in order (counts everywhere)
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: click BEFORE view only (view counts, click doesn't)
+        ev(2, "click", 0), ev(2, "view", 10),
+        # user 3: click at the SAME instant as the first view (strict >)
+        ev(3, "view", 0), ev(3, "click", 0),
+        # user 4: purchase before the qualifying click
+        ev(4, "view", 0), ev(4, "purchase", 5), ev(4, "click", 10),
+        # user 5: never views (invisible to the funnel)
+        ev(5, "click", 0), ev(5, "purchase", 1),
+    ]
+    out = (
+        funnel_counts(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index("stage")["n_users"]
+    )
+    assert out["view"] == 4       # users 1-4
+    assert out["click"] == 2      # users 1 and 4
+    assert out["purchase"] == 1   # user 1 only

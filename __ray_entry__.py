@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": p.q_lm_score,
         "domain_mix": p.q_domain_mix,
         "embed_kmeans": p.q_embed_kmeans,
+        "cluster_profile": p.q_cluster_profile,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)

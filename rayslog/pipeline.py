@@ -609,6 +609,42 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans(ds, init, iters=2).sort("vec_id")
 
 
+def q_cluster_profile(sf_dir: str):
+    """Per-cluster language profile: k-means cluster assignments
+    (embeddings table) hash-joined with document metadata on the
+    shared id domain, then (cluster, lang) counts via the combiner
+    tree — the cross-table composition a curation run does to inspect
+    what each semantic cluster holds.  Both large sides go through the
+    partitioned bucket join (no broadcast)."""
+    from rayslog.stages.aggregate import counts_by
+    from rayslog.stages.kmeans import kmeans
+    from rayslog.stages.relational import hash_join
+
+    init, _ = _query_vectors(sf_dir, n=8)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    asg = kmeans(emb, init, iters=2).select_columns(["vec_id", "cluster"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda t: t.rename_columns(["vec_id", "lang"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(asg, docs, key="vec_id")
+    out = counts_by(joined, ["cluster", "lang"], alias="n_docs", final="tree")
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": pc.cast(t.column("cluster"), pa.int64()),
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs"),
+            }
+        )
+
+    return out.map_batches(
+        fix_types, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for queries vec_id<8 (brute-force baseline)."""
     from rayslog.stages.ann import brute_force_topk

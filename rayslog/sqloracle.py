@@ -524,6 +524,14 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        # cross-table composition: kmeans assignments (same unrolled
+        # Lloyd oracle) joined to documents on the shared id domain
+        "cluster_profile": f"""
+WITH asg AS ({_embed_kmeans_sql()})
+SELECT asg.cluster, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM asg JOIN documents d ON asg.vec_id = d.doc_id
+GROUP BY asg.cluster, d.lang
+""",
         # Laplace bigram LM: identical smoothing/ratio-before-log
         # expression as stages/lm.py; V = distinct corpus codepoints
         "lm_score": """

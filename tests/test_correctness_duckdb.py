@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "ngram_jaccard",
     "ann_topk",
     "embed_kmeans",
+    "cluster_profile",
     "embed_dedup_cc",
     "lm_score",
     "cosine_dups",

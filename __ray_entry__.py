@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands": p.q_price_bands,
         "value_quantiles": p.q_value_quantiles,
         "events_funnel": p.q_events_funnel,
+        "props_stats": p.q_props_stats,
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,

@@ -742,6 +742,55 @@ def q_cosine_dups_lsh(sf_dir: str):
     return cosine_lsh_pairs(ds, threshold=0.4)
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with ONE-capture-group ``extract_regex``
+    (multi-group extraction is the documented 50-100x Arrow pitfall),
+    then per-type n/sum/mean via the combiner tree.  The mean is the
+    IEEE division of the integer sum — plan-order independent, so it
+    hash-matches the SQL oracle's CAST(sum AS DOUBLE)/count."""
+    from rayslog.stages.aggregate import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        part = (
+            pa.table({"event_type": t.column("event_type"), "k": k})
+            .group_by(["event_type"])
+            .aggregate([("k", "sum"), ([], "count_all")])
+        )
+        return part.rename_columns(["event_type", "k_sum", "n_events"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tot = tree_aggregate(
+        parts,
+        ["event_type"],
+        [("k_sum", "sum"), ("n_events", "sum")],
+        ["k_sum", "n_events"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events"),
+                "k_sum": t.column("k_sum"),
+                "k_mean": pc.divide(
+                    pc.cast(t.column("k_sum"), pa.float64()),
+                    pc.cast(t.column("n_events"), pa.float64()),
+                ),
+            }
+        )
+
+    return tot.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 #: funnel parameters shared by the Ray query AND its SQL oracle —
 #: high-value events only, so the stepwise ordering actually gates
 FUNNEL_STAGES = ("view", "click", "purchase")

@@ -802,6 +802,21 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         # ordered conversion funnel: stage i strictly after the user's
         # first completion of the prefix; constants mirror
         # pipeline.FUNNEL_STAGES / FUNNEL_MIN_VALUE
+        # semi-structured extraction: the engine regex-extracts the
+        # same integer the JSON reader sees; the mean is the IEEE
+        # division of the int sum on both sides
+        "props_stats": """
+WITH x AS (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(k) AS BIGINT) AS k_sum,
+  CAST(sum(k) AS DOUBLE) / count(*) AS k_mean
+FROM x GROUP BY event_type
+""",
         "events_funnel": """
 WITH e2 AS (SELECT user_id, event_type, ts FROM events WHERE value >= 95.0),
 v AS (SELECT user_id, min(ts) AS t1 FROM e2

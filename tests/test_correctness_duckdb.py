@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "price_bands",
     "value_quantiles",
     "events_funnel",
+    "props_stats",
     "events_tumbling",
     "events_sessionize",
     "events_sessionize_partitioned",

@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": p.q_stratified_sample,
         "sample_k_per_lang": p.q_sample_k_per_lang,
         "decontaminate": p.q_decontaminate,
+        "decontam_survivors": p.q_decontam_survivors,
         "dup_spans": p.q_dup_spans,
         "top_docs_by_lang": p.q_top_docs_by_lang,
         "distinct_users_by_type": p.q_distinct_users_by_type,

@@ -280,6 +280,39 @@ def q_decontaminate(sf_dir: str):
     return flagged.sort("doc_id")
 
 
+def q_decontam_survivors(sf_dir: str):
+    """The clean corpus a decontamination run actually ships: non-eval
+    docs with ZERO shared eval grams — the flagged set from
+    ``decontaminate`` removed via the partitioned hash ANTI join (the
+    large-side complement; no broadcast of the drop set)."""
+    import ray
+
+    from rayslog.stages.decontam import decontaminate, eval_gram_keys
+    from rayslog.stages.relational import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keys = eval_gram_keys(ds, n=DECON_N, eval_mod=DECON_EVAL_MOD)
+    flagged = decontaminate(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ray.put(keys),
+        n=DECON_N,
+        eval_mod=DECON_EVAL_MOD,
+    ).select_columns(["doc_id"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def non_eval(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % DECON_EVAL_MOD) != 0))
+
+    pool = docs.map_batches(
+        non_eval, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_join(pool, flagged, key="doc_id", how="anti")
+
+
 #: training-shard shuffle parameters shared by the Ray query AND its
 #: SQL oracle
 SHARD_SIZE = 100

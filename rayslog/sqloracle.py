@@ -661,6 +661,24 @@ WHERE g.doc_id % 50 <> 0
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """,
+        # the decontaminated corpus: non-eval docs with no shared gram
+        "decontam_survivors": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(t) - 3),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+  ))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+        WHERE g.doc_id % 50 <> 0)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
         # corpus-wide top-20 token bigrams, deterministic tie-break
         "top_ngrams": r"""
 WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),

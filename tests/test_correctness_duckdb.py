@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "sample_k_per_lang",
     "domain_mix",
     "decontaminate",
+    "decontam_survivors",
     "dup_spans",
     "top_docs_by_lang",
     "distinct_users_by_type",

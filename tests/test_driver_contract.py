@@ -45,4 +45,4 @@ def test_queries_and_oracles_line_up():
         "ann_ivf", "cosine_dups_lsh", "approx_top_ngrams",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 66 and len(o) == 57
+    assert len(q) == 67 and len(o) == 58

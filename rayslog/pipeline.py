@@ -1125,6 +1125,19 @@ def q_price_bands(sf_dir: str):
     )
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate p50/p95/p99 of events.value via the mergeable
+    KLL-style sketch (stages/sketch.py) — the unbounded-float scale
+    path beside the exact cents histogram; rows-only (accuracy pinned
+    by the rank-error pytest)."""
+    from rayslog.stages.sketch import approx_quantiles
+
+    return approx_quantiles(
+        _read(sf_dir, "events", ["value"]), "value",
+        quantiles=(0.5, 0.95, 0.99),
+    )
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact p50/p95/p99 of events.value via a distributed cents
     histogram (inverse-CDF rule, mirrored by the SQL oracle)."""

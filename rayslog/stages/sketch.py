@@ -193,3 +193,174 @@ def approx_heavy_hitters(ds, key_fn, k: int = 20, capacity: int = 2_048):
         sort_keys=[("n", "descending"), ("key", "ascending")],
     )
     return rd.from_arrow(final.take(order))
+
+
+class KllSketch:
+    """Mergeable quantile sketch (KLL/MRL-style, DETERMINISTIC
+    compaction).
+
+    ``levels[i]`` holds float64 items of weight 2^i; when a level
+    exceeds ``k`` items it is sorted and every other item (offset
+    alternating per compaction — deterministic, where classic KLL
+    flips a coin) is promoted to level i+1.  Rank error per compaction
+    is <= 2^i, giving the MRL bound eps = O(log^2(n/k) / k); k=512
+    holds ~1-2% rank error through 10^8 items while the sketch stays
+    O(k log(n/k)) floats — kilobytes through the merge tree no matter
+    the row count (the HLL discipline applied to quantiles).  The
+    EXACT path for bounded-precision domains stays
+    aggregate.exact_quantiles_cents; this is the unbounded-float
+    companion.
+    """
+
+    __slots__ = ("k", "levels", "parity", "count")
+
+    def __init__(self, k: int = 512):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+        self.count = 0
+
+    def _compact_overflows(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) <= self.k:
+                i += 1
+                continue
+            buf = np.sort(buf)
+            off = self.parity[i] & 1
+            self.parity[i] += 1
+            promoted = buf[off::2]
+            self.levels[i] = np.empty(0, np.float64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], promoted]
+            )
+            i += 1
+
+    def add_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.count += len(v)
+        # feed in k-sized slices so level 0 never balloons past 2k
+        for s in range(0, len(v), self.k):
+            self.levels[0] = np.concatenate(
+                [self.levels[0], v[s : s + self.k]]
+            )
+            self._compact_overflows()
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        out = KllSketch(self.k)
+        out.count = self.count + other.count
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        out.parity = []
+        for i in range(depth):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            out.levels.append(
+                np.concatenate([a, b]).astype(np.float64)
+            )
+            pa_ = self.parity[i] if i < len(self.parity) else 0
+            pb = other.parity[i] if i < len(other.parity) else 0
+            out.parity.append(pa_ + pb)
+        out._compact_overflows()
+        return out
+
+    def quantile(self, q: float) -> float:
+        vals = np.concatenate(self.levels)
+        if not len(vals):
+            return float("nan")
+        w = np.concatenate(
+            [
+                np.full(len(buf), 1 << i, dtype=np.int64)
+                for i, buf in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(vals)
+        cum = np.cumsum(w[order])
+        target = max(1, int(np.ceil(q * cum[-1])))
+        idx = int(np.searchsorted(cum, target))
+        return float(vals[order][min(idx, len(vals) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.k, self.count, self.parity,
+             [lv.tobytes() for lv in self.levels])
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KllSketch":
+        import pickle
+
+        k, count, parity, bufs = pickle.loads(b)
+        sk = cls(k)
+        sk.count = count
+        sk.parity = list(parity)
+        sk.levels = [np.frombuffer(x, dtype=np.float64).copy() for x in bufs]
+        return sk
+
+
+def approx_quantiles(ds, column: str, quantiles=(0.5, 0.95, 0.99),
+                     k: int = 512):
+    """Approximate quantiles of a float column via the mergeable
+    KllSketch: one serialized sketch per batch (vectorized add), a
+    raw-task combiner tree over the kilobyte partials, quantiles read
+    off the final sketch.  Returns (q, value) rows.  Rows-only in the
+    driver contract (approximate by construction); accuracy is pinned
+    by a rank-error pytest against the exact operator."""
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        col = t.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sk.add_many(col.drop_null().to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    partial = ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge_tables(t: pa.Table) -> pa.Table:
+        merged = None
+        for blob in t.column("sketch").to_pylist():
+            sk = KllSketch.from_bytes(blob)
+            merged = sk if merged is None else merged.merge(sk)
+        return pa.table(
+            {"sketch": pa.array([merged.to_bytes()], pa.binary())}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sk = KllSketch.from_bytes(t.column("sketch")[0].as_py())
+        return pa.table(
+            {
+                "q": pa.array([f"p{int(q * 100)}" for q in quantiles]),
+                "value": pa.array(
+                    [sk.quantile(q) for q in quantiles], pa.float64()
+                ),
+            }
+        )
+
+    def empty_fn():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "q": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        partial, merge_tables, empty_fn=empty_fn, final_fn=finish
+    )

@@ -91,7 +91,8 @@ QUERY_NAMES = [
     "mktsegment_revenue",
 ]
 
-ROWS_ONLY = ["doc_fingerprint", "dedup_simhash", "approx_top_ngrams",
+ROWS_ONLY = ["approx_quantiles",
+             "doc_fingerprint", "dedup_simhash", "approx_top_ngrams",
              "ann_ivf", "media_features", "approx_distinct"]
 
 

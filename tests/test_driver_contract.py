@@ -44,5 +44,6 @@ def test_queries_and_oracles_line_up():
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
         "ann_ivf", "cosine_dups_lsh", "approx_top_ngrams",
         "media_features", "media_decode", "approx_distinct",
+        "approx_quantiles",
     }, rows_only
-    assert len(q) == 67 and len(o) == 58
+    assert len(q) == 68 and len(o) == 58

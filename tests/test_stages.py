@@ -1234,3 +1234,42 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert out["view"] == 4       # users 1-4
     assert out["click"] == 2      # users 1 and 4
     assert out["purchase"] == 1   # user 1 only
+
+
+def test_kll_sketch_rank_error_and_merge(ray_session):
+    """The mergeable quantile sketch stays within ~2% rank error of
+    the exact quantiles on a skewed distribution, both single-node and
+    through the distributed merge tree."""
+    import ray.data as rd
+
+    from rayslog.stages.sketch import KllSketch, approx_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(mean=2.0, sigma=1.2, size=200_000)
+    svals = np.sort(vals)
+    n = len(vals)
+
+    def true_rank(x):
+        return np.searchsorted(svals, x) / n
+
+    # driver-side: one sketch
+    sk = KllSketch(k=512)
+    sk.add_many(vals)
+    for q in (0.5, 0.95, 0.99):
+        assert abs(true_rank(sk.quantile(q)) - q) < 0.02, q
+
+    # distributed: sketch-per-batch + combiner tree
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(16)
+    out = (
+        approx_quantiles(ds, "v", quantiles=(0.5, 0.95, 0.99))
+        .to_pandas()
+        .set_index("q")["value"]
+    )
+    for q, lbl in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        assert abs(true_rank(out[lbl]) - q) < 0.02, (q, out[lbl])
+
+    # merge is weight-preserving
+    a, b = KllSketch(64), KllSketch(64)
+    a.add_many(vals[:1000]); b.add_many(vals[1000:2000])
+    m = a.merge(b)
+    assert m.count == 2000

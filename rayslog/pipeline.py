@@ -154,6 +154,53 @@ def q_hourly_traffic(sf_dir: str):
     return counts_by(ds, ["facility", "hour"], alias="n_turns", final="driver")
 
 
+def q_conv_error_rate(sf_dir: str):
+    """Per-conversation parse health: total turns, parse-error turns
+    and the error rate — the ops-dashboard rollup of the parse stage.
+    One pass, per-batch (conv, sum, count) combiner, tree final; the
+    rate is the IEEE division of the two int sums (order-independent,
+    matches the SQL oracle bit-for-bit)."""
+    from rayslog.stages.aggregate import tree_aggregate
+
+    ds = parsed_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        err = pc.cast(pc.is_valid(t.column("parse_error")), pa.int64())
+        part = (
+            pa.table({"conv_id": t.column("conv_id"), "e": err})
+            .group_by(["conv_id"])
+            .aggregate([("e", "sum"), ([], "count_all")])
+        )
+        return part.rename_columns(["conv_id", "n_errors", "n_turns"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tot = tree_aggregate(
+        parts,
+        ["conv_id"],
+        [("n_errors", "sum"), ("n_turns", "sum")],
+        ["n_errors", "n_turns"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": pc.cast(t.column("n_turns"), pa.int64()),
+                "n_errors": t.column("n_errors"),
+                "error_rate": pc.divide(
+                    pc.cast(t.column("n_errors"), pa.float64()),
+                    pc.cast(t.column("n_turns"), pa.float64()),
+                ),
+            }
+        )
+
+    return tot.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def flagship(sf_dir: str):
     """The headline parse→enrich→aggregate pipeline (driver smoke check)."""
     return q_severity_counts(sf_dir)

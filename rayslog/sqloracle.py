@@ -968,6 +968,16 @@ def oracle_queries(sf_dir: str) -> dict[str, str]:
         + "SELECT severity, count(*) AS n_turns FROM allok GROUP BY severity",
         "conv_counts": base
         + "SELECT conv_id, count(*) AS n_turns FROM allok GROUP BY conv_id",
+        "conv_error_rate": base
+        + """
+, okc AS (SELECT conv_id, count(*) AS n_ok FROM allok GROUP BY conv_id),
+alln AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY conv_id)
+SELECT a.conv_id, a.n_turns,
+  a.n_turns - coalesce(okc.n_ok, 0) AS n_errors,
+  CAST(a.n_turns - coalesce(okc.n_ok, 0) AS DOUBLE) / a.n_turns
+    AS error_rate
+FROM alln a LEFT JOIN okc USING (conv_id)
+""",
         "route_sinks": base
         + "SELECT severity, rfc, count(*) AS n_rows FROM allok"
         " GROUP BY severity, rfc",

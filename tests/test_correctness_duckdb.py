@@ -35,6 +35,7 @@ QUERY_NAMES = [
     "parse_5424",
     "severity_counts",
     "conv_counts",
+    "conv_error_rate",
     "parse_errors",
     "route_sinks",
     "enrich_route",

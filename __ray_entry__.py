@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_sinks": p.q_route_sinks,
         "enrich_route": p.q_enrich_route,
         "hourly_traffic": p.q_hourly_traffic,
+        "traffic_rollup": p.q_traffic_rollup,
         "host_traffic": p.q_host_traffic,
         # training-data operators (documents / embeddings / events / tpch)
         "dedup_exact": p.q_dedup_exact,

@@ -154,6 +154,64 @@ def q_hourly_traffic(sf_dir: str):
     return counts_by(ds, ["facility", "hour"], alias="n_turns", final="driver")
 
 
+def q_traffic_rollup(sf_dir: str):
+    """Multi-level aggregate — ``GROUP BY ROLLUP(facility, hour)``:
+    leaf (facility, hour) counts plus per-facility subtotals and the
+    grand total, with NULL keys marking rolled-up levels (the SQL
+    convention).  The leaf aggregation is the distributed combiner
+    tree; the rollup levels are derived from the reduced leaf block
+    itself (bounded domain: facilities x 24), so no extra pass over
+    the corpus."""
+    from rayslog.stages.aggregate import counts_by
+
+    ds = parsed_only(parsed_dataset(sf_dir))
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts_parsed")))
+        return t.append_column(
+            "hour", pc.cast(pc.hour(t.column("ts_parsed")), pa.int32())
+        )
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    leaf = counts_by(ds, ["facility", "hour"], alias="n_turns", final="tree")
+
+    def rollup(t: pa.Table) -> pa.Table:
+        sub = (
+            t.select(["facility", "n_turns"])
+            .group_by(["facility"])
+            .aggregate([("n_turns", "sum")])
+            .rename_columns(["facility", "n_turns"])
+        )
+        fac_t = t.schema.field("facility").type
+        hr_t = t.schema.field("hour").type
+        sub = pa.table(
+            {
+                "facility": sub.column("facility"),
+                "hour": pa.nulls(len(sub), hr_t),
+                "n_turns": sub.column("n_turns"),
+            }
+        )
+        total = pa.table(
+            {
+                "facility": pa.nulls(1, fac_t),
+                "hour": pa.nulls(1, hr_t),
+                "n_turns": pa.array(
+                    [pc.sum(t.column("n_turns")).as_py()], pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [t.select(["facility", "hour", "n_turns"]), sub, total]
+        )
+
+    # the reduced leaf is ONE block (tree output): batch_size=None
+    # keeps whole-block batches, so the rollup sees every leaf row
+    return leaf.map_batches(
+        rollup, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def q_conv_error_rate(sf_dir: str):
     """Per-conversation parse health: total turns, parse-error turns
     and the error rate — the ops-dashboard rollup of the parse stage.

@@ -968,6 +968,10 @@ def oracle_queries(sf_dir: str) -> dict[str, str]:
         + "SELECT severity, count(*) AS n_turns FROM allok GROUP BY severity",
         "conv_counts": base
         + "SELECT conv_id, count(*) AS n_turns FROM allok GROUP BY conv_id",
+        "traffic_rollup": base
+        + "SELECT facility, CAST(date_part('hour', ts_parsed) AS INTEGER)"
+        " AS hour, count(*) AS n_turns FROM allok"
+        " WHERE ts_parsed IS NOT NULL GROUP BY ROLLUP(facility, hour)",
         "conv_error_rate": base
         + """
 , okc AS (SELECT conv_id, count(*) AS n_ok FROM allok GROUP BY conv_id),

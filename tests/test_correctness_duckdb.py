@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "route_sinks",
     "enrich_route",
     "hourly_traffic",
+    "traffic_rollup",
     "host_traffic",
     "dedup_exact",
     "render_3164",

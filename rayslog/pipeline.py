@@ -839,6 +839,47 @@ def q_inverted_index(sf_dir: str):
     )
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 top-10 for the probe query over the persisted posting
+    store: tf/dl ride the postings (search-engine denormalization), df
+    comes from the probed rows themselves, and corpus stats (N, avgdl)
+    are parquet metadata + one streaming token-count pass — scoring
+    touches only the query's buckets."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from rayslog.stages.invindex import bm25_topk, ensure_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/rayslog_data/inv/{tag}-{h}"
+    n_docs = _table_rows(sf_dir, "documents")
+    index = ensure_index(
+        ds, index_dir,
+        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
+    )
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), r"\S+")
+        return pa.table(
+            {"s": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64())}
+        )
+
+    tot = int(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["s"]
+        .sum()
+    )
+    avgdl = float(tot) / float(n_docs)
+    return bm25_topk(
+        index, list(INDEX_PROBE_TOKENS), n_docs=n_docs, avgdl=avgdl, k=10
+    )
+
+
 def q_cosine_dups(sf_dir: str):
     """Embedding near-dup pairs with cosine >= 0.4 (the corpus is
     near-orthogonal random; the threshold is the operator parameter)."""

@@ -679,6 +679,35 @@ bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """,
+        # BM25 top-10 for the probe tokens (k1=1.2, b=0.75): arithmetic
+        # spelled left-to-right exactly as invindex.bm25_topk computes
+        # it; the per-doc sum is list_sum over token-ordered terms
+        # (deterministic order on both sides), scores round-6
+        "bm25_search": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM t),
+u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM u
+       WHERE token IN ('data', 'query', 'spark') GROUP BY doc_id, token),
+df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+terms AS (
+  SELECT tf.doc_id, tf.token,
+    ln(1 + (st.nd - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+      / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / st.avgdl)) AS term
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+),
+s AS (SELECT doc_id, round(list_sum(list(term ORDER BY token)), 6) AS score
+      FROM terms GROUP BY doc_id)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM s) WHERE rank <= 10
+""",
         # corpus-wide top-20 token bigrams, deterministic tie-break
         "top_ngrams": r"""
 WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),

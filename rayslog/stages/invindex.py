@@ -39,6 +39,11 @@ import pyarrow.compute as pc
 from rayslog.kernels import texthash as tx
 
 
+#: posting-store schema version — bump when build output changes so
+#: stale /tmp caches rebuild instead of serving the old layout
+INDEX_VERSION = 2
+
+
 def _token_buckets(tokens: pa.Array, n_buckets: int) -> np.ndarray:
     return (tx.hash_utf8(tokens, seed=0) % np.uint64(n_buckets)).astype(
         np.int64
@@ -52,6 +57,7 @@ class InvertedIndex:
         self.index_dir = str(index_dir)
         meta = json.loads(Path(index_dir, "_inv_meta.json").read_text())
         self.n_buckets = int(meta["n_buckets"])
+        self.version = int(meta.get("version", 1))
 
     def postings_dataset(self, buckets):
         """Dataset over ONLY the given buckets — non-probed ``bucket=K/``
@@ -75,20 +81,29 @@ class InvertedIndex:
             partitioning=Partitioning("hive", field_types={"bucket": int}),
         )
 
-    def lookup(self, tokens):
-        """(token, doc_id) posting rows for the given tokens
-        (lowercased), reading only their buckets."""
+    def _probe(self, tokens, columns):
         lowered = sorted({t.lower() for t in tokens})
         qt = pa.array(lowered, pa.string())
         buckets = sorted(set(_token_buckets(qt, self.n_buckets).tolist()))
 
         def probe(t: pa.Table) -> pa.Table:
             keep = pc.is_in(t.column("token"), value_set=qt)
-            return t.filter(keep).select(["token", "doc_id"])
+            return t.filter(keep).select(columns)
 
         return self.postings_dataset(buckets).map_batches(
             probe, batch_format="pyarrow", zero_copy_batch=True
         )
+
+    def lookup(self, tokens):
+        """(token, doc_id) posting rows for the given tokens
+        (lowercased), reading only their buckets."""
+        return self._probe(tokens, ["token", "doc_id"])
+
+    def lookup_scored(self, tokens):
+        """(token, doc_id, tf, dl) posting rows — the term-frequency +
+        doc-length denormalization BM25 scoring reads; same bucket
+        pruning as :meth:`lookup`."""
+        return self._probe(tokens, ["token", "doc_id", "tf", "dl"])
 
 
 def build_inverted_index(
@@ -104,7 +119,10 @@ def build_inverted_index(
     Per-doc distinctness is resolved by 64-bit token hash inside the
     batch (collisions would merge two distinct tokens of ONE doc —
     ~n_doc_tokens²/2⁶⁵, the same accepted risk as doc_freq); the
-    stored rows carry the token STRING, so lookups are exact.
+    stored rows carry the token STRING, so lookups are exact.  Each
+    posting also carries its term frequency (``tf``) and the doc's
+    token count (``dl``) — the standard search-engine denormalization
+    that lets BM25 score from the probed buckets alone.
     """
 
     def explode(t: pa.Table) -> pa.Table:
@@ -119,19 +137,27 @@ def build_inverted_index(
                 {
                     "token": pa.array([], pa.string()),
                     "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
                 }
             )
+        counts = np.diff(offs)
         h = tx.hash_utf8(flat, seed=0)
-        seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
         order = np.lexsort((h, seg))
         s, hh = seg[order], h[order]
         first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.r_[starts, len(s)])
         idx = np.asarray(order)[first]
+        docs = seg[idx]
         return pa.table(
             {
                 "token": flat.take(pa.array(idx)),
-                "doc_id": pa.array(ids[seg[idx]].astype(np.int64)),
+                "doc_id": pa.array(ids[docs].astype(np.int64)),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(counts[docs].astype(np.int64)),
                 "bucket": pa.array(
                     (hh[first] % np.uint64(n_buckets)).astype(np.int64)
                 ),
@@ -150,7 +176,7 @@ def build_inverted_index(
         batch_size=batch_size,
     ).write_parquet(str(tmp), partition_cols=["bucket"])
     (tmp / "_inv_meta.json").write_text(
-        json.dumps({"n_buckets": int(n_buckets)})
+        json.dumps({"n_buckets": int(n_buckets), "version": INDEX_VERSION})
     )
     if final.exists():  # stale partial from a crashed build
         shutil.rmtree(final)
@@ -174,10 +200,89 @@ def inverted_lookup(
         import tempfile
 
         index_dir = tempfile.mkdtemp(prefix="rayslog_inv_")
+    index = ensure_index(
+        ds, index_dir, n_buckets=n_buckets, col=col, id_col=id_col
+    )
+    return index.lookup(tokens)
+
+
+def ensure_index(ds, index_dir: str, n_buckets: int = 64,
+                 col: str = "text", id_col: str = "doc_id") -> InvertedIndex:
+    """Reuse the persisted index at ``index_dir`` when its meta exists
+    AND matches the current schema version; (re)build otherwise."""
     if Path(index_dir, "_inv_meta.json").exists():
         index = InvertedIndex(index_dir)
-    else:
-        index = build_inverted_index(
-            ds, index_dir, n_buckets=n_buckets, col=col, id_col=id_col
+        if index.version == INDEX_VERSION:
+            return index
+    return build_inverted_index(
+        ds, index_dir, n_buckets=n_buckets, col=col, id_col=id_col
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    tokens,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k over the posting store: (doc_id, score, rank).
+
+    Everything scores from the PROBED buckets alone — the denormalized
+    (tf, dl) posting rows give term frequency and doc length, and
+    df(t) is the posting count of each query token within the result
+    itself (exact: the index holds one posting per (doc, token)).  The
+    candidate set is bounded by the query's postings, so the final
+    scoring collect is O(query postings), never corpus-sized (the
+    fetch-only-candidates discipline).  Arithmetic is written
+    left-to-right exactly as the SQL oracle spells it, with the 3-term
+    sum accumulated in token order, so round-6 scores agree
+    bit-for-bit.
+    """
+    import math
+
+    import ray.data as rd
+
+    df_rows = index.lookup_scored(tokens).to_pandas()
+    if not len(df_rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
         )
-    return index.lookup(tokens)
+    df_per_token = df_rows.groupby("token")["doc_id"].count().to_dict()
+    terms: dict[int, list[tuple[str, float]]] = {}
+    for tok, doc, tf, dl in zip(
+        df_rows["token"], df_rows["doc_id"], df_rows["tf"], df_rows["dl"]
+    ):
+        dfx = float(df_per_token[tok])
+        idf = math.log(1.0 + (float(n_docs) - dfx + 0.5) / (dfx + 0.5))
+        denom = float(tf) + k1 * ((1.0 - b) + (b * float(dl)) / avgdl)
+        terms.setdefault(int(doc), []).append(
+            (tok, (idf * float(tf)) / denom)
+        )
+    scored = []
+    for doc, parts in terms.items():
+        s = 0.0
+        for _, v in sorted(parts):  # token-order accumulation
+            s += v
+        scored.append((doc, round(s, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    top = scored[:k]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in top], pa.int64()),
+                "score": pa.array([s for _, s in top], pa.float64()),
+                "rank": pa.array(
+                    list(range(1, len(top) + 1)), pa.int64()
+                ),
+            }
+        )
+    )

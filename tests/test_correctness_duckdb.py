@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "token_quantiles_by_lang",
     "tf_idf",
     "inverted_index",
+    "bm25_search",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

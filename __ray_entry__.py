@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "severity_counts": p.q_severity_counts,
         "conv_counts": p.q_conv_counts,
         "conv_error_rate": p.q_conv_error_rate,
+        "conv_assemble": p.q_conv_assemble,
         "parse_errors": p.q_parse_errors,
         "route_sinks": p.q_route_sinks,
         "enrich_route": p.q_enrich_route,

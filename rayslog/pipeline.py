@@ -154,6 +154,22 @@ def q_hourly_traffic(sf_dir: str):
     return counts_by(ds, ["facility", "hour"], alias="n_turns", final="driver")
 
 
+def q_conv_assemble(sf_dir: str):
+    """Training-sample assembly over the transcripts: one document per
+    conversation — turns joined by newline in turn order, plus the
+    turn count (stages/pack.py:assemble_conversations; the step before
+    pack_sequences/shuffle_shards in a transcript-training run)."""
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.pack import assemble_conversations
+
+    ds = read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    # ~1.2k turns/conv: size parts so one part's text stays ~10s of MB
+    n_rows = rows_for(sf_dir)
+    return assemble_conversations(
+        ds, parts=max(16, min(4096, -(-n_rows // 500_000)))
+    )
+
+
 def q_traffic_rollup(sf_dir: str):
     """Multi-level aggregate — ``GROUP BY ROLLUP(facility, hour)``:
     leaf (facility, hour) counts plus per-facility subtotals and the

@@ -997,6 +997,15 @@ def oracle_queries(sf_dir: str) -> dict[str, str]:
         + "SELECT severity, count(*) AS n_turns FROM allok GROUP BY severity",
         "conv_counts": base
         + "SELECT conv_id, count(*) AS n_turns FROM allok GROUP BY conv_id",
+        # training-sample assembly: turns joined newline-wise in turn
+        # order (transcripts text is never null by the generator
+        # contract, so string_agg's null-skip never diverges from
+        # binary_join)
+        "conv_assemble": f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
+""",
         "traffic_rollup": base
         + "SELECT facility, CAST(date_part('hour', ts_parsed) AS INTEGER)"
         " AS hour, count(*) AS n_turns FROM allok"

@@ -99,3 +99,74 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
         )
 
     return feats.groupby("part").map_groups(assign, batch_format="pandas")
+
+
+def assemble_conversations(ds, conv_col: str = "conv_id",
+                           order_col: str = "turn_idx",
+                           text_col: str = "text",
+                           sep: str = "\n", parts: int = 64):
+    """Training-sample assembly: one document per conversation — the
+    conversation's turns joined by ``sep`` in ``order_col`` order,
+    plus the turn count.  The step every transcript-training pipeline
+    runs right before packing/sharding.
+
+    Plan: hash(conv) % ``parts`` bounded groups (one map_groups per
+    PART, not per conversation — the measured per-group-machinery
+    pathology), and inside a part everything is vectorized Arrow: one
+    lexsort by (conv, order), run detection to per-conv offsets, a
+    ``ListArray`` built straight from those offsets over the sorted
+    text values, and ``binary_join`` to concatenate — no per-row or
+    per-conv Python.  The all-to-all moves each text once (unavoidable:
+    a conversation's turns must co-locate to concatenate).  ``parts``
+    must scale with the corpus so one part's text fits a task.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t.column(conv_col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        from rayslog.kernels import texthash as tx
+
+        h = tx.hash_utf8(c.cast(pa.string()), seed=0)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(conv_col, "ascending"), (order_col, "ascending")]
+        )
+        s = t.take(idx)
+        conv = s.column(conv_col)
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = np.asarray(conv.dictionary_encode().indices)
+        if not len(codes):
+            return pa.table(
+                {
+                    conv_col: pa.array([], conv.type),
+                    "n_turns": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.string()),
+                }
+            )
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.nonzero(first)[0]
+        offsets = np.r_[starts, len(codes)].astype(np.int32)
+        texts = s.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), texts)
+        docs = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                conv_col: conv.take(pa.array(starts)),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+                "doc": docs,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

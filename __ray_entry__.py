@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": p.q_tf_idf,
         "inverted_index": p.q_inverted_index,
         "bm25_search": p.q_bm25_search,
+        "phrase_search": p.q_phrase_search,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
         "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)

@@ -835,24 +835,7 @@ def q_inverted_index(sf_dir: str):
     index (built once per corpus under /tmp, reused across calls;
     lookups read ONLY the probed tokens' buckets — pruned at the file
     listing, the IvfIndex discipline applied to text)."""
-    import hashlib
-    import re as _re
-
-    from rayslog.stages.invindex import inverted_lookup
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
-    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/rayslog_data/inv/{tag}-{h}"
-    # bucket count scales with the corpus: ~40k docs' postings per
-    # bucket keeps lookups pruned while bounding file counts
-    n_docs = _table_rows(sf_dir, "documents")
-    return inverted_lookup(
-        ds,
-        list(INDEX_PROBE_TOKENS),
-        index_dir=index_dir,
-        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
-    )
+    return _doc_index(sf_dir).lookup(list(INDEX_PROBE_TOKENS))
 
 
 def q_bm25_search(sf_dir: str):
@@ -861,22 +844,11 @@ def q_bm25_search(sf_dir: str):
     comes from the probed rows themselves, and corpus stats (N, avgdl)
     are parquet metadata + one streaming token-count pass — scoring
     touches only the query's buckets."""
-    import hashlib
-    import re as _re
+    from rayslog.stages.invindex import bm25_topk
 
-    import numpy as np
-
-    from rayslog.stages.invindex import bm25_topk, ensure_index
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
-    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/rayslog_data/inv/{tag}-{h}"
     n_docs = _table_rows(sf_dir, "documents")
-    index = ensure_index(
-        ds, index_dir,
-        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
-    )
+    index = _doc_index(sf_dir)
+    index_dir = index.index_dir
 
     # corpus token total: computed once and persisted beside the index
     # (a corpus-level stat of the same build; repeat queries skip the
@@ -906,6 +878,39 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(
         index, list(INDEX_PROBE_TOKENS), n_docs=n_docs, avgdl=avgdl, k=10
     )
+
+
+#: phrase shared by the Ray query AND its SQL oracle
+PHRASE = ("table", "hash")
+
+
+def _doc_index(sf_dir: str):
+    """The (cached) posting store for the documents table — shared by
+    inverted_index / bm25_search / phrase_search."""
+    import hashlib
+    import re as _re
+
+    from rayslog.stages.invindex import ensure_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    n_docs = _table_rows(sf_dir, "documents")
+    return ensure_index(
+        ds,
+        f"/tmp/rayslog_data/inv/{tag}-{h}",
+        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
+    )
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact token-phrase search over the POSITIONAL posting store:
+    docs containing the probe phrase adjacently, with occurrence
+    counts — position lists ride the postings, so matching reads only
+    the phrase tokens' buckets (stages/invindex.py:phrase_search)."""
+    from rayslog.stages.invindex import phrase_search
+
+    return phrase_search(_doc_index(sf_dir), PHRASE)
 
 
 def q_cosine_dups(sf_dir: str):

@@ -679,6 +679,26 @@ bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """,
+        # exact adjacent-token phrase match (pipeline.PHRASE): the
+        # engine intersects positional postings; this checks bigram
+        # membership over the same \S+ lowercased tokenization
+        "phrase_search": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i+1]
+  ) AS bgs
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+  CAST(len(list_filter(bgs, b -> b = 'table hash')) AS BIGINT)
+    AS n_occurrences
+FROM bg WHERE len(list_filter(bgs, b -> b = 'table hash')) > 0
+""",
         # BM25 top-10 for the probe tokens (k1=1.2, b=0.75): arithmetic
         # spelled left-to-right exactly as invindex.bm25_topk computes
         # it; the per-doc sum is list_sum over token-ordered terms

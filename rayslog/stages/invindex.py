@@ -41,7 +41,7 @@ from rayslog.kernels import texthash as tx
 
 #: posting-store schema version — bump when build output changes so
 #: stale /tmp caches rebuild instead of serving the old layout
-INDEX_VERSION = 2
+INDEX_VERSION = 3
 
 
 def _token_buckets(tokens: pa.Array, n_buckets: int) -> np.ndarray:
@@ -105,6 +105,11 @@ class InvertedIndex:
         pruning as :meth:`lookup`."""
         return self._probe(tokens, ["token", "doc_id", "tf", "dl"])
 
+    def lookup_positions(self, tokens):
+        """(token, doc_id, pos) posting rows with within-doc token
+        positions — the positional-index form phrase search reads."""
+        return self._probe(tokens, ["token", "doc_id", "pos"])
+
 
 def build_inverted_index(
     ds,
@@ -139,6 +144,7 @@ def build_inverted_index(
                     "doc_id": pa.array([], pa.int64()),
                     "tf": pa.array([], pa.int64()),
                     "dl": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.list_(pa.int32())),
                     "bucket": pa.array([], pa.int64()),
                 }
             )
@@ -149,15 +155,23 @@ def build_inverted_index(
         s, hh = seg[order], h[order]
         first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
         starts = np.nonzero(first)[0]
-        tf = np.diff(np.r_[starts, len(s)])
+        run_offsets = np.r_[starts, len(s)]
+        tf = np.diff(run_offsets)
         idx = np.asarray(order)[first]
         docs = seg[idx]
+        # within-doc token positions per occurrence: lexsort is stable,
+        # so a run's occurrences keep ascending original order
+        pos_sorted = (np.asarray(order) - offs[:-1][s]).astype(np.int32)
+        pos_lists = pa.ListArray.from_arrays(
+            pa.array(run_offsets.astype(np.int32)), pa.array(pos_sorted)
+        )
         return pa.table(
             {
                 "token": flat.take(pa.array(idx)),
                 "doc_id": pa.array(ids[docs].astype(np.int64)),
                 "tf": pa.array(tf.astype(np.int64)),
                 "dl": pa.array(counts[docs].astype(np.int64)),
+                "pos": pos_lists,
                 "bucket": pa.array(
                     (hh[first] % np.uint64(n_buckets)).astype(np.int64)
                 ),
@@ -283,6 +297,68 @@ def bm25_topk(
                 "rank": pa.array(
                     list(range(1, len(top) + 1)), pa.int64()
                 ),
+            }
+        )
+    )
+
+
+def phrase_search(index: InvertedIndex, phrase):
+    """Exact token-phrase search over the positional posting store:
+    (doc_id, n_occurrences) for every doc containing the ``phrase``
+    tokens ADJACENTLY (``\\S+`` tokenization, lowercased).
+
+    Reads only the phrase tokens' buckets (position lists ride the
+    postings); candidates = docs holding ALL tokens, occurrences =
+    start positions whose successors line up — per-candidate
+    ``np.intersect1d`` chains on the driver, bounded by the query's
+    postings (never corpus-sized).
+    """
+    import ray.data as rd
+
+    toks = [t.lower() for t in phrase]
+    if len(toks) < 2:
+        raise ValueError("phrase_search wants >= 2 tokens")
+    rows = index.lookup_positions(toks).to_pandas()
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if not len(rows):
+        return empty
+    per_tok: list[dict[int, np.ndarray]] = []
+    for t in toks:
+        sub = rows[rows["token"] == t]
+        per_tok.append(
+            {
+                int(d): np.asarray(p, dtype=np.int64)
+                for d, p in zip(sub["doc_id"], sub["pos"])
+            }
+        )
+    cands = set(per_tok[0])
+    for m in per_tok[1:]:
+        cands &= set(m)
+    out = []
+    for d in sorted(cands):
+        startpos = per_tok[0][d]
+        for k, m in enumerate(per_tok[1:], start=1):
+            startpos = np.intersect1d(
+                startpos, m[d] - k, assume_unique=True
+            )
+            if not len(startpos):
+                break
+        if len(startpos):
+            out.append((d, len(startpos)))
+    if not out:
+        return empty
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in out], pa.int64()),
+                "n_occurrences": pa.array([n for _, n in out], pa.int64()),
             }
         )
     )

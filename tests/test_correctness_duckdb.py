@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "tf_idf",
     "inverted_index",
     "bm25_search",
+    "phrase_search",
     "redact_pii",
     "top_ngrams",
     "doc_freq",

@@ -46,4 +46,4 @@ def test_queries_and_oracles_line_up():
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles",
     }, rows_only
-    assert len(q) == 72 and len(o) == 62
+    assert len(q) == 73 and len(o) == 63

@@ -1273,3 +1273,39 @@ def test_kll_sketch_rank_error_and_merge(ray_session):
     a.add_many(vals[:1000]); b.add_many(vals[1000:2000])
     m = a.merge(b)
     assert m.count == 2000
+
+
+def test_phrase_search_positions(ray_session, tmp_path):
+    """Positional phrase matching: adjacency required in order,
+    multi-token phrases chain, occurrence counts are exact."""
+    import ray.data as rd
+
+    from rayslog.stages.invindex import build_inverted_index, phrase_search
+
+    rows = [
+        # two occurrences of "a b c"
+        {"doc_id": 0, "text": "a b c x a b c"},
+        # tokens present but never adjacent in order
+        {"doc_id": 1, "text": "a x b y c"},
+        # reversed order only
+        {"doc_id": 2, "text": "c b a"},
+        # one occurrence, phrase at the end
+        {"doc_id": 3, "text": "z z a b c"},
+    ]
+    idx = build_inverted_index(
+        rd.from_items(rows).repartition(2), str(tmp_path / "pinv"),
+        n_buckets=4,
+    )
+    got = (
+        phrase_search(idx, ["a", "b", "c"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["doc_id"], got["n_occurrences"])) == [(0, 2), (3, 1)]
+
+    # no match at all -> typed empty result (to_pandas drops schema on
+    # 0-row datasets, so assert on the Dataset itself)
+    none = phrase_search(idx, ["a", "z"])
+    assert none.count() == 0
+    assert none.schema().names == ["doc_id", "n_occurrences"]

@@ -203,7 +203,6 @@ def dup_span_stats(
     SQL oracle joins gram STRINGS, so collisions would surface as
     mismatches.
     """
-    from ray.data.aggregate import Sum
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -270,9 +269,33 @@ def dup_span_stats(
     per_part = rows.groupby("gpart").map_groups(
         resolve_part, batch_format="pyarrow"
     )
-    totals = per_part.groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"),
-        Sum("n_dup_grams", alias_name="n_dup_grams"),
+
+    # cross-part per-doc totals: bounded-parts map_groups (hash(doc) %
+    # parts) with a vectorized in-group Arrow sum — measured faster
+    # than the Aggregate sort-shuffle on the tiny (doc, gpart) partial
+    # rows, and scale-safe (doc cardinality is corpus-sized, so the
+    # combiner tree's fits-one-task assumption would NOT hold here)
+    def add_dpart(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mix = (d.astype(np.uint64) * _GRAM_K) >> _U64(33)
+        return t.append_column(
+            "dpart", pa.array((mix % _U64(parts)).astype(np.int32))
+        )
+
+    def sum_docs(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["doc_id", "n_grams", "n_dup_grams"])
+            .group_by(["doc_id"])
+            .aggregate([("n_grams", "sum"), ("n_dup_grams", "sum")])
+        )
+        return out.rename_columns(["doc_id", "n_grams", "n_dup_grams"])
+
+    totals = (
+        per_part.map_batches(
+            add_dpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dpart")
+        .map_groups(sum_docs, batch_format="pyarrow")
     )
 
     def finish(t: pa.Table) -> pa.Table:

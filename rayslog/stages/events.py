@@ -519,6 +519,11 @@ def funnel_counts(
 
     from rayslog.stages.aggregate import tree_aggregate
 
+    # one parquet read + filter for all k passes: the projected input
+    # is materialized into the object store once (spillable), instead
+    # of re-executing the upstream read per stage
+    ds = ds.materialize()
+
     def min_pass(stage: str, prev_ref):
         def partial(t: pa.Table) -> pa.Table:
             mask = pc.equal(t.column(type_col), stage)

@@ -146,7 +146,12 @@ def kmeans(
     """Run ``iters`` Lloyd rounds from ``init_centroids`` (callers
     fetch a deterministic seed via a pushdown read — e.g.
     pipeline._query_vectors, never a corpus scan) and return the
-    assignment dataset (id, cluster, score)."""
+    assignment dataset (id, cluster, score).
+
+    The corpus is read ``iters + 1`` times by construction; one
+    ``materialize()`` pins the projected blocks in the (spillable)
+    object store so only the FIRST pass touches parquet."""
+    ds = ds.materialize()
     cents = kmeans_iterate(
         ds, init_centroids, iters, embedding_col=embedding_col
     )

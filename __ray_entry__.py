@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": p.q_media_decode,    # rows-only (real BMP/WAV decode)
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "approx_quantiles": p.q_approx_quantiles,  # rows-only (KLL sketch)
+        "approx_quantiles_by_lang": p.q_approx_quantiles_by_lang,  # rows-only (KLL)
         "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "cosine_dups": p.q_cosine_dups,

@@ -547,6 +547,32 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
 
+def q_approx_quantiles_by_lang(sf_dir: str):
+    """Approximate per-language token-count quantiles via one KLL
+    sketch per group (sketch.grouped_approx_quantiles) — the
+    mergeable-sketch companion to the exact grouped inverse-CDF;
+    rows-only (accuracy pinned by the grouped rank-error pytest)."""
+    from rayslog.stages.sketch import grouped_approx_quantiles
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def n_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    feats = ds.map_batches(n_tok, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_approx_quantiles(
+        feats, "lang", "n_tokens", quantiles=(0.5, 0.95)
+    )
+
+
 def q_token_quantiles_by_lang(sf_dir: str):
     """Exact p50/p95 of per-doc token counts per language (grouped
     inverse-CDF over the integer token-count domain)."""

@@ -364,3 +364,114 @@ def approx_quantiles(ds, column: str, quantiles=(0.5, 0.95, 0.99),
     return tree_reduce(
         partial, merge_tables, empty_fn=empty_fn, final_fn=finish
     )
+
+
+def grouped_approx_quantiles(ds, group_col: str, value_col: str,
+                             quantiles=(0.5, 0.95), k: int = 512):
+    """Per-group approximate quantiles via one KllSketch per group:
+    (group, q, value) rows.
+
+    Per-batch combiner: values split by group (one vectorized
+    dictionary-encode + sort, no per-row Python) into one sketch per
+    group PRESENT IN THE BATCH; the combiner tree then merges sketches
+    groupwise.  State through the merge is O(groups x k log(n/k))
+    floats — right for bounded strata (language, source, severity),
+    the same cardinality rule as grouped_quantiles_int.  For
+    corpus-growing group domains, hash-partition groups into bounded
+    parts first and run this per part (the dedup.py pattern) — the
+    sketch itself merges associatively either way.
+    """
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keep = pc.is_valid(v)
+        g = g.filter(keep)
+        vals = v.filter(keep).to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "sketch": pa.array([], pa.binary()),
+                }
+            )
+        codes = np.asarray(g.dictionary_encode().indices)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.r_[0, np.nonzero(sc[1:] != sc[:-1])[0] + 1]
+        bounds = np.r_[starts, len(sc)]
+        uniq = g.take(pa.array(order[starts]))
+        names, blobs = [], []
+        for i in range(len(starts)):
+            sk = KllSketch(k)
+            sk.add_many(vals[order[bounds[i] : bounds[i + 1]]])
+            names.append(uniq[i].as_py())
+            blobs.append(sk.to_bytes())
+        return pa.table(
+            {
+                group_col: pa.array(names, pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    partial = ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge_groupwise(t: pa.Table) -> pa.Table:
+        merged: dict[str, KllSketch] = {}
+        for name, blob in zip(
+            t.column(group_col).to_pylist(), t.column("sketch").to_pylist()
+        ):
+            sk = KllSketch.from_bytes(blob)
+            merged[name] = merged[name].merge(sk) if name in merged else sk
+        names = sorted(merged)
+        return pa.table(
+            {
+                group_col: pa.array(names, pa.string()),
+                "sketch": pa.array(
+                    [merged[n].to_bytes() for n in names], pa.binary()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = merge_groupwise(t)
+        gs, qs, vs = [], [], []
+        for name, blob in zip(
+            t.column(group_col).to_pylist(), t.column("sketch").to_pylist()
+        ):
+            sk = KllSketch.from_bytes(blob)
+            for q in quantiles:
+                gs.append(name)
+                qs.append(f"p{int(q * 100)}")
+                vs.append(sk.quantile(q))
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "q": pa.array(qs, pa.string()),
+                "value": pa.array(vs, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "q": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        partial, merge_groupwise, empty_fn=empty_fn, final_fn=finish
+    )

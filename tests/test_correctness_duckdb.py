@@ -96,7 +96,7 @@ QUERY_NAMES = [
     "mktsegment_revenue",
 ]
 
-ROWS_ONLY = ["approx_quantiles",
+ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
              "doc_fingerprint", "dedup_simhash", "approx_top_ngrams",
              "ann_ivf", "media_features", "approx_distinct"]
 

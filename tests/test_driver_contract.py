@@ -44,6 +44,6 @@ def test_queries_and_oracles_line_up():
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
         "ann_ivf", "cosine_dups_lsh", "approx_top_ngrams",
         "media_features", "media_decode", "approx_distinct",
-        "approx_quantiles",
+        "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 73 and len(o) == 63
+    assert len(q) == 74 and len(o) == 63

@@ -1309,3 +1309,33 @@ def test_phrase_search_positions(ray_session, tmp_path):
     none = phrase_search(idx, ["a", "z"])
     assert none.count() == 0
     assert none.schema().names == ["doc_id", "n_occurrences"]
+
+
+def test_grouped_kll_tracks_exact_quantiles(ray_session):
+    """Per-group KLL sketches stay within ~2.5% rank error of each
+    group's exact quantiles."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(13)
+    frames = []
+    for gi, (mu, n) in enumerate([(1.0, 60_000), (2.5, 30_000), (0.5, 9_000)]):
+        frames.append(pd.DataFrame({
+            "g": f"g{gi}",
+            "v": rng.lognormal(mean=mu, sigma=1.0, size=n),
+        }))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+    ds = rd.from_pandas(df).repartition(12)
+    got = (
+        grouped_approx_quantiles(ds, "g", "v", quantiles=(0.5, 0.95))
+        .to_pandas()
+    )
+    assert len(got) == 6
+    for gi in range(3):
+        sv = np.sort(df[df["g"] == f"g{gi}"]["v"].to_numpy())
+        for q, lbl in [(0.5, "p50"), (0.95, "p95")]:
+            est = float(got[(got["g"] == f"g{gi}") & (got["q"] == lbl)]["value"])
+            rank = np.searchsorted(sv, est) / len(sv)
+            assert abs(rank - q) < 0.025, (gi, lbl, rank)

@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": p.q_dedup_exact,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
+        "normalize_text": p.q_normalize_text,
         "lang_id": p.q_lang_id,
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "render_3164": p.q_render_3164,

@@ -317,6 +317,20 @@ def q_text_quality(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical normalization pass (NFC + lower + whitespace collapse
+    + trim) — one shuffle-free map; oracle-checked against DuckDB's
+    nfc_normalize/lower/regexp_replace chain."""
+    from rayslog.stages.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: normalize_text(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish token counts per document."""
     from rayslog.stages.text import token_counts

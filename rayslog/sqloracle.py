@@ -754,6 +754,12 @@ SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM d GROUP BY token
 ORDER BY df DESC, token LIMIT 20
 """,
+        "normalize_text": r"""
+SELECT doc_id,
+  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+    AS norm_text
+FROM documents
+""",
         "text_quality": rf"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_measured,

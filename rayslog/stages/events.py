@@ -540,7 +540,6 @@ def funnel_counts(
                 )
                 pos = np.searchsorted(ids_prev, u)
                 pos_c = np.minimum(pos, max(len(ids_prev) - 1, 0))
-                known = len(ids_prev) > 0 and True
                 hit = (
                     (ids_prev[pos_c] == u) & (ts > ts_prev[pos_c])
                     if len(ids_prev)

@@ -575,3 +575,19 @@ def render_rfc3164(batch: pa.Table) -> pa.Table:
         "<", pri, ">", ts, " ", host, " ", tail, ""
     )
     return batch.append_column("rendered", rendered)
+
+
+def normalize_text(t: pa.Table, col: str = "text") -> pa.Table:
+    """Canonical text normalization — Unicode NFC, lowercase,
+    whitespace-run collapse, edge trim — the cleanup pass run before
+    hashing/dedup so byte-level variants of the same content collide.
+    Pure Arrow kernels (utf8proc NFC + RE2 replace), verified equal to
+    DuckDB's nfc_normalize/lower/regexp_replace on this corpus."""
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(t.column(col), form="NFC")),
+            r"\s+",
+            " ",
+        )
+    )
+    return t.append_column("norm_text", norm)

@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "doc_freq",
     "text_quality",
     "token_counts",
+    "normalize_text",
     "lang_id",
     "dedup_minhash",
     "dup_clusters",

@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": p.q_phrase_search,
         "redact_pii": p.q_redact_pii,
         "top_ngrams": p.q_top_ngrams,
-        "approx_top_ngrams": p.q_approx_top_ngrams,  # rows-only (sketch)
+        "approx_top_ngrams": p.q_approx_top_ngrams,  # oracle-checked (lossless here)
         "doc_freq": p.q_doc_freq,
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,

@@ -624,16 +624,25 @@ def q_tf_idf(sf_dir: str):
 def q_approx_top_ngrams(sf_dir: str):
     """Approximate top-20 bigrams via the mergeable SpaceSaving-style
     counter tree — O(capacity) state per node, the 10^9-distinct-ngram
-    scale path beside exact top_ngrams; rows-only (pytest proves
-    equality with the exact operator on this skewed corpus)."""
+    scale path beside exact top_ngrams.  ORACLE-CHECKED against the
+    exact SQL: this corpus's distinct-bigram count (~1k) is below the
+    sketch capacity (2048), so truncation never fires and the counters
+    are provably lossless here; a pytest additionally proves
+    sketch == exact on a skewed synthetic corpus where truncation DOES
+    fire."""
     from rayslog.stages.sketch import approx_heavy_hitters
     from rayslog.stages.text import bigram_counts_partial
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return approx_heavy_hitters(
+    out = approx_heavy_hitters(
         ds,
         lambda t: bigram_counts_partial(t).rename_columns(["key", "n"]),
         k=20,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["ngram", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

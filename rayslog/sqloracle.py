@@ -742,6 +742,22 @@ SELECT ngram, CAST(count(*) AS BIGINT) AS n
 FROM bg GROUP BY ngram
 ORDER BY n DESC, ngram LIMIT 20
 """,
+        # the sketch is lossless on this corpus (distinct bigrams <
+        # capacity, see q_approx_top_ngrams docstring), so the exact
+        # top-20 is its oracle
+        "approx_top_ngrams": r"""
+WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1]
+  )) AS ngram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+""",
         # top-20 tokens by document frequency (lowercased)
         "doc_freq": r"""
 WITH t AS (

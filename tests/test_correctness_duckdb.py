@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "phrase_search",
     "redact_pii",
     "top_ngrams",
+    "approx_top_ngrams",
     "doc_freq",
     "text_quality",
     "token_counts",
@@ -98,7 +99,7 @@ QUERY_NAMES = [
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
-             "doc_fingerprint", "dedup_simhash", "approx_top_ngrams",
+             "doc_fingerprint", "dedup_simhash",
              "ann_ivf", "media_features", "approx_distinct"]
 
 

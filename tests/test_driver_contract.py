@@ -42,8 +42,8 @@ def test_queries_and_oracles_line_up():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
-        "ann_ivf", "cosine_dups_lsh", "approx_top_ngrams",
+        "ann_ivf", "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 75 and len(o) == 64
+    assert len(q) == 75 and len(o) == 65

@@ -5,6 +5,7 @@ Commands::
     run     --input <dir-or-files> --out <dir>    resumable parse→route job
     curate  --input <dir-or-files> --out <dir>    resumable curation job
     query   --name <q> --sf-dir <dir>             run one pipeline, print head
+    search  --query "terms" [--phrase]            BM25 / phrase search
     bench                                          delegate to bench.py
     stats   --sf-dir <dir>                        parse-stage ds.stats()
 
@@ -95,6 +96,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Ad-hoc search over the documents table via the persisted
+    posting store: BM25 ranking for a bag of terms, or exact adjacent
+    phrase matching with ``--phrase``."""
+    _init_ray(args.num_cpus)
+    from rayslog.pipeline import _doc_index, _table_rows
+    from rayslog.stages.invindex import bm25_topk, phrase_search
+
+    index = _doc_index(args.sf_dir)
+    tokens = args.query.split()
+    if args.phrase:
+        res = phrase_search(index, tokens)
+    else:
+        import json as _json
+        from pathlib import Path
+
+        n_docs = _table_rows(args.sf_dir, "documents")
+        meta = _json.loads(
+            Path(index.index_dir, "_inv_meta.json").read_text()
+        )
+        if "total_tokens" in meta:
+            avgdl = meta["total_tokens"] / n_docs
+        else:  # fall back to the streaming pass via the query path
+            from rayslog.pipeline import q_bm25_search  # noqa: F401
+
+            q_bm25_search(args.sf_dir)  # caches total_tokens
+            meta = _json.loads(
+                Path(index.index_dir, "_inv_meta.json").read_text()
+            )
+            avgdl = meta["total_tokens"] / n_docs
+        res = bm25_topk(index, tokens, n_docs=n_docs, avgdl=avgdl, k=args.k)
+    df = res.to_pandas()
+    print(df.head(args.k).to_string())
+    print(f"... {len(df)} rows")
+    return 0
+
+
 def cmd_stats(args) -> int:
     _init_ray(args.num_cpus)
     from rayslog.pipeline import parsed_dataset
@@ -129,6 +167,17 @@ def main(argv=None) -> int:
     p_q.add_argument("--limit", type=int, default=20)
     p_q.add_argument("--num-cpus", type=int, default=None)
     p_q.set_defaults(fn=cmd_query)
+
+    p_f = sub.add_parser(
+        "search", help="BM25 / phrase search over the documents index"
+    )
+    p_f.add_argument("--query", required=True, help="space-separated terms")
+    p_f.add_argument("--phrase", action="store_true",
+                     help="exact adjacent-phrase match instead of BM25")
+    p_f.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_f.add_argument("--k", type=int, default=10)
+    p_f.add_argument("--num-cpus", type=int, default=None)
+    p_f.set_defaults(fn=cmd_search)
 
     p_s = sub.add_parser("stats", help="parse-stage ds.stats()")
     p_s.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,
         "mktsegment_revenue": p.q_mktsegment_revenue,
+        "regional_revenue": p.q_regional_revenue,
+        "order_priority": p.q_order_priority,
+        "bm25_search_incr": p.q_bm25_search_incr,
     }
 
 

@@ -929,6 +929,57 @@ def q_bm25_search(sf_dir: str):
     )
 
 
+def q_bm25_search_incr(sf_dir: str):
+    """BM25 top-10 over the INCREMENTALLY-built sharded posting store:
+    the corpus ingests as two shard appends (doc_id parity split — the
+    stand-in for two crawl drops), committed shards are immutable, and
+    corpus stats (N, total tokens) accumulate in the manifest so
+    scoring needs no corpus pass.  Must equal the one-shot
+    ``bm25_search`` exactly — same oracle SQL."""
+    from rayslog.stages.invindex import bm25_topk
+
+    index = _doc_index_sharded(sf_dir)
+    return bm25_topk(
+        index,
+        list(INDEX_PROBE_TOKENS),
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+        k=10,
+    )
+
+
+def _doc_index_sharded(sf_dir: str):
+    """The (cached) sharded posting store for the documents table,
+    built as two parity-split appends."""
+    import hashlib
+    import re as _re
+
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    n_docs = _table_rows(sf_dir, "documents")
+    index = ShardedInvertedIndex.create(
+        f"/tmp/rayslog_data/invshard/{tag}-{h}",
+        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
+    )
+    for name, parity in (("even", 0), ("odd", 1)):
+        if name in index.shard_names():
+            continue
+        part = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t.column("doc_id"), pa.scalar(1)),
+                    pa.scalar(p, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        index.append_shard(part, name)
+    return index
+
+
 #: phrase shared by the Ray query AND its SQL oracle
 PHRASE = ("table", "hash")
 
@@ -1176,6 +1227,49 @@ def q_mktsegment_revenue(sf_dir: str):
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join: per-nation revenue where customer
+    and supplier share the nation, one region, one order-date year.
+    Dims broadcast; lineitem⨝orders through the bucketed hash join."""
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import regional_revenue_cents
+
+    dims = {
+        t: pq.read_table(f"{sf_dir}/{t}.parquet", columns=cols).to_pandas()
+        for t, cols in [
+            ("customer", ["c_custkey", "c_nationkey"]),
+            ("supplier", ["s_suppkey", "s_nationkey"]),
+            ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            ("region", ["r_regionkey", "r_name"]),
+        ]
+    }
+    return regional_revenue_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        dims["customer"],
+        dims["supplier"],
+        dims["nation"],
+        dims["region"],
+        region_name="ASIA",
+    )
+
+
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS aggregate via the distributed SEMI hash
+    join (lineitem side shuffles one int64 column)."""
+    from rayslog.stages.relational import order_priority_counts
+
+    return order_priority_counts(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
     )
 
 

@@ -1006,6 +1006,32 @@ SELECT c.c_mktsegment, count(*) AS n_orders,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
+        "regional_revenue": """
+SELECT n.n_name,
+  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+    / 10000 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+        "order_priority": """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+GROUP BY o.o_orderpriority
+""",
         "top_customers": """
 WITH r AS (SELECT o_custkey AS c_custkey,
              CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
@@ -1020,6 +1046,9 @@ ORDER BY revenue DESC, c_custkey LIMIT 10
     # plain per-key forms (two-phase chunk + stitch); same oracles
     q["events_sessionize_partitioned"] = q["events_sessionize"]
     q["asof_attribution_partitioned"] = q["asof_attribution"]
+    # the incrementally-built sharded store must score IDENTICALLY to
+    # the one-shot index — same BM25 oracle
+    q["bm25_search_incr"] = q["bm25_search"]
     return q
 
 

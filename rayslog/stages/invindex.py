@@ -50,36 +50,35 @@ def _token_buckets(tokens: pa.Array, n_buckets: int) -> np.ndarray:
     )
 
 
-class InvertedIndex:
-    """Handle over a persisted ``bucket=K/`` posting store."""
+def _bucket_pruned_dataset(paths, buckets):
+    """Dataset over ONLY the given buckets of a ``bucket=K/`` store —
+    non-probed files are pruned from the listing itself (never opened;
+    verify via ``input_files()``)."""
+    import ray.data as rd
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+    )
 
-    def __init__(self, index_dir: str):
-        self.index_dir = str(index_dir)
-        meta = json.loads(Path(index_dir, "_inv_meta.json").read_text())
-        self.n_buckets = int(meta["n_buckets"])
-        self.version = int(meta.get("version", 1))
+    probed = {int(b) for b in buckets}
+    return rd.read_parquet(
+        paths,
+        file_extensions=["parquet"],
+        partition_filter=PathPartitionFilter.of(
+            # meta files at the index root parse to {} -> excluded
+            lambda kv: "bucket" in kv and int(kv["bucket"]) in probed,
+            style="hive",
+        ),
+        partitioning=Partitioning("hive", field_types={"bucket": int}),
+    )
+
+
+class _PostingProbe:
+    """Shared bucket-pruned probe surface of the posting stores;
+    subclasses provide ``n_buckets`` and :meth:`postings_dataset`."""
 
     def postings_dataset(self, buckets):
-        """Dataset over ONLY the given buckets — non-probed ``bucket=K/``
-        files are pruned from the listing itself (never opened; verify
-        via ``input_files()``)."""
-        import ray.data as rd
-        from ray.data.datasource.partitioning import (
-            Partitioning,
-            PathPartitionFilter,
-        )
-
-        probed = {int(b) for b in buckets}
-        return rd.read_parquet(
-            self.index_dir,
-            file_extensions=["parquet"],
-            partition_filter=PathPartitionFilter.of(
-                # meta files at the index root parse to {} -> excluded
-                lambda kv: "bucket" in kv and int(kv["bucket"]) in probed,
-                style="hive",
-            ),
-            partitioning=Partitioning("hive", field_types={"bucket": int}),
-        )
+        raise NotImplementedError
 
     def _probe(self, tokens, columns):
         lowered = sorted({t.lower() for t in tokens})
@@ -111,24 +110,23 @@ class InvertedIndex:
         return self._probe(tokens, ["token", "doc_id", "pos"])
 
 
-def build_inverted_index(
-    ds,
-    index_dir: str,
-    n_buckets: int = 64,
-    col: str = "text",
-    id_col: str = "doc_id",
-    batch_size: int = 8_192,
-) -> InvertedIndex:
-    """One streaming pass -> hive-partitioned posting store.
+class InvertedIndex(_PostingProbe):
+    """Handle over a one-shot persisted ``bucket=K/`` posting store."""
 
-    Per-doc distinctness is resolved by 64-bit token hash inside the
-    batch (collisions would merge two distinct tokens of ONE doc —
-    ~n_doc_tokens²/2⁶⁵, the same accepted risk as doc_freq); the
-    stored rows carry the token STRING, so lookups are exact.  Each
-    posting also carries its term frequency (``tf``) and the doc's
-    token count (``dl``) — the standard search-engine denormalization
-    that lets BM25 score from the probed buckets alone.
-    """
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        meta = json.loads(Path(index_dir, "_inv_meta.json").read_text())
+        self.n_buckets = int(meta["n_buckets"])
+        self.version = int(meta.get("version", 1))
+
+    def postings_dataset(self, buckets):
+        return _bucket_pruned_dataset(self.index_dir, buckets)
+
+
+def _make_explode(col: str, id_col: str, n_buckets: int):
+    """The build kernel shared by the one-shot and incremental builds:
+    batch of docs -> per-doc-distinct posting rows with tf/dl/pos and
+    the token-hash bucket."""
 
     def explode(t: pa.Table) -> pa.Table:
         txt = t.column(col)
@@ -178,6 +176,28 @@ def build_inverted_index(
             }
         )
 
+    return explode
+
+
+def build_inverted_index(
+    ds,
+    index_dir: str,
+    n_buckets: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8_192,
+) -> InvertedIndex:
+    """One streaming pass -> hive-partitioned posting store.
+
+    Per-doc distinctness is resolved by 64-bit token hash inside the
+    batch (collisions would merge two distinct tokens of ONE doc —
+    ~n_doc_tokens²/2⁶⁵, the same accepted risk as doc_freq); the
+    stored rows carry the token STRING, so lookups are exact.  Each
+    posting also carries its term frequency (``tf``) and the doc's
+    token count (``dl``) — the standard search-engine denormalization
+    that lets BM25 score from the probed buckets alone.
+    """
+    explode = _make_explode(col, id_col, n_buckets)
     final = Path(index_dir)
     tmp = final.with_name(final.name + f".build.{os.getpid()}")
     if tmp.exists():
@@ -218,6 +238,154 @@ def inverted_lookup(
         ds, index_dir, n_buckets=n_buckets, col=col, id_col=id_col
     )
     return index.lookup(tokens)
+
+
+class ShardedInvertedIndex(_PostingProbe):
+    """Incrementally-appendable posting store: one immutable
+    ``shards/<name>/bucket=K/`` tree per ingested batch of documents
+    plus a manifest that is the single source of truth.
+
+    The 100-TB ingest shape: new corpus drops (a crawl snapshot, a
+    day's logs) index as NEW shard directories — already-committed
+    shards are never rewritten, so appending day N costs O(day N), not
+    O(corpus).  Every probe unions the committed shards' postings and
+    prunes non-probed ``bucket=K/`` files from the FILE LISTING of
+    every shard (same discipline as :class:`InvertedIndex`; all shards
+    share one ``n_buckets`` so a token lands in the same bucket of
+    each).  Corpus stats (n_docs, total token count) accumulate in the
+    manifest per shard, so BM25's (N, avgdl) never needs a corpus
+    pass.
+
+    Crash safety: a shard builds in a tmp sibling and ``os.replace``\\ s
+    into ``shards/``, then the manifest rewrites atomically.  A crash
+    between the two leaves an unlisted shard directory, which the next
+    ``append_shard`` of the same name clears — readers only ever see
+    manifest-listed shards.  Doc-id uniqueness ACROSS shards is the
+    caller's contract (re-appending the same docs would double-count
+    them, exactly like any log-structured store).
+    """
+
+    MANIFEST = "_inv_manifest.json"
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        m = json.loads(Path(index_dir, self.MANIFEST).read_text())
+        self.n_buckets = int(m["n_buckets"])
+        self.version = int(m.get("version", 0))
+        self.shards = list(m["shards"])
+
+    # -- creation ------------------------------------------------------
+    @classmethod
+    def create(cls, index_dir: str, n_buckets: int = 64):
+        """Open the store at ``index_dir``, creating an empty one (or
+        replacing a version-mismatched one) as needed."""
+        root = Path(index_dir)
+        mf = root / cls.MANIFEST
+        if mf.exists():
+            idx = cls(index_dir)
+            if idx.version == INDEX_VERSION and idx.n_buckets == int(n_buckets):
+                return idx
+            shutil.rmtree(root)
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "shards").mkdir(exist_ok=True)
+        cls._write_manifest(root, int(n_buckets), [])
+        return cls(index_dir)
+
+    @staticmethod
+    def _write_manifest(root: Path, n_buckets: int, shards: list):
+        tmp = root / f".manifest.tmp.{os.getpid()}"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "version": INDEX_VERSION,
+                    "n_buckets": n_buckets,
+                    "shards": shards,
+                }
+            )
+        )
+        os.replace(tmp, root / ShardedInvertedIndex.MANIFEST)
+
+    # -- stats ---------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        return sum(int(s["n_docs"]) for s in self.shards)
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(int(s["total_tokens"]) for s in self.shards)
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.total_tokens) / float(max(1, self.n_docs))
+
+    def shard_names(self) -> list[str]:
+        return [s["name"] for s in self.shards]
+
+    def shard_paths(self) -> list[str]:
+        return [
+            str(Path(self.index_dir, "shards", s["name"]))
+            for s in self.shards
+        ]
+
+    def postings_dataset(self, buckets):
+        paths = self.shard_paths()
+        if not paths:
+            raise ValueError("sharded index has no committed shards")
+        return _bucket_pruned_dataset(paths, buckets)
+
+    # -- ingest --------------------------------------------------------
+    def append_shard(
+        self,
+        ds,
+        name: str,
+        col: str = "text",
+        id_col: str = "doc_id",
+        batch_size: int = 8_192,
+    ) -> dict:
+        """Index ``ds`` as the new immutable shard ``name`` and commit
+        it to the manifest; returns the shard's stats entry.  Cost is
+        one streaming pass over ``ds`` plus a single-column (tf)
+        read-back of the new shard's postings for the token total —
+        committed shards are untouched (their files are not even
+        listed)."""
+        if name in self.shard_names():
+            raise ValueError(f"shard {name!r} already committed")
+        root = Path(self.index_dir)
+        final = root / "shards" / name
+        if final.exists():  # unlisted leftover from a crashed append
+            shutil.rmtree(final)
+        tmp = root / f".shard.tmp.{name}.{os.getpid()}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+
+        n_docs = ds.count()
+        ds.map_batches(
+            _make_explode(col, id_col, self.n_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        ).write_parquet(str(tmp), partition_cols=["bucket"])
+
+        # token total = sum(tf) over the new shard's postings: a
+        # single-column parquet scan of what was just written
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        agg = rd.read_parquet(
+            str(tmp), file_extensions=["parquet"], columns=["tf"]
+        ).aggregate(Sum("tf", alias_name="s"))
+        total_tokens = int(agg["s"] or 0)
+
+        os.replace(tmp, final)
+        entry = {
+            "name": name,
+            "n_docs": int(n_docs),
+            "total_tokens": total_tokens,
+        }
+        self.shards.append(entry)
+        self._write_manifest(root, self.n_buckets, self.shards)
+        return entry
 
 
 def ensure_index(ds, index_dir: str, n_buckets: int = 64,

@@ -137,7 +137,9 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     ``how="anti"`` keeps left rows whose key does NOT appear on the
     right (left columns only) — the large-side complement of a
     broadcast ``is_in`` filter, for when the exclusion set is too big
-    to ship to every task.
+    to ship to every task.  ``how="semi"`` is its mirror: left rows
+    whose key DOES appear on the right, emitted once regardless of
+    right-side multiplicity (the EXISTS-subquery shape).
     """
     import numpy as np
     import pandas as pd
@@ -192,11 +194,13 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][left_cols]
         rg = g[g["__side"] == 1][right_cols]
-        if how == "anti":
-            out = lg[~lg[key].isin(rg[key])]
+        if how in ("anti", "semi"):
+            mask = lg[key].isin(rg[key])
+            out = lg[mask] if how == "semi" else lg[~mask]
             # the union null-pads left columns on right-side rows, so
-            # pandas widened ints to float inside this group; the anti
-            # output is pure left rows (no nulls) — restore dtypes.
+            # pandas widened ints to float inside this group; the
+            # anti/semi output is pure left rows (no nulls) — restore
+            # dtypes.
             return out.astype(
                 {c: types[c].to_pandas_dtype() for c in left_cols}
             )
@@ -247,6 +251,206 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
         columns={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
     )
     return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def regional_revenue_cents(
+    lineitem_ds,
+    orders_ds,
+    customer_df,
+    supplier_df,
+    nation_df,
+    region_df,
+    region_name: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    buckets: int = 32,
+):
+    """TPC-H Q5-shaped multi-way join: revenue per nation where customer
+    and supplier share the nation, within one region and order-date year.
+
+    Join plan (the scale-shaped composition, not six shuffles):
+
+    - region⨝nation collapses on the driver (25x5 rows) to the region's
+      ``{nationkey: name}`` map;
+    - customer and supplier are DIMENSION sides — broadcast once via
+      ``ray.put`` and looked up per batch with ``index_in`` (no
+      shuffle; at fleet scale where customer outgrows worker heaps,
+      swap the customer leg for ``hash_join(orders, customer)`` as in
+      ``mktsegment_revenue`` — the two legs compose unchanged);
+    - the one genuinely LARGE-large join (lineitem⨝orders on orderkey)
+      runs through the bucketed ``hash_join`` — each row crosses the
+      all-to-all exactly once, pre-filtered (date window, region
+      membership) and pre-projected to 3 columns so the shuffle moves
+      ~20 bytes/row, never the payload;
+    - revenue aggregates in integer cents^2 (price_c x (100-disc_c)) so
+      distributed sums are order-independent (CLAUDE.md invariant #3).
+    """
+    import numpy as np
+    import ray
+
+    nat = nation_df.merge(
+        region_df[region_df["r_name"] == region_name],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nation_keys = set(nation_names)
+
+    cust = customer_df[customer_df["c_nationkey"].isin(nation_keys)]
+    supp = supplier_df[supplier_df["s_nationkey"].isin(nation_keys)]
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+    )
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+    )
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    class OrdersSide:
+        """orders in window, customer in region -> (l_orderkey, c_nationkey)."""
+
+        def __init__(self):
+            keys, nks = ray.get(cust_ref)
+            self.keys = pa.array(keys)
+            self.nks = pa.array(nks)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+            t = t.filter(m)
+            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "c_nationkey": pc.take(self.nks, idx),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("c_nationkey")))
+
+    class LineSide:
+        """lineitem with region supplier -> (l_orderkey, s_nationkey, rev_c2)."""
+
+        def __init__(self):
+            keys, nks = ray.get(supp_ref)
+            self.keys = pa.array(keys)
+            self.nks = pa.array(nks)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("l_suppkey"), value_set=self.keys)
+            snk = pc.take(self.nks, idx)
+            price_c = pc.round(
+                pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+            ).cast(pa.int64())
+            disc_c = pc.round(
+                pc.multiply(t.column("l_discount"), pa.scalar(100.0))
+            ).cast(pa.int64())
+            rev_c2 = pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nationkey": snk,
+                    "rev_c2": rev_c2,
+                }
+            )
+            return out.filter(pc.is_valid(out.column("s_nationkey")))
+
+    orders_side = orders_ds.map_batches(
+        OrdersSide, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    line_side = lineitem_ds.map_batches(
+        LineSide, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    joined = hash_join(line_side, orders_side, key="l_orderkey",
+                       buckets=buckets)
+    same_nation = joined.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        ).select(["c_nationkey", "rev_c2"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = same_nation.groupby("c_nationkey").aggregate(
+        Sum("rev_c2", alias_name="rev_c2")
+    )
+    nk = pa.array(np.array(sorted(nation_names), dtype=np.int64))
+    nm = pa.array([nation_names[k] for k in sorted(nation_names)])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("c_nationkey"), value_set=nk)
+        return pa.table(
+            {
+                "n_name": pc.take(nm, idx),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c2"), pa.float64()), 10_000.0
+                ),
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("revenue", descending=True)
+
+
+def order_priority_counts(
+    orders_ds,
+    lineitem_ds,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    qty_min: float = 48.0,
+    buckets: int = 32,
+):
+    """TPC-H Q4-shaped EXISTS aggregate: orders in a date window having
+    at least one large-quantity lineitem, counted per priority.
+
+    The EXISTS subquery is a distributed SEMI hash join: the lineitem
+    side is filtered and projected to ONE int64 column (its orderkey)
+    before the all-to-all, so the shuffle moves 8 bytes per qualifying
+    lineitem; the semi branch of :func:`hash_join` emits each matching
+    order exactly once regardless of how many lineitems matched.
+    """
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    def line_keys(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("l_quantity"), pa.scalar(qty_min))
+        return pa.table({"o_orderkey": t.filter(m).column("l_orderkey")})
+
+    orders_f = orders_ds.map_batches(
+        orders_prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = lineitem_ds.map_batches(
+        line_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    semi = hash_join(orders_f, keys, key="o_orderkey", how="semi",
+                     buckets=buckets)
+    agg = semi.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 #: price bands for the range-join demo: [lo, hi) half-open, contiguous

@@ -143,3 +143,32 @@ def test_hash_join_anti(ray_session):
     assert list(df.columns) == ["k", "val"]
     assert list(df["k"]) == [1, 3, 5]
     assert list(df["val"]) == ["a", "c", "e"]
+
+
+def test_hash_join_semi_emits_once_despite_right_dupes(ray_session):
+    import ray.data as rd
+
+    from rayslog.stages.relational import hash_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "val": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    # right-side multiplicity (2 appears 3x) must NOT multiply left rows
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 2, 2, 4, 7], pa.int64()), "other": [1] * 5})
+    )
+    df = (
+        hash_join(left, right, key="k", how="semi")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(df.columns) == ["k", "val"]
+    assert list(df["k"]) == [2, 4]
+    assert list(df["val"]) == ["b", "d"]
+    assert df["k"].dtype == "int64"

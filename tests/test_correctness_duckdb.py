@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "tf_idf",
     "inverted_index",
     "bm25_search",
+    "bm25_search_incr",
     "phrase_search",
     "redact_pii",
     "top_ngrams",
@@ -96,6 +97,8 @@ QUERY_NAMES = [
     "lineitem_pricing",
     "top_customers",
     "mktsegment_revenue",
+    "regional_revenue",
+    "order_priority",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": p.q_regional_revenue,
         "order_priority": p.q_order_priority,
         "bm25_search_incr": p.q_bm25_search_incr,
+        "fielded_search": p.q_fielded_search,
     }
 
 

@@ -171,6 +171,18 @@ def _run_bench() -> dict:
             "bm25_search", lambda: p.q_bm25_search(SF_DIR).to_pandas()
         )
         timed_extra(
+            "bm25_search_incr",
+            lambda: p.q_bm25_search_incr(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "regional_revenue",
+            lambda: p.q_regional_revenue(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "order_priority",
+            lambda: p.q_order_priority(SF_DIR).to_pandas(),
+        )
+        timed_extra(
             "events_funnel", lambda: p.q_events_funnel(SF_DIR).to_pandas()
         )
         timed_extra(

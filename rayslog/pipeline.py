@@ -980,6 +980,54 @@ def _doc_index_sharded(sf_dir: str):
     return index
 
 
+def q_fielded_search(sf_dir: str):
+    """Multi-column posting store: docs whose ``source`` FIELD matches
+    one token AND whose ``body`` field contains another, returning the
+    body term frequency.  Both lookups read only their token's buckets
+    (field-scoped postings); the conjunction is the distributed SEMI
+    hash join over doc_id."""
+    import pyarrow as pa
+
+    from rayslog.stages.relational import hash_join
+
+    index = _doc_index_fielded(sf_dir)
+    body = index.lookup_scored(["data"], field="body").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "tf": t.column("tf")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    src = index.lookup(["src3"], field="source").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(body, src, key="doc_id", how="semi")
+
+
+def _doc_index_fielded(sf_dir: str):
+    """The (cached) MULTI-COLUMN posting store for the documents table
+    (fields body <- text, source <- source), one shard."""
+    import hashlib
+    import re as _re
+
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    n_docs = _table_rows(sf_dir, "documents")
+    index = ShardedInvertedIndex.create(
+        f"/tmp/rayslog_data/invfield/{tag}-{h}",
+        n_buckets=max(16, min(4096, -(-n_docs // 40_000) * 16)),
+        fields={"body": "text", "source": "source"},
+    )
+    if "all" not in index.shard_names():
+        index.append_shard(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]), "all"
+        )
+    return index
+
+
 #: phrase shared by the Ray query AND its SQL oracle
 PHRASE = ("table", "hash")
 

@@ -1049,6 +1049,16 @@ ORDER BY revenue DESC, c_custkey LIMIT 10
     # the incrementally-built sharded store must score IDENTICALLY to
     # the one-shot index — same BM25 oracle
     q["bm25_search_incr"] = q["bm25_search"]
+    # multi-column posting store: source-field token AND body-field
+    # token, with the body term frequency
+    q["fielded_search"] = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                       t -> t = 'data')) AS BIGINT) AS tf
+FROM documents
+WHERE lower(source) = 'src3'
+  AND list_contains(regexp_extract_all(lower(text), '\S+'), 'data')
+"""
     return q
 
 

@@ -80,34 +80,51 @@ class _PostingProbe:
     def postings_dataset(self, buckets):
         raise NotImplementedError
 
-    def _probe(self, tokens, columns):
+    #: field names of a multi-column store; None = single-column store
+    fields: list[str] | None = None
+
+    def _probe(self, tokens, columns, field: str | None = None):
         lowered = sorted({t.lower() for t in tokens})
         qt = pa.array(lowered, pa.string())
         buckets = sorted(set(_token_buckets(qt, self.n_buckets).tolist()))
+        if field is not None and (
+            self.fields is None or field not in self.fields
+        ):
+            raise ValueError(f"store has no field {field!r}")
+        if self.fields is not None and field is None:
+            columns = columns + ["field"]
 
         def probe(t: pa.Table) -> pa.Table:
             keep = pc.is_in(t.column("token"), value_set=qt)
+            if field is not None:
+                keep = pc.and_(
+                    keep, pc.equal(t.column("field"), pa.scalar(field))
+                )
             return t.filter(keep).select(columns)
 
         return self.postings_dataset(buckets).map_batches(
             probe, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def lookup(self, tokens):
+    def lookup(self, tokens, field: str | None = None):
         """(token, doc_id) posting rows for the given tokens
-        (lowercased), reading only their buckets."""
-        return self._probe(tokens, ["token", "doc_id"])
+        (lowercased), reading only their buckets.  On a multi-column
+        store, ``field`` scopes to one field; unscoped lookups carry
+        the ``field`` column."""
+        return self._probe(tokens, ["token", "doc_id"], field=field)
 
-    def lookup_scored(self, tokens):
+    def lookup_scored(self, tokens, field: str | None = None):
         """(token, doc_id, tf, dl) posting rows — the term-frequency +
         doc-length denormalization BM25 scoring reads; same bucket
         pruning as :meth:`lookup`."""
-        return self._probe(tokens, ["token", "doc_id", "tf", "dl"])
+        return self._probe(
+            tokens, ["token", "doc_id", "tf", "dl"], field=field
+        )
 
-    def lookup_positions(self, tokens):
+    def lookup_positions(self, tokens, field: str | None = None):
         """(token, doc_id, pos) posting rows with within-doc token
         positions — the positional-index form phrase search reads."""
-        return self._probe(tokens, ["token", "doc_id", "pos"])
+        return self._probe(tokens, ["token", "doc_id", "pos"], field=field)
 
 
 class InvertedIndex(_PostingProbe):
@@ -123,10 +140,14 @@ class InvertedIndex(_PostingProbe):
         return _bucket_pruned_dataset(self.index_dir, buckets)
 
 
-def _make_explode(col: str, id_col: str, n_buckets: int):
+def _make_explode(col: str, id_col: str, n_buckets: int,
+                  field: str | None = None):
     """The build kernel shared by the one-shot and incremental builds:
     batch of docs -> per-doc-distinct posting rows with tf/dl/pos and
-    the token-hash bucket."""
+    the token-hash bucket.  With ``field`` set, every posting row also
+    carries that constant field name (the multi-column store runs one
+    explode per field and unions them — tf/dl/pos are all
+    field-scoped)."""
 
     def explode(t: pa.Table) -> pa.Table:
         txt = t.column(col)
@@ -176,7 +197,16 @@ def _make_explode(col: str, id_col: str, n_buckets: int):
             }
         )
 
-    return explode
+    if field is None:
+        return explode
+
+    def fielded(t: pa.Table) -> pa.Table:
+        out = explode(t)
+        return out.append_column(
+            "field", pa.array([field] * len(out), pa.string())
+        )
+
+    return fielded
 
 
 def build_inverted_index(
@@ -273,26 +303,43 @@ class ShardedInvertedIndex(_PostingProbe):
         self.n_buckets = int(m["n_buckets"])
         self.version = int(m.get("version", 0))
         self.shards = list(m["shards"])
+        #: multi-column stores: {field name -> source column}
+        self.field_cols: dict[str, str] | None = m.get("fields")
+        self.fields = (
+            list(self.field_cols) if self.field_cols is not None else None
+        )
 
     # -- creation ------------------------------------------------------
     @classmethod
-    def create(cls, index_dir: str, n_buckets: int = 64):
+    def create(cls, index_dir: str, n_buckets: int = 64,
+               fields: dict[str, str] | None = None):
         """Open the store at ``index_dir``, creating an empty one (or
-        replacing a version-mismatched one) as needed."""
+        replacing a version/layout-mismatched one) as needed.
+
+        ``fields`` makes it a MULTI-COLUMN store: ``{field name ->
+        source column}``; every posting row carries its field, and
+        tf/dl/pos are field-scoped.  Note the manifest's token totals
+        then sum across ALL fields — BM25 wants a single-column store.
+        """
         root = Path(index_dir)
         mf = root / cls.MANIFEST
         if mf.exists():
             idx = cls(index_dir)
-            if idx.version == INDEX_VERSION and idx.n_buckets == int(n_buckets):
+            if (
+                idx.version == INDEX_VERSION
+                and idx.n_buckets == int(n_buckets)
+                and idx.field_cols == fields
+            ):
                 return idx
             shutil.rmtree(root)
         root.mkdir(parents=True, exist_ok=True)
         (root / "shards").mkdir(exist_ok=True)
-        cls._write_manifest(root, int(n_buckets), [])
+        cls._write_manifest(root, int(n_buckets), [], fields)
         return cls(index_dir)
 
     @staticmethod
-    def _write_manifest(root: Path, n_buckets: int, shards: list):
+    def _write_manifest(root: Path, n_buckets: int, shards: list,
+                        fields: dict[str, str] | None):
         tmp = root / f".manifest.tmp.{os.getpid()}"
         tmp.write_text(
             json.dumps(
@@ -300,6 +347,7 @@ class ShardedInvertedIndex(_PostingProbe):
                     "version": INDEX_VERSION,
                     "n_buckets": n_buckets,
                     "shards": shards,
+                    "fields": fields,
                 }
             )
         )
@@ -360,12 +408,32 @@ class ShardedInvertedIndex(_PostingProbe):
         tmp.mkdir(parents=True)
 
         n_docs = ds.count()
-        ds.map_batches(
-            _make_explode(col, id_col, self.n_buckets),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-        ).write_parquet(str(tmp), partition_cols=["bucket"])
+        if self.field_cols is None:
+            exploded = ds.map_batches(
+                _make_explode(col, id_col, self.n_buckets),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+            )
+        else:
+            # one explode per field, unioned — each stays a streaming
+            # map over the same input blocks (no extra source reads
+            # beyond one per field)
+            parts = [
+                ds.map_batches(
+                    _make_explode(
+                        src, id_col, self.n_buckets, field=fname
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=batch_size,
+                )
+                for fname, src in self.field_cols.items()
+            ]
+            exploded = parts[0]
+            for part in parts[1:]:
+                exploded = exploded.union(part)
+        exploded.write_parquet(str(tmp), partition_cols=["bucket"])
 
         # token total = sum(tf) over the new shard's postings: a
         # single-column parquet scan of what was just written
@@ -384,7 +452,8 @@ class ShardedInvertedIndex(_PostingProbe):
             "total_tokens": total_tokens,
         }
         self.shards.append(entry)
-        self._write_manifest(root, self.n_buckets, self.shards)
+        self._write_manifest(root, self.n_buckets, self.shards,
+                             self.field_cols)
         return entry
 
 

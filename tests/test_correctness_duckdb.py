@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "inverted_index",
     "bm25_search",
     "bm25_search_incr",
+    "fielded_search",
     "phrase_search",
     "redact_pii",
     "top_ngrams",

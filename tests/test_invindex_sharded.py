@@ -129,6 +129,47 @@ def test_version_mismatch_rebuilds(ray_session, tmp_path):
     assert fresh.shard_names() == []
 
 
+def test_fielded_store_scopes_postings_per_field(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["alpha beta alpha", "beta gamma"],
+                "source": ["web alpha", "news"],
+            }
+        )
+    )
+    sh = ShardedInvertedIndex.create(
+        str(tmp_path / "f"),
+        n_buckets=8,
+        fields={"body": "text", "source": "source"},
+    )
+    sh.append_shard(docs, "a")
+    # field-scoped: tf/dl are per field
+    body = sh.lookup_scored(["alpha"], field="body").to_pandas()
+    assert sorted(map(tuple, body[["doc_id", "tf", "dl"]].values.tolist())) == [
+        (1, 2, 3)
+    ]
+    src = sh.lookup_scored(["alpha"], field="source").to_pandas()
+    assert sorted(map(tuple, src[["doc_id", "tf", "dl"]].values.tolist())) == [
+        (1, 1, 2)
+    ]
+    # unscoped lookup carries the field column
+    allp = sh.lookup(["alpha"]).to_pandas()
+    assert sorted(allp["field"]) == ["body", "source"]
+    with pytest.raises(ValueError, match="no field"):
+        sh.lookup(["alpha"], field="title")
+    # manifest token totals sum across fields
+    assert sh.total_tokens == (3 + 2) + (2 + 1)
+    # reopening a fielded store with DIFFERENT fields rebuilds empty
+    fresh = ShardedInvertedIndex.create(str(tmp_path / "f"), n_buckets=8)
+    assert fresh.shard_names() == [] and fresh.fields is None
+
+
 def test_probe_prunes_nonprobed_buckets_in_every_shard(ray_session, tmp_path):
     from rayslog.stages.invindex import ShardedInvertedIndex
 

@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": p.q_order_priority,
         "bm25_search_incr": p.q_bm25_search_incr,
         "fielded_search": p.q_fielded_search,
+        "dedup_incremental": p.q_dedup_incremental,
     }
 
 

@@ -290,6 +290,48 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: a synthetic "new drop" arrives against
+    the committed even-doc_id half of documents.  The drop = all odd
+    docs + a RE-CRAWL of every doc_id%4==0 doc (same text, new id
+    +10^6 — must die against the committed corpus) + a RE-SUBMIT of
+    every doc_id%8==7 doc (new id +2*10^6 — must die within the batch).
+    Survivors = first-of-text within the drop AND absent from the
+    committed side (distributed anti hash join on 8-byte content
+    keys); the oracle reconstructs the identical drop in SQL."""
+    import pyarrow.compute as pc_
+
+    from rayslog.stages.dedup import dedup_incremental
+
+    def _subset(mod: int, rem: int, id_shift: int = 0):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc_.equal(
+                pc_.bit_wise_and(t.column("doc_id"),
+                                 pa.scalar(mod - 1, pa.int64())),
+                pa.scalar(rem, pa.int64()),
+            )
+            t = t.filter(keep)
+            return pa.table(
+                {
+                    "doc_id": pc_.add(
+                        t.column("doc_id"), pa.scalar(id_shift, pa.int64())
+                    ),
+                    "text": t.column("text"),
+                }
+            )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    new_drop = (
+        _subset(2, 1)
+        .union(_subset(4, 0, id_shift=1_000_000))
+        .union(_subset(8, 7, id_shift=2_000_000))
+    )
+    return dedup_incremental(new_drop, _subset(2, 0))
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: keep min doc_id per distinct text.
 

@@ -1051,6 +1051,26 @@ ORDER BY revenue DESC, c_custkey LIMIT 10
     q["bm25_search_incr"] = q["bm25_search"]
     # multi-column posting store: source-field token AND body-field
     # token, with the body term frequency
+    # incremental dedup: synthetic new drop (odd docs + re-crawled
+    # %4==0 copies + re-submitted %8==7 copies) vs committed even half
+    q["dedup_incremental"] = """
+WITH newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 7
+),
+w AS (
+  SELECT doc_id, text,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM newb
+)
+SELECT w.doc_id FROM w
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 2 = 0 AND o.text = w.text)
+"""
     q["fielded_search"] = r"""
 SELECT doc_id,
   CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),

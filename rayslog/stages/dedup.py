@@ -57,6 +57,49 @@ def dedup_exact(ds, id_col: str = "doc_id"):
     )
 
 
+def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id"):
+    """Incremental exact dedup: survivors of the NEW batch only.
+
+    The daily-ingest shape (the dedup sibling of
+    ``ShardedInvertedIndex.append_shard``): the committed corpus is
+    already deduplicated, a new drop arrives, and the job must cost
+    O(new + old-keys), never re-deduping the corpus.  A survivor is a
+    new row that is (a) first-of-its-text within the batch (min id per
+    128-bit content hash, exactly ``dedup_exact``) and (b) absent from
+    the committed corpus — a distributed ANTI hash join where BOTH
+    sides ship one 8-byte mixed key + id per row, never the payload.
+    The anti join keys on the 64-bit mix of the two hash seeds (the
+    collision-acceptance class of doc_freq: ~n²/2⁶⁵ across old x new).
+    """
+    def keyed(t: pa.Table) -> pa.Table:
+        out = add_text_hash(t)
+        h1 = out.column("h1").to_numpy(zero_copy_only=False).view(np.uint64)
+        h2 = out.column("h2").to_numpy(zero_copy_only=False).view(np.uint64)
+        hk = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ h2
+        return out.select(["h1", "h2", id_col]).append_column(
+            "hk", pa.array(hk.view(np.int64))
+        )
+
+    new_keyed = new_ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    survivors = (
+        new_keyed.groupby(["h1", "h2"])
+        .aggregate(Min(id_col, alias_name=id_col), Min("hk", alias_name="hk"))
+        .select_columns(["hk", id_col])
+    )
+    old_keys = old_ds.map_batches(
+        lambda t: keyed(t).select(["hk"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from rayslog.stages.relational import hash_join
+
+    return hash_join(
+        survivors, old_keys, key="hk", how="anti"
+    ).select_columns([id_col])
+
+
 def dedup_exact_keep_rows(ds, id_col: str = "doc_id",
                           text_col: str = "text",
                           keep_cols: list[str] | None = None,

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "traffic_rollup",
     "host_traffic",
     "dedup_exact",
+    "dedup_incremental",
     "render_3164",
     "repetition",
     "stratified_sample",

@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_incr": p.q_bm25_search_incr,
         "fielded_search": p.q_fielded_search,
         "dedup_incremental": p.q_dedup_incremental,
+        "ann_ivf_incr": p.q_ann_ivf_incr,
     }
 
 

@@ -916,6 +916,39 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, qv, qi, k=10, index_dir=index_dir)
 
 
+def q_ann_ivf_incr(sf_dir: str):
+    """IVF top-10 over the INCREMENTALLY-built sharded IVF store: the
+    corpus ingests as two parity-split appends against centroids
+    FROZEN on the first drop; probing prunes non-probed buckets across
+    every shard.  Rows-only (ANN has no SQL form); pytest proves the
+    sharded store probes identically to a one-shot assignment with the
+    same centroids."""
+    import hashlib
+    import re as _re
+
+    from rayslog.stages.ann import ShardedIvfIndex
+
+    qv, qi = _query_vectors(sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index = ShardedIvfIndex.create(f"/tmp/rayslog_data/ivfshard/{tag}-{h}")
+    for name, parity in (("even", 0), ("odd", 1)):
+        if name in index.shard_names():
+            continue
+        part = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t.column("vec_id"), pa.scalar(1)),
+                    pa.scalar(p, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        index.append_shard(part, name)
+    return index.probe(qv, qi, k=10, nprobe=4)
+
+
 #: probe tokens shared by the Ray query AND its SQL oracle (common
 #: corpus vocabulary words)
 INDEX_PROBE_TOKENS = ("data", "query", "spark")

@@ -126,39 +126,12 @@ def _fit_centroids(ds, n_centroids: int, sample_rows: int, seed: int):
     return cents
 
 
-class IvfIndex:
-    """A persisted inverted-file index: hive-partitioned Parquet under
-    ``index_dir`` (one ``bucket=K/`` directory per coarse centroid) plus
-    the centroid matrix.  ``probe`` reads only the probed buckets."""
-
-    def __init__(self, index_dir: str):
-        self.index_dir = str(index_dir)
-        meta = json.loads(Path(index_dir, "_ivf_meta.json").read_text())
-        self.n_centroids = meta["n_centroids"]
-        self.dim = meta["dim"]
-        self.centroids = np.load(Path(index_dir, "_centroids.npy"))
+class _IvfProbe:
+    """Shared probe surface of the IVF stores; subclasses provide
+    ``centroids`` and :meth:`probe_dataset`."""
 
     def probe_dataset(self, buckets):
-        """Dataset over ONLY the probed buckets: a hive PathPartitionFilter
-        prunes non-probed ``bucket=K/`` files from the file listing itself
-        — unprobed buckets are never opened (verify via input_files())."""
-        import ray.data as rd
-        from ray.data.datasource.partitioning import (
-            Partitioning,
-            PathPartitionFilter,
-        )
-
-        probed = {int(b) for b in buckets}
-        return rd.read_parquet(
-            self.index_dir,
-            file_extensions=["parquet"],
-            partition_filter=PathPartitionFilter.of(
-                # meta files at the index root parse to {} -> excluded
-                lambda kv: "bucket" in kv and int(kv["bucket"]) in probed,
-                style="hive",
-            ),
-            partitioning=Partitioning("hive", field_types={"bucket": int}),
-        )
+        raise NotImplementedError
 
     def probe(self, query_vecs: np.ndarray, query_ids: np.ndarray,
               k: int = 10, nprobe: int = 4):
@@ -219,6 +192,27 @@ class IvfIndex:
         )
 
 
+class IvfIndex(_IvfProbe):
+    """A persisted inverted-file index: hive-partitioned Parquet under
+    ``index_dir`` (one ``bucket=K/`` directory per coarse centroid) plus
+    the centroid matrix.  ``probe`` reads only the probed buckets."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        meta = json.loads(Path(index_dir, "_ivf_meta.json").read_text())
+        self.n_centroids = meta["n_centroids"]
+        self.dim = meta["dim"]
+        self.centroids = np.load(Path(index_dir, "_centroids.npy"))
+
+    def probe_dataset(self, buckets):
+        """Dataset over ONLY the probed buckets: a hive PathPartitionFilter
+        prunes non-probed ``bucket=K/`` files from the file listing itself
+        — unprobed buckets are never opened (verify via input_files())."""
+        from rayslog.stages.invindex import _bucket_pruned_dataset
+
+        return _bucket_pruned_dataset(self.index_dir, buckets)
+
+
 def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
                     sample_rows: int = 4_096, seed: int = 42) -> IvfIndex:
     """ONE assignment pass over the corpus -> hive-partitioned Parquet
@@ -261,6 +255,134 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         shutil.rmtree(final)
     os.replace(tmp, final)
     return IvfIndex(str(final))
+
+
+class ShardedIvfIndex(_IvfProbe):
+    """Incrementally-appendable IVF store — the ANN sibling of
+    :class:`rayslog.stages.invindex.ShardedInvertedIndex`.
+
+    Coarse centroids are fit ONCE (on the first appended shard, or
+    passed in) and then FROZEN — the standard IVF ingest contract:
+    every later drop assigns against the same centroid matrix, so a
+    vector lands in the same bucket no matter which shard carries it
+    and probes stay correct across appends.  Each drop writes an
+    immutable ``shards/<name>/bucket=K/`` tree and commits to the
+    manifest atomically; appending day N costs O(day N).  Re-fitting
+    centroids (after drift) is by construction a NEW index directory.
+    """
+
+    MANIFEST = "_ivf_manifest.json"
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        m = json.loads(Path(index_dir, self.MANIFEST).read_text())
+        self.n_centroids = int(m["n_centroids"])
+        self.shards = list(m["shards"])
+        cpath = Path(index_dir, "_centroids.npy")
+        self.centroids = np.load(cpath) if cpath.exists() else None
+
+    @classmethod
+    def create(cls, index_dir: str, n_centroids: int = 16,
+               centroids: np.ndarray | None = None):
+        """Open the store, creating an empty one (or replacing a
+        shape-mismatched one).  ``centroids`` pre-freezes the matrix;
+        otherwise the first ``append_shard`` fits it."""
+        root = Path(index_dir)
+        mf = root / cls.MANIFEST
+        if mf.exists():
+            idx = cls(index_dir)
+            if idx.n_centroids == int(n_centroids) and (
+                centroids is None
+                or (
+                    idx.centroids is not None
+                    and idx.centroids.shape == centroids.shape
+                    and np.array_equal(idx.centroids, centroids)
+                )
+            ):
+                return idx
+            shutil.rmtree(root)
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "shards").mkdir(exist_ok=True)
+        if centroids is not None:
+            np.save(root / "_centroids.npy", np.asarray(centroids))
+        cls._write_manifest(root, int(n_centroids), [])
+        return cls(index_dir)
+
+    @staticmethod
+    def _write_manifest(root: Path, n_centroids: int, shards: list):
+        tmp = root / f".manifest.tmp.{os.getpid()}"
+        tmp.write_text(
+            json.dumps({"n_centroids": n_centroids, "shards": shards})
+        )
+        os.replace(tmp, root / ShardedIvfIndex.MANIFEST)
+
+    @property
+    def n_vecs(self) -> int:
+        return sum(int(s["n_vecs"]) for s in self.shards)
+
+    def shard_names(self) -> list[str]:
+        return [s["name"] for s in self.shards]
+
+    def shard_paths(self) -> list[str]:
+        return [
+            str(Path(self.index_dir, "shards", s["name"]))
+            for s in self.shards
+        ]
+
+    def probe_dataset(self, buckets):
+        from rayslog.stages.invindex import _bucket_pruned_dataset
+
+        paths = self.shard_paths()
+        if not paths:
+            raise ValueError("sharded IVF index has no committed shards")
+        return _bucket_pruned_dataset(paths, buckets)
+
+    def append_shard(self, ds, name: str, sample_rows: int = 4_096,
+                     seed: int = 42) -> dict:
+        """Assign ``ds`` against the frozen centroids (fitting them
+        first iff this is the very first shard and none were passed to
+        :meth:`create`) and commit it as the immutable shard ``name``."""
+        import ray
+
+        if name in self.shard_names():
+            raise ValueError(f"shard {name!r} already committed")
+        root = Path(self.index_dir)
+        if self.centroids is None:
+            cents = _fit_centroids(ds, self.n_centroids, sample_rows, seed)
+            tmpc = root / f".centroids.tmp.{os.getpid()}.npy"
+            np.save(tmpc, cents)
+            os.replace(tmpc, root / "_centroids.npy")
+            self.centroids = cents
+        final = root / "shards" / name
+        if final.exists():  # unlisted leftover from a crashed append
+            shutil.rmtree(final)
+        tmp = root / f".shard.tmp.{name}.{os.getpid()}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+
+        n_vecs = ds.count()
+        cents_ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            m = _norm_rows(_matrix(batch.column("embedding")))
+            bucket = (
+                np.argmax(m @ c.T, axis=1) if len(m)
+                else np.zeros(0, np.int64)
+            )
+            return batch.append_column(
+                "bucket", pa.array(bucket.astype(np.int64))
+            )
+
+        ds.map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(tmp), partition_cols=["bucket"])
+        os.replace(tmp, final)
+        entry = {"name": name, "n_vecs": int(n_vecs)}
+        self.shards.append(entry)
+        self._write_manifest(root, self.n_centroids, self.shards)
+        return entry
 
 
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,

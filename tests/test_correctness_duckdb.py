@@ -105,7 +105,8 @@ QUERY_NAMES = [
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
              "doc_fingerprint", "dedup_simhash",
-             "ann_ivf", "media_features", "approx_distinct"]
+             "ann_ivf", "ann_ivf_incr", "media_features",
+             "approx_distinct"]
 
 
 @pytest.fixture(scope="module")

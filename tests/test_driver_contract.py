@@ -42,8 +42,8 @@ def test_queries_and_oracles_line_up():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
-        "ann_ivf", "cosine_dups_lsh",
+        "ann_ivf", "ann_ivf_incr", "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 80 and len(o) == 70
+    assert len(q) == 81 and len(o) == 70

@@ -175,6 +175,27 @@ def _run_bench() -> dict:
             lambda: p.q_bm25_search_incr(SF_DIR).to_pandas(),
         )
         timed_extra(
+            "fielded_search",
+            lambda: p.q_fielded_search(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "dedup_incremental",
+            lambda: p.q_dedup_incremental(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "ann_ivf_incr",
+            lambda: p.q_ann_ivf_incr(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "pack_sequences",
+            lambda: p.q_pack_sequences(SF_DIR).count(),
+        )
+        timed_extra(
+            "shuffle_shards",
+            lambda: p.q_shuffle_shards(SF_DIR).count(),
+        )
+        timed_extra("tf_idf", lambda: p.q_tf_idf(SF_DIR).count())
+        timed_extra(
             "regional_revenue",
             lambda: p.q_regional_revenue(SF_DIR).to_pandas(),
         )

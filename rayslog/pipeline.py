@@ -303,33 +303,43 @@ def q_dedup_incremental(sf_dir: str):
 
     from rayslog.stages.dedup import dedup_incremental
 
-    def _subset(mod: int, rem: int, id_shift: int = 0):
-        def fn(t: pa.Table) -> pa.Table:
-            keep = pc_.equal(
-                pc_.bit_wise_and(t.column("doc_id"),
-                                 pa.scalar(mod - 1, pa.int64())),
-                pa.scalar(rem, pa.int64()),
-            )
-            t = t.filter(keep)
-            return pa.table(
-                {
-                    "doc_id": pc_.add(
-                        t.column("doc_id"), pa.scalar(id_shift, pa.int64())
-                    ),
-                    "text": t.column("text"),
-                }
-            )
-
-        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            fn, batch_format="pyarrow", zero_copy_batch=True
+    def _slice(t: pa.Table, mod: int, rem: int, id_shift: int) -> pa.Table:
+        keep = pc_.equal(
+            pc_.bit_wise_and(t.column("doc_id"),
+                             pa.scalar(mod - 1, pa.int64())),
+            pa.scalar(rem, pa.int64()),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc_.add(
+                    t.column("doc_id"), pa.scalar(id_shift, pa.int64())
+                ),
+                "text": t.column("text"),
+            }
         )
 
-    new_drop = (
-        _subset(2, 1)
-        .union(_subset(4, 0, id_shift=1_000_000))
-        .union(_subset(8, 7, id_shift=2_000_000))
+    # the drop's three slices come from the SAME table — build them
+    # per batch in ONE read+map (a 3-way Dataset.union would run three
+    # separate read pipelines and triple the fixed executor overhead)
+    def drop_fn(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                _slice(t, 2, 1, 0),
+                _slice(t, 4, 0, 1_000_000),
+                _slice(t, 8, 7, 2_000_000),
+            ]
+        )
+
+    new_drop = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        drop_fn, batch_format="pyarrow", zero_copy_batch=True
     )
-    return dedup_incremental(new_drop, _subset(2, 0))
+    committed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: _slice(t, 2, 0, 0),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return dedup_incremental(new_drop, committed)
 
 
 def q_dedup_exact(sf_dir: str):

@@ -198,6 +198,87 @@ def tree_reduce(
     return rd.from_arrow(out)
 
 
+def task_exchange(ds, part_col: str, parts: int, fn,
+                  drop_part_col: bool = True):
+    """Raw-task hash exchange: the drop-in replacement for
+    ``ds.groupby(part_col).map_groups(fn)`` when ``part_col`` is an
+    integer partition id in ``[0, parts)`` computed upstream (the
+    bounded-parts pattern of dedup_exact_keep_rows / conv_assemble /
+    pack).  Split tasks copy each block once into per-part tables;
+    one task per part concats its pieces and applies ``fn``
+    (``pa.Table -> pa.Table``) — Ray's sort-based groupby machinery
+    costs ~1-3s of fixed all-to-all wall even on tiny exchanges
+    (measured on the Q4 semi join and conv_counts), this plan runs
+    the same movement as plain tasks.  The exchange sibling of
+    :func:`tree_reduce`; same partitioning assumption, per part: one
+    part's rows fit a task's heap — size ``parts`` to the data.
+
+    ``fn`` receives one whole part (== one group per the bounded-parts
+    contract, with ``part_col`` already dropped unless
+    ``drop_part_col=False``) and may return any table, like
+    map_groups.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    P = int(parts)
+    mat = ds.materialize()
+    refs = [
+        r
+        for b in mat.iter_internal_ref_bundles()
+        for r, m in b.blocks
+        if m.num_rows
+    ]
+
+    @ray.remote
+    def split(block):
+        t = (
+            block
+            if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block, preserve_index=False)
+        )
+        pcol = t.column(part_col)
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        b = pcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        if drop_part_col:
+            t = t.drop_columns([part_col])
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(P + 1))
+        out = tuple(
+            t.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        )
+        # num_returns=1 means Ray returns the value itself, not a
+        # 1-tuple of refs — hand back the lone table directly
+        return out if P > 1 else out[0]
+
+    part_refs = [split.options(num_returns=P).remote(r) for r in refs]
+    if P == 1:
+        part_refs = [[p] for p in part_refs]
+
+    @ray.remote
+    def apply_part(*pieces):
+        ts = [t for t in pieces if t.num_rows]
+        # empty parts still go through fn so every output block shares
+        # fn's OUTPUT schema (fn must be empty-safe, like any
+        # vectorized kernel; map_groups never sees empty groups, so
+        # this is the one added contract)
+        if not ts:
+            return fn(pieces[0])
+        return fn(pa.concat_tables(ts, promote_options="default"))
+
+    if not part_refs:
+        return mat.map_batches(  # empty input: preserve emptiness+types
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+    out = [
+        apply_part.remote(*(pr[p] for pr in part_refs)) for p in range(P)
+    ]
+    return rd.from_arrow_refs(out)
+
+
 def tree_aggregate(
     partial,
     keys: list[str],

@@ -57,7 +57,8 @@ def dedup_exact(ds, id_col: str = "doc_id"):
     )
 
 
-def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id"):
+def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id",
+                      parts: int = 64):
     """Incremental exact dedup: survivors of the NEW batch only.
 
     The daily-ingest shape (the dedup sibling of
@@ -65,12 +66,18 @@ def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id"):
     already deduplicated, a new drop arrives, and the job must cost
     O(new + old-keys), never re-deduping the corpus.  A survivor is a
     new row that is (a) first-of-its-text within the batch (min id per
-    128-bit content hash, exactly ``dedup_exact``) and (b) absent from
-    the committed corpus — a distributed ANTI hash join where BOTH
-    sides ship one 8-byte mixed key + id per row, never the payload.
-    The anti join keys on the 64-bit mix of the two hash seeds (the
-    collision-acceptance class of doc_freq: ~n²/2⁶⁵ across old x new).
+    128-bit content hash, exactly ``dedup_exact``, resolved with the
+    keep-first kernel inside a bounded-parts ``task_exchange`` — no
+    sort-shuffle) and (b) absent from the committed corpus — a
+    distributed ANTI hash join where BOTH sides ship one 8-byte mixed
+    key + id per row, never the payload.  The anti join keys on the
+    64-bit mix of the two hash seeds (the collision-acceptance class
+    of doc_freq: ~n²/2⁶⁵ across old x new); within-drop keep-first
+    stays 128-bit.
     """
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.relational import hash_join
+
     def keyed(t: pa.Table) -> pa.Table:
         out = add_text_hash(t)
         h1 = out.column("h1").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -80,21 +87,38 @@ def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id"):
             "hk", pa.array(hk.view(np.int64))
         )
 
+    def keyed_with_part(t: pa.Table) -> pa.Table:
+        out = keyed(t)
+        hk = out.column("hk").to_numpy(zero_copy_only=False).view(np.uint64)
+        return out.append_column(
+            "hpart", pa.array((hk % np.uint64(parts)).astype(np.int32))
+        )
+
+    _empty_surv = pa.table(
+        {"hk": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_surv
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        sel = np.asarray(order)[first]
+        return t.take(pa.array(sel)).select(["hk", id_col])
+
     new_keyed = new_ds.map_batches(
-        keyed, batch_format="pyarrow", zero_copy_batch=True
+        keyed_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
-    survivors = (
-        new_keyed.groupby(["h1", "h2"])
-        .aggregate(Min(id_col, alias_name=id_col), Min("hk", alias_name="hk"))
-        .select_columns(["hk", id_col])
-    )
+    survivors = task_exchange(new_keyed, "hpart", parts, keep_first)
     old_keys = old_ds.map_batches(
         lambda t: keyed(t).select(["hk"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from rayslog.stages.relational import hash_join
-
     return hash_join(
         survivors, old_keys, key="hk", how="anti"
     ).select_columns([id_col])
@@ -105,12 +129,14 @@ def dedup_exact_keep_rows(ds, id_col: str = "doc_id",
                           keep_cols: list[str] | None = None,
                           parts: int = 64):
     """Exact dedup that RETURNS THE SURVIVING ROWS (min id per distinct
-    text) with ``keep_cols`` attached — one hash-partitioned shuffle
+    text) with ``keep_cols`` attached — one hash-partitioned exchange
     instead of dedup_exact's aggregate + join-back (half the all-to-all
-    cost when downstream needs row attributes).  The shuffle carries
-    16-byte hash keys + id + keep_cols per row, never the text; groups
-    are bounded (h1 % parts) slices with vectorized run detection."""
-    import pandas as pd
+    cost when downstream needs row attributes).  The exchange carries
+    16-byte hash keys + id + keep_cols per row, never the text, and
+    runs as the raw-task ``task_exchange`` (no sort-shuffle machinery);
+    groups are bounded (h1 % parts) slices with vectorized run
+    detection."""
+    from rayslog.stages.aggregate import task_exchange
 
     keep_cols = list(keep_cols or [])
 
@@ -122,21 +148,22 @@ def dedup_exact_keep_rows(ds, id_col: str = "doc_id",
             "hpart", pa.array(part)
         )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
-        ids = g[id_col].to_numpy()
+    def keep_first(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.select([id_col] + keep_cols)
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h2, h1))
         h1s, h2s = h1[order], h2[order]
         first = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
         sel = np.asarray(order)[first]
-        return g.iloc[sel][[id_col] + keep_cols]
+        return t.take(pa.array(sel)).select([id_col] + keep_cols)
 
-    return (
-        ds.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("hpart")
-        .map_groups(keep_first, batch_format="pandas")
+    hashed_ds = ds.map_batches(
+        hashed, batch_format="pyarrow", zero_copy_batch=True
     )
+    return task_exchange(hashed_ds, "hpart", parts, keep_first)
 
 
 # ------------------------------------------------------------- shingles
@@ -268,13 +295,16 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
     Grouping by the raw (band, band_hash) key would make one map_groups
     call per BUCKET — almost all singletons, each paying ~0.4ms of
     per-group machinery (measured: 59s for 160k buckets at sf0.1).
-    Instead the shuffle groups by (band, band_hash % bucket_parts):
-    bands x bucket_parts bounded groups, each holding MANY buckets,
-    with run detection + pair expansion vectorized inside the group.
-    Partitioning assumption: one (band, part) slice ~ n_docs /
-    bucket_parts rows of 16 bytes — tune bucket_parts up at scale.
+    Instead band rows exchange on mix(band, band_hash) % bucket_parts
+    through the raw-task ``task_exchange`` (no sort-shuffle machinery)
+    into bounded parts, each holding MANY buckets, with run detection
+    (on the (band, band_hash) pair — parts mix bands) + pair expansion
+    vectorized inside the part.  Partitioning assumption: one part ~
+    bands x n_docs / bucket_parts rows of 20 bytes — tune bucket_parts
+    up at scale.  The cross-band pair dedupe is a distinct through the
+    combiner tree (re-applicable), not a second shuffle.
     """
-    import pandas as pd
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
 
     # batch cap bounds the (hash_chunk x batch_shingles) temporary in
     # minhash_signatures (whole-block batches of 100k docs would build
@@ -292,19 +322,40 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
     def banded_with_part(t: pa.Table) -> pa.Table:
         b = _band_rows(t, bands, rows_per_band)
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
-        part = (bh % np.uint64(bucket_parts)).astype(np.int32)
+        band = b.column("band").to_numpy(zero_copy_only=False)
+        mixed = bh ^ (
+            (band.astype(np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        part = (mixed % np.uint64(bucket_parts)).astype(np.int32)
         return b.append_column("bpart", pa.array(part))
 
     banded = sigs.map_batches(
         banded_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        bh = g["band_hash"].to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        order = np.lexsort((ids, bh))
-        bh, ids = bh[order], ids[order]
-        new = np.r_[True, bh[1:] != bh[:-1]]
+    _empty_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        }
+    )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_pairs
+        bh = (
+            t.column("band_hash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        # a bucket is a (band, band_hash) run — parts mix bands, so the
+        # run boundary must test BOTH keys
+        new = np.r_[True, (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])]
         run_id = np.cumsum(new) - 1
         counts = np.bincount(run_id)
         out_a: list = []
@@ -324,20 +375,15 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
             out_a.append(u[a])
             out_b.append(u[b])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
+            return _empty_pairs
+        return pa.table(
             {
-                "doc_a": np.concatenate(out_a).astype("int64"),
-                "doc_b": np.concatenate(out_b).astype("int64"),
+                "doc_a": pa.array(np.concatenate(out_a).astype("int64")),
+                "doc_b": pa.array(np.concatenate(out_b).astype("int64")),
             }
         )
 
-    pairs = banded.groupby(["band", "bpart"]).map_groups(
-        part_pairs, batch_format="pandas"
-    )
+    pairs = task_exchange(banded, "bpart", bucket_parts, part_pairs)
     if not dedupe:
         return pairs  # raw stream: sentinels (doc_a=-1) included
 
@@ -357,10 +403,18 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
     pairs = pairs.map_batches(
         check_sentinels, batch_format="pyarrow", zero_copy_batch=True
     )
-    # dedupe pairs found in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("doc_a", alias_name="_a")
-    ).drop_columns(["_a"])
+
+    # dedupe pairs found in multiple bands: distinct is re-applicable,
+    # so it runs through the combiner tree instead of a second shuffle
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    def _empty():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty_pairs)
+
+    return tree_reduce(pairs, distinct_pairs, empty_fn=_empty)
 
 
 def _oversize_msg(n_over: int, max_bucket: int) -> str:
@@ -383,13 +437,12 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
     One-pass LSH dedup: a doc survives iff it is the MINIMUM doc_id in
     EVERY band bucket it occupies; every dropped doc shares a bucket
     (jaccard-similar w.h.p.) with a smaller surviving-or-dropped doc.
-    Everything stays linear: bands x 8-byte rows per doc, two
-    groupbys, no pair materialization.  (Not a transitive closure —
-    the standard single-pass approximation used for corpus dedup.)
-    Returns the surviving doc_ids.
+    Everything stays linear: bands x 8-byte rows per doc, two raw-task
+    exchanges (min-per-bucket, then min-per-doc inside bounded
+    doc_id%parts slices), no pair materialization.  (Not a transitive
+    closure — the standard single-pass approximation used for corpus
+    dedup.)  Returns the surviving doc_ids.
     """
-    import pandas as pd
-
     sigs = ds.map_batches(
         _minhash_batch,
         batch_format="pyarrow",
@@ -407,25 +460,40 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
         banded_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def bucket_mins(g: pd.DataFrame) -> pd.DataFrame:
-        bh = g["band_hash"].to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        order = np.lexsort((ids, bh))
-        bh, ids = bh[order], ids[order]
-        new = np.r_[True, bh[1:] != bh[:-1]]
+    _empty_mins = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "bucket_min": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_mins(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_mins
+        bh = (
+            t.column("band_hash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        # a bucket is a (band, band_hash) run — parts mix bands
+        new = np.r_[True, (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])]
         run_id = np.cumsum(new) - 1
         # per-bucket min id broadcast to every row of the bucket
         mins = np.minimum.reduceat(ids, np.nonzero(new)[0])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids.astype("int64"),
-                "bucket_min": mins[run_id].astype("int64"),
+                "doc_id": pa.array(ids.astype("int64")),
+                "bucket_min": pa.array(mins[run_id].astype("int64")),
             }
         )
 
-    per_bucket = banded.groupby(["band", "bpart"]).map_groups(
-        bucket_mins, batch_format="pandas"
-    )
+    from rayslog.stages.aggregate import task_exchange
+
+    per_bucket = task_exchange(banded, "bpart", bucket_parts, bucket_mins)
 
     # per-doc min over bucket_mins.  NOT groupby(doc_id).aggregate(Min):
     # Ray's sort-aggregate at ~10^6 groups is pathological (measured:
@@ -440,26 +508,38 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
             "dpart", pa.array((d % dparts).astype(np.int32))
         )
 
-    def part_parents(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        bm = g["bucket_min"].to_numpy()
+    _empty_parents = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "parent": pa.array([], pa.int64()),
+        }
+    )
+
+    def part_parents(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_parents
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bm = t.column("bucket_min").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids, bm = ids[order], bm[order]
         new = np.r_[True, ids[1:] != ids[:-1]]
         starts = np.nonzero(new)[0]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids[starts].astype("int64"),
-                "parent": np.minimum.reduceat(bm, starts).astype("int64"),
+                "doc_id": pa.array(ids[starts].astype("int64")),
+                "parent": pa.array(
+                    np.minimum.reduceat(bm, starts).astype("int64")
+                ),
             }
         )
 
-    parents = (
+    parents = task_exchange(
         per_bucket.map_batches(
             add_dpart, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("dpart")
-        .map_groups(part_parents, batch_format="pandas")
+        ),
+        "dpart",
+        dparts,
+        part_parents,
     )
 
     def survivors(t: pa.Table) -> pa.Table:

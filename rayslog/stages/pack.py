@@ -40,7 +40,6 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
     ``budget``: tokens per bin; ``chunk``: docs per range partition
     (tune up at scale — parts x 16 B is the driver-side state).
     """
-    import pandas as pd
     import ray
 
     def featurize(t: pa.Table) -> pa.Table:
@@ -84,21 +83,38 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
     )
     offs_ref = ray.put(offs)
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
         offs_l = ray.get(offs_ref)
-        g = g.sort_values(id_col).reset_index(drop=True)
-        n = g["n_tokens"].to_numpy()
-        start = int(offs_l[int(g["part"].iloc[0])])
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        s = t.take(idx)
+        n = s.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = int(offs_l[int(s.column("part")[0].as_py())])
         excl = start + np.cumsum(n) - n
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64"),
-                "n_tokens": n.astype("int64"),
-                "bin_id": (excl // budget).astype("int64"),
+                id_col: pc.cast(s.column(id_col), pa.int64()),
+                "n_tokens": pa.array(n.astype("int64")),
+                "bin_id": pa.array((excl // budget).astype("int64")),
             }
         )
 
-    return feats.groupby("part").map_groups(assign, batch_format="pandas")
+    from rayslog.stages.aggregate import task_exchange
+
+    # part = doc_id // chunk is unbounded; the totals pass already
+    # knows the max part, so the exchange sizes itself to the data
+    n_parts = int(totals["part"].max()) + 1 if len(totals) else 1
+    return task_exchange(feats, "part", n_parts, assign,
+                         drop_part_col=False)
 
 
 def assemble_conversations(ds, conv_col: str = "conv_id",
@@ -165,8 +181,13 @@ def assemble_conversations(ds, conv_col: str = "conv_id",
             }
         )
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(per_part, batch_format="pyarrow")
+    from rayslog.stages.aggregate import task_exchange
+
+    return task_exchange(
+        ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "__part",
+        parts,
+        per_part,
     )

@@ -288,14 +288,17 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
         b = (mix % np.uint64(P)).astype(np.int64)
         order = np.argsort(b, kind="stable")
         bounds = np.searchsorted(b[order], np.arange(P + 1))
-        return tuple(
+        out = tuple(
             t.take(pa.array(order[bounds[p] : bounds[p + 1]]))
             for p in range(P)
         )
+        # num_returns=1 means Ray returns the value itself, not a
+        # 1-tuple of refs — hand back the lone table directly
+        return out if P > 1 else out[0]
 
     lparts = [split.options(num_returns=P).remote(r) for r in lrefs]
     rparts = [split.options(num_returns=P).remote(r) for r in rrefs]
-    if P == 1:  # num_returns=1 yields the tuple itself
+    if P == 1:
         lparts = [[p] for p in lparts]
         rparts = [[p] for p in rparts]
 

@@ -47,7 +47,6 @@ def shuffle_shards(
     """(doc_id, shard, pos) for every doc under the seeded global
     shuffle.  ``part_bits``: 2^bits range parts (tune up at scale —
     parts x 16 B is the driver-side offset state)."""
-    import pandas as pd
     import ray
 
     shift = np.uint64(64 - part_bits)
@@ -84,23 +83,38 @@ def shuffle_shards(
     )
     offs_ref = ray.put(offs)
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
         offs_l = ray.get(offs_ref)
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        k = g["k"].to_numpy(dtype=np.int64).view(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+        part0 = int(t.column("part")[0].as_py())
         order = np.lexsort((ids, k))
-        start = int(offs_l[int(g["part"].iloc[0])])
+        start = int(offs_l[part0])
         rank = np.empty(len(ids), dtype=np.int64)
         rank[order] = start + np.arange(len(ids), dtype=np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: ids,
-                "shard": rank // shard_size,
-                "pos": rank % shard_size,
+                id_col: pa.array(ids.astype(np.int64)),
+                "shard": pa.array(rank // shard_size),
+                "pos": pa.array(rank % shard_size),
             }
         )
 
-    return keys.groupby("part").map_groups(assign, batch_format="pandas")
+    from rayslog.stages.aggregate import task_exchange
+
+    return task_exchange(
+        keys, "part", 1 << part_bits, assign, drop_part_col=False
+    )
 
 
 def shuffle_shards_sql(

@@ -448,8 +448,6 @@ def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64,
 
     Returns (doc_id, rank, token, score).
     """
-    import pandas as pd
-
     from rayslog.stages.relational import hash_join
 
     def explode_tf(t: pa.Table) -> pa.Table:
@@ -530,17 +528,32 @@ def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64,
         score, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        g = t.to_pandas()
         g = g.sort_values(
             ["doc_id", "score", "token"], ascending=[True, False, True]
         )
         g = g.groupby("doc_id", as_index=False).head(k)
         g["rank"] = g.groupby("doc_id").cumcount() + 1
-        return g[["doc_id", "rank", "token", "score"]].astype(
+        out = g[["doc_id", "rank", "token", "score"]].astype(
             {"doc_id": "int64", "rank": "int64"}
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return scored.groupby("dpart").map_groups(topk, batch_format="pandas")
+    from rayslog.stages.aggregate import task_exchange
+
+    return task_exchange(scored, "dpart", dparts, topk)
 
 
 def render_rfc3164(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,121 @@
+"""task_exchange: the raw-task replacement for bounded-parts
+groupby(part).map_groups — parity with the groupby plan, P=1 edge,
+empty parts, empty input."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ds(n=1000, parts=8, blocks=4):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "part": pa.array(
+                (rng.integers(0, 50, n) % parts).astype(np.int32)
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_exchange_matches_groupby_map_groups(ray_session):
+    from rayslog.stages.aggregate import task_exchange
+
+    def _group_sum(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["k"]).aggregate([("v", "sum")])
+            .rename_columns(["k", "v"])
+        )
+
+    ds = _ds(parts=8)
+    got = (
+        task_exchange(ds, "part", 8, _group_sum)
+        .to_pandas()
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    # parts are built as (key-ish % parts); same key never spans parts
+    # in this fixture is NOT guaranteed, so compare against a plain
+    # per-part pandas recompute
+    raw = _ds(parts=8).to_pandas()
+    exp = (
+        raw.groupby(["part", "k"], as_index=False)["v"].sum()[["k", "v"]]
+        .sort_values(["k"])
+        .reset_index(drop=True)
+    )
+    # exchange output may contain one row per (part, k) — aggregate both
+    got = got.groupby("k", as_index=False)["v"].sum()
+    exp = exp.groupby("k", as_index=False)["v"].sum()
+    assert got.equals(exp)
+
+
+def test_exchange_single_part(ray_session):
+    from rayslog.stages.aggregate import task_exchange
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([3, 1, 2], pa.int64()),
+                "part": pa.array([0, 0, 0], pa.int32()),
+            }
+        )
+    ).repartition(2)
+    out = task_exchange(
+        ds, "part", 1, lambda t: t.sort_by([("v", "ascending")])
+    ).to_pandas()
+    assert list(out["v"]) == [1, 2, 3]
+
+
+def test_exchange_empty_parts_go_through_fn(ray_session):
+    from rayslog.stages.aggregate import task_exchange
+
+    import ray.data as rd
+
+    # only part 3 is populated out of 8 -> 7 empty parts must still
+    # produce fn-schema (empty) blocks
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([5, 6], pa.int64()),
+                "part": pa.array([3, 3], pa.int32()),
+            }
+        )
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"total": pa.array([int(pc.sum(t.column("v")).as_py() or 0)],
+                               pa.int64())}
+        )
+
+    out = task_exchange(ds, "part", 8, fn).to_pandas()
+    assert sorted(out["total"]) == [0] * 7 + [11]
+
+
+def test_exchange_keeps_part_col_when_asked(ray_session):
+    from rayslog.stages.aggregate import task_exchange
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+                "part": pa.array([0, 1, 0, 1], pa.int32()),
+            }
+        )
+    )
+    out = task_exchange(
+        ds, "part", 2, lambda t: t, drop_part_col=False
+    ).to_pandas()
+    assert set(out.columns) == {"v", "part"}
+    assert out.groupby("part")["v"].sum().to_dict() == {0: 4, 1: 6}

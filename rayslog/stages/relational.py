@@ -254,12 +254,27 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
 
     def _block_refs(ds):
         mat = ds.materialize()
-        return [
+        refs = [
             r
             for b in mat.iter_internal_ref_bundles()
             for r, m in b.blocks
             if m.num_rows
-        ], mat.schema().base_schema
+        ]
+        # Ray loses the schema of an ALL-EMPTY dataset (repartition /
+        # filter of empty blocks -> schema() None); recover it from a
+        # live block when rows exist, else report None and let the
+        # caller decide
+        s = mat.schema()
+        if s is not None:
+            base = s.base_schema
+            if isinstance(base, pa.Schema):
+                return refs, base
+        if refs:
+            blk = ray.get(refs[0])
+            if not isinstance(blk, pa.Table):
+                blk = pa.Table.from_pandas(blk, preserve_index=False)
+            return refs, blk.schema
+        return refs, None
 
     # the two sides are independent pipelines — materialize them
     # concurrently (each owns its streaming executor; sequential
@@ -271,6 +286,23 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
         fr = pool.submit(_block_refs, right_ds)
         lrefs, lschema = fl.result()
         rrefs, rschema = fr.result()
+
+    if lschema is None:
+        # left empty AND untyped: the output's left columns are
+        # unknowable for every `how` — fail loudly rather than guess
+        raise ValueError(
+            "hash_join: left side has no rows and no recoverable schema"
+        )
+    if rschema is None:
+        if how in ("semi", "anti"):
+            # right side only contributes its KEY SET; an empty set is
+            # fully typed by the left key column
+            rschema = pa.schema([pa.field(key, lschema.field(key).type)])
+        else:
+            raise ValueError(
+                "hash_join: right side has no rows and no recoverable "
+                "schema — inner/left output columns are unknowable"
+            )
 
     def _as_arrow(block):
         if isinstance(block, pa.Table):

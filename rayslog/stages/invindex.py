@@ -456,6 +456,51 @@ class ShardedInvertedIndex(_PostingProbe):
                              self.field_cols)
         return entry
 
+    def compact(self, name: str | None = None) -> dict:
+        """Merge every committed shard into ONE new shard — the
+        log-structured compaction step that bounds per-probe file
+        counts after many appends (each probe opens one file per
+        bucket PER SHARD; compaction collapses that to one).
+
+        Posting rows are immutable facts, so compaction is a pure
+        bucket-preserving rewrite: read all shards' postings (bucket
+        column riding along), write them as a single new shard,
+        commit a manifest listing only it, then delete the old shard
+        dirs.  Crash-safe in that order — a crash after the manifest
+        commit leaves unlisted old dirs that readers never touch (and
+        a later compact() clears).  Stats carry over by summing, so
+        BM25's (N, avgdl) are unchanged.
+        """
+        if not self.shards:
+            raise ValueError("compact: no committed shards")
+        name = name or f"compact-{len(self.shards)}-{self.shards[-1]['name']}"
+        if name in self.shard_names():
+            raise ValueError(f"shard {name!r} already committed")
+        root = Path(self.index_dir)
+        old_names = self.shard_names()
+        old_stats = {
+            "n_docs": self.n_docs,
+            "total_tokens": self.total_tokens,
+        }
+        final = root / "shards" / name
+        if final.exists():
+            shutil.rmtree(final)
+        tmp = root / f".shard.tmp.{name}.{os.getpid()}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        self.postings_dataset(range(self.n_buckets)).write_parquet(
+            str(tmp), partition_cols=["bucket"]
+        )
+        os.replace(tmp, final)
+        entry = {"name": name, **old_stats}
+        self.shards = [entry]
+        self._write_manifest(root, self.n_buckets, self.shards,
+                             self.field_cols)
+        for old in old_names:
+            shutil.rmtree(root / "shards" / old, ignore_errors=True)
+        return entry
+
 
 def ensure_index(ds, index_dir: str, n_buckets: int = 64,
                  col: str = "text", id_col: str = "doc_id") -> InvertedIndex:

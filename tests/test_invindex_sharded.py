@@ -129,6 +129,31 @@ def test_version_mismatch_rebuilds(ray_session, tmp_path):
     assert fresh.shard_names() == []
 
 
+def test_compact_preserves_lookups_and_stats(ray_session, tmp_path):
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    sh = ShardedInvertedIndex.create(str(tmp_path / "sh"), n_buckets=8)
+    sh.append_shard(_ds(DOCS_A), "a")
+    sh.append_shard(_ds(DOCS_B), "b")
+    toks = ["table", "hash", "join", "scan", "window"]
+    before = _postings(sh, toks)
+    stats_before = (sh.n_docs, sh.total_tokens)
+
+    entry = sh.compact()
+    assert sh.shard_names() == [entry["name"]]
+    assert _postings(sh, toks) == before
+    assert (sh.n_docs, sh.total_tokens) == stats_before
+    # old shard dirs are gone; reopening sees only the compacted shard
+    assert sorted(
+        p.name for p in Path(sh.index_dir, "shards").iterdir()
+    ) == [entry["name"]]
+    re = ShardedInvertedIndex(str(tmp_path / "sh"))
+    assert _postings(re, toks) == before
+    # appends keep working after compaction
+    re.append_shard(_ds([(9, "fresh table")]), "c")
+    assert ("table", 9, 1, 2) in _postings(re, ["table"])
+
+
 def test_fielded_store_scopes_postings_per_field(ray_session, tmp_path):
     import ray.data as rd
 

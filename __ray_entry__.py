@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_revenue": p.q_mktsegment_revenue,
         "regional_revenue": p.q_regional_revenue,
         "order_priority": p.q_order_priority,
+        "cust_order_dist": p.q_cust_order_dist,
         "bm25_search_incr": p.q_bm25_search_incr,
         "fielded_search": p.q_fielded_search,
         "dedup_incremental": p.q_dedup_incremental,

@@ -1406,6 +1406,17 @@ def q_order_priority(sf_dir: str):
     )
 
 
+def q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped order-count distribution (zero-order customers
+    included via the LEFT task-exchange join)."""
+    from rayslog.stages.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+    )
+
+
 def q_host_traffic(sf_dir: str):
     """Top-20 hostnames by parsed-turn count (distinct + global sort +
     limit; ties broken by hostname for determinism)."""

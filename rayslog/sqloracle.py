@@ -1023,6 +1023,15 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 """,
+        "cust_order_dist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
         "order_priority": """
 SELECT o.o_orderpriority, count(*) AS n_orders
 FROM orders o

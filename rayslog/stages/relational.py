@@ -635,6 +635,73 @@ def order_priority_counts(
                      final="tree")
 
 
+def customer_order_distribution(customer_ds, orders_ds, buckets: int = 32):
+    """TPC-H Q13-shaped distribution: how many customers placed exactly
+    k orders, INCLUDING the zero-order customers (the reason this is a
+    LEFT join, not an aggregate over orders alone).
+
+    Plan: per-batch partial counts collapse orders to one
+    (custkey, n) row per customer per block, the combiner tree
+    finishes the per-customer counts, and the LEFT task-exchange join
+    against the customer keys fills in the zero-order customers; the
+    final k-histogram is a tiny combiner-tree count.
+    """
+    from rayslog.stages.aggregate import counts_by, tree_reduce
+
+    cust_keys = customer_ds.map_batches(
+        lambda t: t.select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey"])
+            .group_by(["o_custkey"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    partials = orders_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["c_custkey"])
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["c_custkey", "n_orders"])
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    per_cust = tree_reduce(partials, reduce_fn, empty_fn=empty_fn)
+    joined = hash_join(cust_keys, per_cust, key="c_custkey",
+                       buckets=buckets, how="left")
+    filled = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "c_count": pc.fill_null(
+                    pc.cast(t.column("n_orders"), pa.int64()), 0
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return counts_by(filled, ["c_count"], alias="custdist", final="tree")
+
+
 #: price bands for the range-join demo: [lo, hi) half-open, contiguous
 PRICE_BANDS = [
     (0.0, 925.0, "budget"),

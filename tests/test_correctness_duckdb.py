@@ -101,6 +101,7 @@ QUERY_NAMES = [
     "mktsegment_revenue",
     "regional_revenue",
     "order_priority",
+    "cust_order_dist",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -384,6 +384,38 @@ class ShardedIvfIndex(_IvfProbe):
         self._write_manifest(root, self.n_centroids, self.shards)
         return entry
 
+    def compact(self, name: str | None = None) -> dict:
+        """Merge every committed shard into ONE (same log-structured
+        compaction as ``ShardedInvertedIndex.compact``): vectors are
+        immutable (bucket = frozen-centroid argmax), so this is a pure
+        bucket-preserving rewrite — probes before/after are identical
+        and per-probe file counts drop to one per bucket."""
+        if not self.shards:
+            raise ValueError("compact: no committed shards")
+        name = name or f"compact-{len(self.shards)}-{self.shards[-1]['name']}"
+        if name in self.shard_names():
+            raise ValueError(f"shard {name!r} already committed")
+        root = Path(self.index_dir)
+        old_names = self.shard_names()
+        total = self.n_vecs
+        final = root / "shards" / name
+        if final.exists():
+            shutil.rmtree(final)
+        tmp = root / f".shard.tmp.{name}.{os.getpid()}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        self.probe_dataset(range(self.n_centroids)).write_parquet(
+            str(tmp), partition_cols=["bucket"]
+        )
+        os.replace(tmp, final)
+        entry = {"name": name, "n_vecs": int(total)}
+        self.shards = [entry]
+        self._write_manifest(root, self.n_centroids, self.shards)
+        for old in old_names:
+            shutil.rmtree(root / "shards" / old, ignore_errors=True)
+        return entry
+
 
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
              k: int = 10, n_centroids: int = 16, nprobe: int = 4,

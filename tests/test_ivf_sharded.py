@@ -87,6 +87,27 @@ def test_sharded_ivf_first_append_fits_and_freezes(ray_session, tmp_path):
         re.append_shard(_ds(ids[:1], mat[:1]), "a")
 
 
+def test_sharded_ivf_compact_preserves_probes(ray_session, tmp_path):
+    from rayslog.stages.ann import ShardedIvfIndex
+
+    mat = _vecs(150, seed=4)
+    ids = np.arange(150, dtype=np.int64)
+    sh = ShardedIvfIndex.create(str(tmp_path / "sh"), n_centroids=8)
+    sh.append_shard(_ds(ids[:75], mat[:75]), "a")
+    sh.append_shard(_ds(ids[75:], mat[75:]), "b")
+    qv, qi = mat[:3], ids[:3]
+    before = _probe_df(sh, qv, qi)
+    entry = sh.compact()
+    assert sh.shard_names() == [entry["name"]] and sh.n_vecs == 150
+    assert _probe_df(sh, qv, qi).equals(before)
+    assert sorted(
+        p.name for p in Path(sh.index_dir, "shards").iterdir()
+    ) == [entry["name"]]
+    # appends keep working after compaction (frozen centroids intact)
+    sh.append_shard(_ds(np.array([999], np.int64), _vecs(1, seed=9)), "c")
+    assert sh.n_vecs == 151
+
+
 def test_sharded_ivf_probe_prunes_buckets_across_shards(ray_session, tmp_path):
     from rayslog.stages.ann import ShardedIvfIndex
 

@@ -132,84 +132,155 @@ def sessionize(ds, gap_sec: int = 1_800):
 
 
 def sessionize_partitioned(ds, gap_sec: int = 1_800,
-                           chunk_sec: int = 86_400):
+                           chunk_sec: int = 86_400, parts: int = 64):
     """Sessionize for PATHOLOGICAL keys: two-phase time-range partition.
 
-    Phase 1 groups by (user_id, time-chunk) — a user with 10^9 events
-    spreads over many reducers — and reduces each chunk to sub-session
-    summaries (start, end, count): rows shrink from events to sessions.
-    Phase 2 groups the small summaries by user and stitches sessions
-    across chunk boundaries (merge consecutive sub-sessions whose
-    boundary gap <= gap).  Exactly equivalent to ``sessionize`` (the
-    boundary pair IS the last/first event pair the gap rule inspects);
-    asserted by tests on boundary-crossing fixtures.
+    Phase 1 partitions by hash(user_id, time-chunk) — a user with 10^9
+    events spreads over many reducers — and reduces each (user, chunk)
+    run to sub-session summaries (start, end, count): rows shrink from
+    events to sessions.  Phase 2 partitions the small summaries by
+    user and stitches sessions across chunk boundaries (merge
+    consecutive sub-sessions whose boundary gap <= gap).  Exactly
+    equivalent to ``sessionize`` (the boundary pair IS the last/first
+    event pair the gap rule inspects); asserted by tests on
+    boundary-crossing fixtures.
 
-    Partitioning assumption: one user's SESSION SUMMARIES fit in a
-    group (#sessions << #events; chunk_sec trades reducer size for
-    phase-2 fan-in).
+    Both phases run as bounded-parts ``task_exchange``\\ s with
+    vectorized multi-group run detection inside each part (one
+    map_groups call per (user, chunk) GROUP measured ~0.4ms of
+    machinery each — 45k groups cost ~10s of pure overhead at sf0.1).
+
+    Partitioning assumptions: one part's events fit a task (phase 1;
+    ``parts`` scales with the corpus) and one user's SESSION SUMMARIES
+    fit a part (#sessions << #events; chunk_sec trades reducer size
+    for phase-2 fan-in).
     """
+    from rayslog.stages.aggregate import task_exchange
+
     gap_us = gap_sec * US
     chunk_us = chunk_sec * US
 
-    def add_chunk(t: pa.Table) -> pa.Table:
+    def add_chunk_part(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id"])
         ts = t.column("ts")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
-        return t.append_column(
-            "chunk", pc.divide(epoch, chunk_us).cast(pa.int64())
-        )
-
-    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame(
-                {"user_id": pd.Series([], dtype="int64"),
-                 "start_us": pd.Series([], dtype="int64"),
-                 "end_us": pd.Series([], dtype="int64"),
-                 "n": pd.Series([], dtype="int64")}
-            )
-        new_s = np.r_[True, np.diff(ts) > gap_us]
-        sid = np.cumsum(new_s)
-        starts = ts[new_s]
-        ends = np.r_[ts[np.r_[new_s[1:], True]]]
-        sizes = np.bincount(sid)[1:]
-        return pd.DataFrame(
+        chunk = pc.divide(epoch, chunk_us).cast(pa.int64())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = chunk.to_numpy(zero_copy_only=False)
+        mix = (
+            (u.astype(np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ c.astype(np.uint64)
+        return pa.table(
             {
-                "user_id": np.repeat(g["user_id"].iloc[0], len(sizes)),
-                "start_us": starts,
-                "end_us": ends,
-                "n": sizes.astype("int64"),
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "chunk": chunk,
+                "cpart": pa.array(
+                    (mix % np.uint64(parts)).astype(np.int32)
+                ),
             }
         )
 
-    subs = (
-        ds.select_columns(["user_id", "ts", "event_id"])
-        .map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "chunk"])
-        .map_groups(per_chunk, batch_format="pandas")
+    _empty_subs = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
     )
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("start_us")
-        s = g["start_us"].to_numpy()
-        e = g["end_us"].to_numpy()
-        n = g["n"].to_numpy()
-        # merge consecutive sub-sessions across chunk edges
-        new_s = np.r_[True, s[1:] - e[:-1] > gap_us]
-        sid = np.cumsum(new_s)
-        sizes = np.bincount(sid, weights=n)[1:]
-        return pd.DataFrame(
+    def per_part_chunks(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_subs
+        # runs are (user, chunk) slices of the part, gap-split inside;
+        # sort makes each run contiguous and time-ordered
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        ch = t.column("chunk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, ch, u))
+        u, ts, ch = u[order], ts[order], ch[order]
+        new_s = np.r_[
+            True,
+            (u[1:] != u[:-1])
+            | (ch[1:] != ch[:-1])
+            | (np.diff(ts) > gap_us),
+        ]
+        starts_idx = np.nonzero(new_s)[0]
+        ends_idx = np.r_[starts_idx[1:] - 1, len(ts) - 1]
+        sizes = np.diff(np.r_[starts_idx, len(ts)])
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sid[-1])],
-                "n_events": [int(n.sum())],
-                "longest_session_events": [int(sizes.max())],
+                "user_id": pa.array(u[starts_idx].astype("int64")),
+                "start_us": pa.array(ts[starts_idx].astype("int64")),
+                "end_us": pa.array(ts[ends_idx].astype("int64")),
+                "n": pa.array(sizes.astype("int64")),
             }
         )
 
-    return subs.groupby("user_id").map_groups(stitch, batch_format="pandas")
+    prepped = ds.map_batches(
+        add_chunk_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    subs = task_exchange(prepped, "cpart", parts, per_part_chunks)
+
+    def add_upart(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty_out = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "longest_session_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def stitch_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_out
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("start_us").to_numpy(zero_copy_only=False)
+        e = t.column("end_us").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s, e, n = u[order], s[order], e[order], n[order]
+        # merge consecutive sub-sessions across chunk edges (chunks
+        # partition time, so per user start-order == end-order)
+        new_sess = np.r_[
+            True, (u[1:] != u[:-1]) | (s[1:] - e[:-1] > gap_us)
+        ]
+        sess_start = np.nonzero(new_sess)[0]
+        sess_sizes = np.add.reduceat(n, sess_start)
+        sess_user = u[sess_start]
+        new_user = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        user_start = np.nonzero(new_user)[0]
+        n_sessions = np.diff(np.r_[user_start, len(sess_user)])
+        n_events = np.add.reduceat(sess_sizes, user_start)
+        longest = np.maximum.reduceat(sess_sizes, user_start)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user[user_start].astype("int64")),
+                "n_sessions": pa.array(n_sessions.astype("int64")),
+                "n_events": pa.array(n_events.astype("int64")),
+                "longest_session_events": pa.array(
+                    longest.astype("int64")
+                ),
+            }
+        )
+
+    withu = subs.map_batches(
+        add_upart, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return task_exchange(withu, "upart", parts, stitch_part)
 
 
 def event_type_stats(ds):
@@ -281,73 +352,115 @@ def asof_attribution_partitioned(
     >= any earlier source).  Partitioning assumption: one user's CHUNK
     SUMMARIES fit in a group (#chunks << #events).
     """
-    filtered = ds.map_batches(
-        lambda t: t.filter(
+    from rayslog.stages.aggregate import task_exchange
+
+    chunk_us = chunk_sec * US
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
             pc.is_in(
                 t.column("event_type"), value_set=pa.array([target, source])
             )
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    chunk_us = chunk_sec * US
-
-    def add_chunk(t: pa.Table) -> pa.Table:
+        ).select(["event_id", "user_id", "event_type", "ts"])
         ts = t.column("ts")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
-        return t.append_column(
-            "chunk", pc.divide(epoch, chunk_us).cast(pa.int64())
+        chunk = pc.divide(epoch, chunk_us).cast(pa.int64())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = chunk.to_numpy(zero_copy_only=False)
+        mix = (
+            (u.astype(np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ c.astype(np.uint64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "chunk": chunk,
+                "is_src": pc.equal(t.column("event_type"), source),
+                "cpart": pa.array(
+                    (mix % np.uint64(parts)).astype(np.int32)
+                ),
+            }
         )
 
-    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        tgt = g[g["event_type"] == target]
-        src = g[g["event_type"] == source][["ts"]].rename(
-            columns={"ts": "last_source_ts"}
+    _empty_both = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "last_source_ts": pa.array([], pa.timestamp("us")),
+            "chunk": pa.array([], pa.int64()),
+            "is_summary": pa.array([], pa.bool_()),
+        }
+    )
+
+    def per_part_asof(t: pa.Table) -> pa.Table:
+        """Vectorized multi-(user,chunk) local as-of + one summary row
+        per (user, chunk), in one pandas pass over the part — a
+        map_groups call per GROUP costs ~0.4ms of machinery each
+        (measured ~18s at sf0.1's 45k groups)."""
+        if not t.num_rows:
+            return _empty_both
+        df = t.to_pandas()
+        # sources sort BEFORE targets at equal ts: merge_asof backward
+        # is inclusive of simultaneous sources
+        df = df.sort_values(
+            ["user_id", "chunk", "ts_us", "is_src", "event_id"],
+            ascending=[True, True, True, False, True],
         )
-        chunk = int(g["chunk"].iloc[0])
-        user = g["user_id"].iloc[0]
-        rows: list[pd.DataFrame] = []
-        if not tgt.empty:
-            local = pd.merge_asof(
-                tgt[["event_id", "user_id", "ts"]].reset_index(drop=True),
-                src.reset_index(drop=True),
-                left_on="ts",
-                right_on="last_source_ts",
-                direction="backward",
-            )
-            local["chunk"] = chunk
-            local["is_summary"] = False
-            rows.append(local)
-        # one summary row per chunk: the chunk's max source ts (NaT if
-        # the chunk has no sources)
-        rows.append(
+        grp = [df["user_id"], df["chunk"]]
+        src_ts = df["ts_us"].where(df["is_src"], np.nan)
+        last = src_ts.groupby(grp).cummax()
+        last = last.groupby(grp).ffill()
+        tgt_mask = ~df["is_src"].to_numpy()
+        local = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[tgt_mask],
+                "user_id": df["user_id"].to_numpy()[tgt_mask],
+                "ts": df["ts_us"].to_numpy()[tgt_mask].astype(
+                    "datetime64[us]"
+                ),
+                "last_source_ts": last.to_numpy()[tgt_mask].astype(
+                    "datetime64[us]"
+                ),
+                "chunk": df["chunk"].to_numpy()[tgt_mask],
+                "is_summary": False,
+            }
+        )
+        summ = (
             pd.DataFrame(
                 {
-                    "event_id": [-1],
-                    "user_id": [user],
-                    "ts": [pd.NaT],
-                    "last_source_ts": [
-                        src["last_source_ts"].max() if len(src) else pd.NaT
-                    ],
-                    "chunk": [chunk],
-                    "is_summary": [True],
+                    "user_id": df["user_id"],
+                    "chunk": df["chunk"],
+                    "src_ts": src_ts,
                 }
             )
+            .groupby(["user_id", "chunk"], as_index=False)
+            .agg(last_source_ts=("src_ts", "max"))
         )
-        out = pd.concat(rows, ignore_index=True)
-        out["ts"] = out["ts"].astype("datetime64[us]")
-        out["last_source_ts"] = out["last_source_ts"].astype("datetime64[us]")
-        return out
+        summ["event_id"] = -1
+        summ["ts"] = pd.NaT
+        summ["ts"] = summ["ts"].astype("datetime64[us]")
+        summ["last_source_ts"] = summ["last_source_ts"].astype(
+            "datetime64[us]"
+        )
+        summ["is_summary"] = True
+        out = pd.concat(
+            [local, summ[list(local.columns)]], ignore_index=True
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            _empty_both.schema
+        )
 
-    both = (
-        filtered.select_columns(["event_id", "user_id", "event_type", "ts"])
-        .map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "chunk"])
-        .map_groups(per_chunk, batch_format="pandas")
+    both = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cpart",
+        parts,
+        per_part_asof,
     )
 
     # composite (user, chunk) join key via _uc_key (range-guarded pack)
@@ -366,29 +479,55 @@ def asof_attribution_partitioned(
         return fn
 
     # carry-in per (user, chunk) computed from the SMALL summary rows
-    # only (one row per user-chunk, never per event)
-    def carry_rows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("chunk").reset_index(drop=True)
+    # only (one row per user-chunk, never per event); vectorized over
+    # whole user-hash parts
+    def add_upart(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "upart",
+            pa.array(
+                (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+            ),
+        )
+
+    _empty_carry = pa.table(
+        {
+            "uc_key": pa.array([], pa.int64()),
+            "carry_ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    def carry_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_carry
+        df = t.to_pandas().sort_values(["user_id", "chunk"])
+        uid = df["user_id"]
         # cummax leaves NaT at source-less chunks; ffill propagates the
-        # running max across them before the shift
-        carry = g["last_source_ts"].cummax().ffill().shift(1)
-        u = g["user_id"].to_numpy().astype(np.int64)
-        c = g["chunk"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
+        # running max across them before the shift — all per user
+        carry = df["last_source_ts"].groupby(uid).cummax()
+        carry = carry.groupby(uid).ffill()
+        carry = carry.groupby(uid).shift(1)
+        u = df["user_id"].to_numpy().astype(np.int64)
+        c = df["chunk"].to_numpy().astype(np.int64)
+        return pa.table(
             {
-                "uc_key": _uc_key(u, c),
-                "carry_ts": carry.astype("datetime64[us]"),
+                "uc_key": pa.array(_uc_key(u, c)),
+                "carry_ts": pa.array(
+                    carry.to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
             }
         )
 
-    carry = (
-        both.map_batches(only(True), batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(carry_rows, batch_format="pandas")
-        # pandas blocks -> Arrow (hash_join reads Arrow schemas)
-        .map_batches(
-            lambda t: t, batch_format="pyarrow", zero_copy_batch=True
-        )
+    carry = task_exchange(
+        both.map_batches(
+            only(True), batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            add_upart, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        carry_part,
     )
     targets = both.map_batches(
         only(False), batch_format="pyarrow", zero_copy_batch=True

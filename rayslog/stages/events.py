@@ -96,39 +96,85 @@ def tumbling_counts(ds, window_sec: int = 300):
     )
 
 
-def sessionize(ds, gap_sec: int = 1_800):
+def sessionize(ds, gap_sec: int = 1_800, parts: int = 64):
     """Per-user session stats with a gap rule.
 
     A new session starts when the inter-event gap exceeds ``gap_sec``.
     Output: (user_id, n_sessions, n_events, longest_session_events).
+
+    One-phase plan: events exchange once on user-hash parts and every
+    user in a part resolves in one vectorized run-detection pass (a
+    map_groups call per USER pays ~0.4ms of machinery each — at fleet
+    user counts that is pure overhead; here group machinery is per
+    PART).  Partitioning assumption: one part's events fit a task —
+    a single user whose events outgrow a task needs
+    :func:`sessionize_partitioned` (time-chunk split + stitch).
     """
+    from rayslog.stages.aggregate import task_exchange
+
     gap_us = gap_sec * US
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame(
-                {"user_id": pd.Series([], dtype="int64"),
-                 "n_sessions": pd.Series([], dtype="int64"),
-                 "n_events": pd.Series([], dtype="int64"),
-                 "longest_session_events": pd.Series([], dtype="int64")}
-            )
-        new_session = np.r_[True, np.diff(ts) > gap_us]
-        sess_id = np.cumsum(new_session)
-        sizes = np.bincount(sess_id)[1:]
-        return pd.DataFrame(
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sess_id[-1])],
-                "n_events": [len(ts)],
-                "longest_session_events": [int(sizes.max())],
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(
+                        np.int32
+                    )
+                ),
             }
         )
 
-    return ds.select_columns(["user_id", "ts", "event_id"]).groupby(
-        "user_id"
-    ).map_groups(per_user, batch_format="pandas")
+    _empty_out = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "longest_session_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_out
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, u))
+        u, ts = u[order], ts[order]
+        new_sess = np.r_[True, (u[1:] != u[:-1]) | (np.diff(ts) > gap_us)]
+        sess_start = np.nonzero(new_sess)[0]
+        sess_sizes = np.diff(np.r_[sess_start, len(ts)])
+        sess_user = u[sess_start]
+        new_user = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        user_start = np.nonzero(new_user)[0]
+        n_sessions = np.diff(np.r_[user_start, len(sess_user)])
+        n_events = np.add.reduceat(sess_sizes, user_start)
+        longest = np.maximum.reduceat(sess_sizes, user_start)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user[user_start].astype("int64")),
+                "n_sessions": pa.array(n_sessions.astype("int64")),
+                "n_events": pa.array(n_events.astype("int64")),
+                "longest_session_events": pa.array(
+                    longest.astype("int64")
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return task_exchange(prepped, "upart", parts, per_part)
 
 
 def sessionize_partitioned(ds, gap_sec: int = 1_800,
@@ -570,10 +616,13 @@ def asof_attribution(ds, target: str = "purchase", source: str = "view",
     """As-of join: for each ``target`` event, the most recent prior (or
     simultaneous) ``source`` event timestamp for the same user.
 
-    Ray Data has no native as-of join; this is the guide's pattern —
-    bucket both sides by key (one groupby carries the two type-filtered
-    sides together) and ``pd.merge_asof`` within each sorted group.
-    Partitioning assumption: one user's events fit in a group.
+    Ray Data has no native as-of join; both type-filtered sides
+    exchange together on user-hash parts (raw-task ``task_exchange`` —
+    group machinery per PART, not per user) and every user in a part
+    resolves in one vectorized grouped cummax/ffill pass, equivalent
+    to a backward-inclusive ``pd.merge_asof`` per user.  Partitioning
+    assumption: one part's events fit a task; a single user whose
+    events outgrow a task needs ``asof_attribution_partitioned``.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -586,39 +635,82 @@ def asof_attribution(ds, target: str = "purchase", source: str = "view",
         zero_copy_batch=True,
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["event_id", "user_id", "event_type", "ts"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "event_id": pd.Series([], dtype="int64"),
-                "user_id": pd.Series([], dtype="int64"),
-                "ts": pd.Series([], dtype="datetime64[us]"),
-                "last_source_ts": pd.Series([], dtype="datetime64[us]"),
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "is_src": pc.equal(t.column("event_type"), source),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(
+                        np.int32
+                    )
+                ),
             }
         )
-        g = g.sort_values(["ts", "event_id"])
-        tgt = g[g["event_type"] == target]
-        src = g[g["event_type"] == source][["ts"]].rename(
-            columns={"ts": "last_source_ts"}
-        )
-        if tgt.empty:
-            return empty
-        out = pd.merge_asof(
-            tgt[["event_id", "user_id", "ts"]].reset_index(drop=True),
-            src.reset_index(drop=True),
-            left_on="ts",
-            right_on="last_source_ts",
-            direction="backward",
-        )
-        if gap_limit_sec is not None:
-            too_old = (
-                out["ts"] - out["last_source_ts"]
-            ).dt.total_seconds() > gap_limit_sec
-            out.loc[too_old, "last_source_ts"] = pd.NaT
-        return out
 
-    return filtered.select_columns(
-        ["event_id", "user_id", "event_type", "ts"]
-    ).groupby("user_id").map_groups(per_user, batch_format="pandas")
+    _empty_out = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "last_source_ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        """Vectorized multi-user as-of in one pandas pass (sources
+        sort before targets at equal ts — merge_asof backward is
+        inclusive of simultaneous sources)."""
+        if not t.num_rows:
+            return _empty_out
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["user_id", "ts_us", "is_src", "event_id"],
+            ascending=[True, True, False, True],
+        )
+        uid = df["user_id"]
+        src_ts = df["ts_us"].where(df["is_src"], np.nan)
+        last = src_ts.groupby(uid).cummax()
+        last = last.groupby(uid).ffill()
+        tgt = ~df["is_src"].to_numpy()
+        ts_t = df["ts_us"].to_numpy()[tgt]
+        last_t = last.to_numpy()[tgt]
+        if gap_limit_sec is not None:
+            too_old = (ts_t - last_t) > gap_limit_sec * US
+            last_t = np.where(too_old, np.nan, last_t)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy()[tgt].astype("int64")
+                ),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy()[tgt].astype("int64")
+                ),
+                "ts": pa.array(
+                    ts_t.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "last_source_ts": pa.array(
+                    last_t.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    prepped = filtered.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return task_exchange(prepped, "upart", parts, per_part)
 
 
 def funnel_counts(

@@ -82,9 +82,17 @@ def tumbling_counts(ds, window_sec: int = 300):
     partial = ds.map_batches(
         bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partial.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("cents", alias_name="cents"),
+    # partials are (windows x types) rows per block — tiny; the
+    # combiner tree finishes them without sort-shuffle machinery
+    # (partitioning assumption as counts_by(final="tree"): the reduced
+    # window-domain result fits one task)
+    from rayslog.stages.aggregate import tree_aggregate
+
+    agg = tree_aggregate(
+        partial,
+        ["event_type", "window_start"],
+        [("n", "sum"), ("cents", "sum")],
+        ["n_events", "cents"],
     )
     return agg.map_batches(
         lambda t: t.append_column(
@@ -375,8 +383,11 @@ def sliding_counts(ds, window_sec: int = 600, slide_sec: int = 300):
     partial = ds.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partial.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n_events")
+    from rayslog.stages.aggregate import tree_aggregate
+
+    return tree_aggregate(
+        partial, ["event_type", "window_start"], [("n", "sum")],
+        ["n_events"],
     )
 
 

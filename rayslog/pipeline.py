@@ -1504,7 +1504,6 @@ def q_events_filtered(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -1512,28 +1511,60 @@ def q_events_filtered(sf_dir: str):
         filter=(pc.field("event_type") == "click"),
     )
 
-    def cents(t: pa.Table) -> pa.Table:
-        c = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
-        return pa.table({"user_id": t.column("user_id"), "cents": c})
+    import numpy as np
 
-    agg = ds.map_batches(
-        cents, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("user_id").aggregate(
-        Count(alias_name="n_clicks"), Sum("cents", alias_name="cents")
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        """Per-batch combiner + user-hash part: the exchange then moves
+        one (user, n, cents) row per user per block, and the final sum
+        runs vectorized per part — scale-correct for fleet-sized user
+        domains (no driver pull, no sort-shuffle)."""
+        c = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
+        g = (
+            pa.table({"user_id": t.column("user_id"), "cents": c})
+            .group_by(["user_id"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["user_id", "cents", "n_clicks"])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_clicks": pa.array([], pa.int64()),
+            "click_value": pa.array([], pa.float64()),
+        }
     )
-    return agg.map_batches(
-        lambda t: pa.table(
+
+    def finish_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.group_by(["user_id"])
+            .aggregate([("cents", "sum"), ("n_clicks", "sum")])
+            .rename_columns(["user_id", "cents", "n_clicks"])
+        )
+        return pa.table(
             {
-                "user_id": t.column("user_id"),
-                "n_clicks": pc.cast(t.column("n_clicks"), pa.int64()),
+                "user_id": g.column("user_id"),
+                "n_clicks": pc.cast(g.column("n_clicks"), pa.int64()),
                 "click_value": pc.divide(
-                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                    pc.cast(g.column("cents"), pa.float64()), 100.0
                 ),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    return task_exchange(partials, "upart", parts, finish_part)
 
 
 def q_asof_attribution(sf_dir: str):

@@ -1324,10 +1324,9 @@ def q_top_customers(sf_dir: str):
 
 def q_mktsegment_revenue(sf_dir: str):
     """Per-market-segment order count + revenue via the distributed
-    bucket hash join (both sides shuffled by key hash, no broadcast)."""
+    bucket hash join (both sides exchanged by key hash, no broadcast)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     from rayslog.stages.relational import hash_join
 
@@ -1345,8 +1344,26 @@ def q_mktsegment_revenue(sf_dir: str):
     )
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = hash_join(orders, customer, key="c_custkey")
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("cents", alias_name="cents")
+
+    # 5-segment domain: per-block partials + the combiner tree beat the
+    # sort-shuffle final
+    from rayslog.stages.aggregate import tree_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["c_mktsegment", "cents"])
+            .group_by(["c_mktsegment"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["c_mktsegment", "cents", "n_orders"])
+        )
+
+    agg = tree_aggregate(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["c_mktsegment"],
+        [("cents", "sum"), ("n_orders", "sum")],
+        ["cents", "n_orders"],
     )
     return agg.map_batches(
         lambda t: pa.table(

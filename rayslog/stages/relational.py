@@ -93,32 +93,36 @@ def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
     """Append columns from a small pandas dim table via broadcast lookup.
 
     ``columns`` maps small-side column -> output name.  The small side
-    ships once per actor through the object store (ray.put), each batch
-    joins with vectorized index_in/take — the no-shuffle plan for
-    dimension tables of any realistic size.
+    ships once through the object store (ray.put); each batch joins
+    with vectorized index_in/take inside a STATELESS task function
+    (process-cached Arrow arrays — a dedicated actor pool re-paid
+    multi-second cold start every call, the measured enrich lesson) —
+    the no-shuffle plan for dimension tables of any realistic size.
     """
     import ray
 
     ref = ray.put(small_df)
 
-    class Join:
-        def __init__(self):
+    def join_fn(batch: pa.Table) -> pa.Table:
+        cached = _LOOKUP_CACHE.get(ref.hex())
+        if cached is None:
             df = ray.get(ref)
-            self.keys = pa.array(df[key].tolist())
-            self.cols = {
-                out: pa.array(df[src].tolist())
-                for src, out in columns.items()
-            }
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch.column(key), value_set=self.keys)
-            for out, arr in self.cols.items():
-                batch = batch.append_column(out, pc.take(arr, idx))
-            return batch
+            cached = (
+                pa.array(df[key].tolist()),
+                {
+                    out: pa.array(df[src].tolist())
+                    for src, out in columns.items()
+                },
+            )
+            _LOOKUP_CACHE[ref.hex()] = cached
+        keys, cols = cached
+        idx = pc.index_in(batch.column(key), value_set=keys)
+        for out, arr in cols.items():
+            batch = batch.append_column(out, pc.take(arr, idx))
+        return batch
 
     return ds.map_batches(
-        Join, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        join_fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -362,13 +366,21 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
     return rd.from_arrow_refs(out_refs)
 
 
-def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
+def top_customers_by_revenue(orders_ds, customer_df, k: int = 10,
+                             parts: int = 64):
     """Top-k customers by total order price, with names joined in.
 
-    groupby(custkey) runs over per-batch partials; the small aggregate
-    is then broadcast-joined to customer and globally sorted (the sort
-    input is one row per customer — tiny).
+    Per-batch partial sums exchange once on custkey-hash parts
+    (fleet-sized key domain — no sort-shuffle, no driver pull), each
+    part reduces to one row per customer, and the global top-k runs
+    through the combiner tree (top-k is re-applicable).  Customer
+    names join on the FINAL k rows only — the dim lookup never touches
+    the fan-in.
     """
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.round(
             pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
@@ -378,30 +390,68 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10):
             .append_column("cents", cents)
             .group_by(["o_custkey"])
             .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "cents"])
         )
-        return g.rename_columns(["o_custkey", "cents"])
+        u = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "cpart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
 
-    per_cust = orders_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("o_custkey").aggregate(Sum("cents", alias_name="cents"))
-
-    joined = broadcast_join(
-        per_cust.map_batches(
-            lambda t: pa.table(
-                {
-                    "c_custkey": t.column("o_custkey"),
-                    "revenue": pc.divide(
-                        pc.cast(t.column("cents"), pa.float64()), 100.0
-                    ),
-                }
-            ),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ),
-        customer_df,
-        key="c_custkey",
-        columns={"c_name": "c_name", "c_mktsegment": "c_mktsegment"},
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
     )
-    return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+    def finish_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        return (
+            t.group_by(["o_custkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "cents"])
+        )
+
+    per_cust = task_exchange(
+        orders_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "cpart",
+        parts,
+        finish_part,
+    )
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("cents", "descending"), ("o_custkey", "ascending")]
+        ).slice(0, k)
+
+    ck = pa.array(customer_df["c_custkey"].tolist())
+    names = pa.array(customer_df["c_name"].tolist())
+    segs = pa.array(customer_df["c_mktsegment"].tolist())
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("o_custkey"), value_set=ck)
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "revenue": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+                "c_name": pc.take(names, idx),
+                "c_mktsegment": pc.take(segs, idx),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(per_cust, topk_reduce, empty_fn=empty_fn,
+                       final_fn=final_fn)
 
 
 #: per-worker-process cache of broadcast lookup sides, keyed by object

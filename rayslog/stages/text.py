@@ -314,16 +314,74 @@ def bigram_counts_partial(t: pa.Table, col: str = "text") -> pa.Table:
     return _bigram_partial_impl(t, col)
 
 
+def _exchange_topk_sum(partials, key_col: str, n_col: str, k: int,
+                       parts: int = 64):
+    """Shared corpus-statistics final: partial (key, n) rows exchange on
+    key-hash parts (complete per-key sums inside a part), each part
+    reduces to its local top-k, and the combiner tree merges — no
+    string-key sort-shuffle, no full-domain range sort.  Deterministic
+    (n desc, key asc) order with rank-free output."""
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = tx.hash_utf8(keys, seed=0)
+        return t.append_column(
+            "kpart", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    _empty = pa.table(
+        {
+            key_col: pa.array([], pa.string()),
+            n_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.group_by([key_col])
+            .aggregate([(n_col, "sum")])
+            .rename_columns([key_col, n_col])
+        )
+        return g.sort_by(
+            [(n_col, "descending"), (key_col, "ascending")]
+        ).slice(0, k)
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [(n_col, "descending"), (key_col, "ascending")]
+        ).slice(0, k)
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    local = task_exchange(
+        partials.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "kpart",
+        parts,
+        part_topk,
+    )
+    return tree_reduce(local, topk_reduce, empty_fn=empty_fn)
+
+
 def top_ngrams(ds, k: int = 20, col: str = "text"):
     """Corpus-wide top-k token bigrams: per-batch partial counts (one
-    row per distinct bigram per batch) -> groupby-sum -> deterministic
-    (count desc, ngram asc) sort + limit.  The shuffle moves distinct
-    bigram strings per batch, never the corpus; the classic corpus-
+    row per distinct bigram per batch) -> key-hash exchange with
+    per-part sums + local top-k -> combiner-tree merge, deterministic
+    (count desc, ngram asc).  The exchange moves distinct bigram
+    partials per batch, never the corpus; the classic corpus-
     statistics shape (same plan scales to n-grams of any order).  At
     extreme ngram cardinality compose with
     sketch.approx_heavy_hitters(bigram_counts_partial) — O(capacity)
-    state per node instead of one shuffled row per distinct ngram."""
-    from ray.data.aggregate import Sum
+    state per node instead of one exchanged row per distinct ngram."""
 
     def partial(t: pa.Table) -> pa.Table:
         return _bigram_partial_impl(t, col)
@@ -332,8 +390,7 @@ def top_ngrams(ds, k: int = 20, col: str = "text"):
         partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=8_192,
     )
-    totals = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
-    return totals.sort(["n", "ngram"], descending=[True, False]).limit(k)
+    return _exchange_topk_sum(partials, "ngram", "n", k)
 
 
 def _bigram_partial_impl(t: pa.Table, col: str = "text") -> pa.Table:
@@ -375,9 +432,8 @@ def doc_freq(ds, k: int = 20, col: str = "text", id_col: str = "doc_id"):
     token — the IDF denominator).  Per-batch: per-row distinct tokens
     (one row per (doc, token)) collapse to per-batch df partials; then
     groupby-sum + deterministic top-k.  Distinctness within a doc is
-    resolved inside the batch, so the shuffle carries df partials, not
+    resolved inside the batch, so the exchange carries df partials, not
     (doc, token) pairs."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         txt = t.column(col)
@@ -412,8 +468,7 @@ def doc_freq(ds, k: int = 20, col: str = "text", id_col: str = "doc_id"):
         partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=8_192,
     )
-    totals = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
-    return totals.sort(["df", "token"], descending=[True, False]).limit(k)
+    return _exchange_topk_sum(partials, "token", "df", k)
 
 
 def rolling_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Sum
 
 
 def lineitem_pricing_summary_cents(lineitem_ds, ship_cutoff: str = "1998-09-02"):
@@ -54,15 +53,46 @@ def lineitem_pricing_summary_cents(lineitem_ds, ship_cutoff: str = "1998-09-02")
             }
         )
 
-    prepped = lineitem_ds.map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
+    def prep_partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the 6-combo key domain means one row per
+        # combo per block reaches the combiner tree (the raw-row
+        # sort-shuffle aggregate was pure fixed machinery)
+        g = (
+            prep(t)
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("price_c", "sum"),
+                    ("disc_price_c2", "sum"),
+                    ("charge_c3", "sum"),
+                    ([], "count_all"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag", "l_linestatus", "sum_qty", "_base_c",
+                "_disc_c2", "_charge_c3", "count_order",
+            ]
+        )
+
+    from rayslog.stages.aggregate import tree_aggregate
+
+    partials = lineitem_ds.map_batches(
+        prep_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_c", alias_name="_base_c"),
-        Sum("disc_price_c2", alias_name="_disc_c2"),
-        Sum("charge_c3", alias_name="_charge_c3"),
-        Count(alias_name="count_order"),
+    agg = tree_aggregate(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum"),
+            ("_base_c", "sum"),
+            ("_disc_c2", "sum"),
+            ("_charge_c3", "sum"),
+            ("count_order", "sum"),
+        ],
+        ["sum_qty", "_base_c", "_disc_c2", "_charge_c3", "count_order"],
     )
 
     def finalize(t: pa.Table) -> pa.Table:

@@ -1608,21 +1608,29 @@ def q_price_bands(sf_dir: str):
     interval side), then per-band count + exact-cents price sum."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
+    from rayslog.stages.aggregate import tree_aggregate
     from rayslog.stages.relational import range_join_bands
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
     banded = range_join_bands(ds, "p_retailprice")
 
-    def cents(t: pa.Table) -> pa.Table:
+    def cents_partial(t: pa.Table) -> pa.Table:
         c = pc.round(pc.multiply(t.column("p_retailprice"), 100.0)).cast(pa.int64())
-        return pa.table({"band": t.column("band"), "cents": c})
+        return (
+            pa.table({"band": t.column("band"), "cents": c})
+            .group_by(["band"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["band", "cents", "n_parts"])
+        )
 
-    agg = banded.map_batches(
-        cents, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("band").aggregate(
-        Count(alias_name="n_parts"), Sum("cents", alias_name="cents")
+    agg = tree_aggregate(
+        banded.map_batches(
+            cents_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["band"],
+        [("cents", "sum"), ("n_parts", "sum")],
+        ["cents", "n_parts"],
     )
     return agg.map_batches(
         lambda t: pa.table(

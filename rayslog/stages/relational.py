@@ -801,26 +801,20 @@ def range_join_bands(ds, value_col: str, bands=None):
     index instead — same broadcast plan, the small side never shuffles.
     """
     import numpy as np
-    import ray
 
     bands = bands or PRICE_BANDS
     lows = np.array([b[0] for b in bands])
     names = np.array([b[2] for b in bands], dtype=object)
-    ref = ray.put((lows, names))
 
-    class Bander:
-        def __init__(self):
-            self.lows, self.names = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t.column(value_col).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.lows, v, side="right") - 1
-            idx = np.clip(idx, 0, len(self.names) - 1)
-            return t.append_column(
-                "band", pa.array(self.names[idx], pa.string())
-            )
+    # the interval side is a handful of rows — it ships inside the
+    # task closure; a dedicated actor pool would re-pay cold start
+    # every call (the enrich lesson) for zero broadcast benefit
+    def bander(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows, v, side="right") - 1
+        idx = np.clip(idx, 0, len(names) - 1)
+        return t.append_column("band", pa.array(names[idx], pa.string()))
 
     return ds.map_batches(
-        Bander, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        bander, batch_format="pyarrow", zero_copy_batch=True
     )

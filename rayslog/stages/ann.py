@@ -686,6 +686,12 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95):
         .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
+    # task count is quadratic in block count: coalesce small corpora
+    # into few fat blocks so the per-task machinery (~5ms) doesn't
+    # dwarf the matmuls (528 tiny tasks measured ~2.5s; 36 is right
+    # for a single node — at fleet scale blocks are naturally fat)
+    if blocks.num_blocks() > 8:
+        blocks = blocks.repartition(8, shuffle=False).materialize()
     refs = blocks.to_arrow_refs()
 
     @ray.remote
@@ -729,4 +735,21 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95):
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]
+
+    # B(B+1)/2 mostly-tiny pair blocks would make every downstream pass
+    # pay per-block machinery (measured: a map over 528 such blocks
+    # cost 4.5s, a 920-row to_pandas 1.7s) — fan the refs into a
+    # bounded number of concatenated blocks before handing back a
+    # Dataset
+    @ray.remote
+    def concat(*blocks):
+        ts = [t for t in blocks if t.num_rows] or [blocks[0]]
+        return pa.concat_tables(ts, promote_options="default")
+
+    fanin = 32
+    if len(tasks) > fanin:
+        tasks = [
+            concat.remote(*tasks[i : i + fanin])
+            for i in range(0, len(tasks), fanin)
+        ]
     return rd.from_arrow_refs(tasks)

@@ -207,6 +207,35 @@ def _run_bench() -> dict:
             "events_funnel", lambda: p.q_events_funnel(SF_DIR).to_pandas()
         )
         timed_extra(
+            "embed_dedup_cc", lambda: p.q_embed_dedup_cc(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "cosine_dups", lambda: p.q_cosine_dups(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "sessionize_part",
+            lambda: p.q_events_sessionize_partitioned(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "asof_part",
+            lambda: p.q_asof_attribution_partitioned(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "events_tumbling",
+            lambda: p.q_events_tumbling(SF_DIR).count(),
+        )
+        timed_extra(
+            "lineitem_pricing",
+            lambda: p.q_lineitem_pricing(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "top_customers", lambda: p.q_top_customers(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "cust_order_dist",
+            lambda: p.q_cust_order_dist(SF_DIR).to_pandas(),
+        )
+        timed_extra(
             "top_docs_by_lang",
             lambda: p.q_top_docs_by_lang(SF_DIR).to_pandas(),
         )

@@ -133,6 +133,75 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Manage a sharded posting store over parquet document drops:
+    ``append`` indexes a parquet file/dir as a new immutable shard,
+    ``compact`` merges all shards into one, ``stats`` prints the
+    manifest, ``search`` runs BM25 over whatever is committed."""
+    from pathlib import Path
+
+    from rayslog.stages.invindex import ShardedInvertedIndex, bm25_topk
+
+    if args.action == "append":
+        store = ShardedInvertedIndex.create(args.store, n_buckets=args.buckets)
+    elif Path(args.store, ShardedInvertedIndex.MANIFEST).exists():
+        store = ShardedInvertedIndex(args.store)
+    else:
+        print(f"no posting store at {args.store}", file=sys.stderr)
+        return 2
+
+    if args.action == "append":
+        if not args.input or not args.name:
+            print("append needs --input and --name", file=sys.stderr)
+            return 2
+        _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.col])
+        if args.id_col != "doc_id" or args.col != "text":
+            entry = store.append_shard(
+                ds, args.name, col=args.col, id_col=args.id_col
+            )
+        else:
+            entry = store.append_shard(ds, args.name)
+        print(json.dumps({"appended": entry, "shards": store.shard_names()}))
+        return 0
+    if args.action == "compact":
+        _init_ray(args.num_cpus)
+        entry = store.compact()
+        print(json.dumps({"compacted": entry}))
+        return 0
+    if args.action == "stats":
+        print(
+            json.dumps(
+                {
+                    "shards": store.shards,
+                    "n_docs": store.n_docs,
+                    "total_tokens": store.total_tokens,
+                    "n_buckets": store.n_buckets,
+                }
+            )
+        )
+        return 0
+    if args.action == "search":
+        if not args.query:
+            print("search needs --query", file=sys.stderr)
+            return 2
+        _init_ray(args.num_cpus)
+        res = bm25_topk(
+            store,
+            args.query.split(),
+            n_docs=store.n_docs,
+            avgdl=store.avgdl,
+            k=args.k,
+        )
+        df = res.to_pandas()
+        print(df.to_string())
+        return 0
+    print(f"unknown action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def cmd_stats(args) -> int:
     _init_ray(args.num_cpus)
     from rayslog.pipeline import parsed_dataset
@@ -178,6 +247,23 @@ def main(argv=None) -> int:
     p_f.add_argument("--k", type=int, default=10)
     p_f.add_argument("--num-cpus", type=int, default=None)
     p_f.set_defaults(fn=cmd_search)
+
+    p_i = sub.add_parser(
+        "index",
+        help="manage a sharded posting store (append/compact/stats/search)",
+    )
+    p_i.add_argument("action", choices=["append", "compact", "stats", "search"])
+    p_i.add_argument("--store", required=True,
+                     help="posting store directory")
+    p_i.add_argument("--input", help="parquet file/dir to index (append)")
+    p_i.add_argument("--name", help="shard name (append)")
+    p_i.add_argument("--col", default="text")
+    p_i.add_argument("--id-col", default="doc_id")
+    p_i.add_argument("--buckets", type=int, default=64)
+    p_i.add_argument("--query", help="space-separated terms (search)")
+    p_i.add_argument("--k", type=int, default=10)
+    p_i.add_argument("--num-cpus", type=int, default=None)
+    p_i.set_defaults(fn=cmd_index)
 
     p_s = sub.add_parser("stats", help="parse-stage ds.stats()")
     p_s.add_argument("--sf-dir", default="/root/testdata/sf0.01")

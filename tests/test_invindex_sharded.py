@@ -154,6 +154,49 @@ def test_compact_preserves_lookups_and_stats(ray_session, tmp_path):
     assert ("table", 9, 1, 2) in _postings(re, ["table"])
 
 
+def test_cli_index_append_compact_search(ray_session, tmp_path):
+    """The `rayslog index` ops surface: append -> stats -> search ->
+    compact -> identical search (cmd functions called in-process on
+    the session's Ray)."""
+    import argparse
+
+    import pyarrow.parquet as pq
+
+    from rayslog.cli import cmd_index
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS_A], pa.int64()),
+                "text": pa.array([t for _, t in DOCS_A], pa.string()),
+            }
+        ),
+        src,
+    )
+    store = str(tmp_path / "store")
+
+    def ns(action, **kw):
+        base = dict(
+            store=store, input=None, name=None, col="text",
+            id_col="doc_id", buckets=8, query=None, k=10, num_cpus=None,
+        )
+        base.update(kw)
+        return argparse.Namespace(action=action, **base)
+
+    assert cmd_index(ns("append", input=str(src), name="day0")) == 0
+    assert cmd_index(ns("stats")) == 0
+    assert cmd_index(ns("search", query="hash join")) == 0
+    assert cmd_index(ns("compact")) == 0
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    re = ShardedInvertedIndex(store)
+    assert re.n_docs == 3 and len(re.shard_names()) == 1
+    assert cmd_index(ns("search", query="hash join")) == 0
+    # missing store errors cleanly
+    assert cmd_index(ns("stats", store=str(tmp_path / "nope"))) == 2
+
+
 def test_fielded_store_scopes_postings_per_field(ray_session, tmp_path):
     import ray.data as rd
 

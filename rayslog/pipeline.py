@@ -923,7 +923,20 @@ def q_ann_ivf(sf_dir: str):
     tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     index_dir = f"/tmp/rayslog_data/ivf/{tag}-{h}"
-    return ivf_topk(ds, qv, qi, k=10, index_dir=index_dir)
+    return ivf_topk(
+        ds, qv, qi, k=10, index_dir=index_dir,
+        n_centroids=_ivf_cells(_table_rows(sf_dir, "embeddings")),
+    )
+
+
+def _ivf_cells(n_vecs: int) -> int:
+    """Coarse-cell count ~ sqrt(N), clamped: probe cost is the parquet
+    read+decode of nprobe/n_centroids of the corpus (measured at 1M
+    vectors: 2.6s at 256 cells vs 10.4s at 64), while too many cells
+    starves each of vectors."""
+    import math
+
+    return max(16, min(4096, int(math.sqrt(max(1, n_vecs)))))
 
 
 def q_ann_ivf_incr(sf_dir: str):
@@ -941,7 +954,10 @@ def q_ann_ivf_incr(sf_dir: str):
     qv, qi = _query_vectors(sf_dir)
     tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index = ShardedIvfIndex.create(f"/tmp/rayslog_data/ivfshard/{tag}-{h}")
+    index = ShardedIvfIndex.create(
+        f"/tmp/rayslog_data/ivfshard/{tag}-{h}",
+        n_centroids=_ivf_cells(_table_rows(sf_dir, "embeddings")),
+    )
     for name, parity in (("even", 0), ("odd", 1)):
         if name in index.shard_names():
             continue

@@ -242,6 +242,14 @@ def task_exchange(ds, part_col: str, parts: int, fn,
         if isinstance(pcol, pa.ChunkedArray):
             pcol = pcol.combine_chunks()
         b = pcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows with part ids outside [0, P) would fall off the
+        # searchsorted bounds and vanish SILENTLY — a caller bug
+        # (overflowing part arithmetic) must fail loudly instead
+        if len(b) and (b.min() < 0 or b.max() >= P):
+            raise ValueError(
+                f"task_exchange: {part_col} values outside [0, {P}) "
+                f"(min={b.min()}, max={b.max()})"
+            )
         if drop_part_col:
             t = t.drop_columns([part_col])
         order = np.argsort(b, kind="stable")

@@ -101,6 +101,24 @@ def test_exchange_empty_parts_go_through_fn(ray_session):
     assert sorted(out["total"]) == [0] * 7 + [11]
 
 
+def test_exchange_rejects_out_of_range_parts(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([1, 2], pa.int64()),
+                "part": pa.array([0, 8], pa.int32()),  # 8 >= P
+            }
+        )
+    )
+    with pytest.raises(Exception, match="outside"):
+        task_exchange(ds, "part", 8, lambda t: t).materialize()
+
+
 def test_exchange_keeps_part_col_when_asked(ray_session):
     from rayslog.stages.aggregate import task_exchange
 

@@ -378,6 +378,19 @@ class ShardedIvfIndex(_IvfProbe):
         ds.map_batches(
             assign, batch_format="pyarrow", zero_copy_batch=True
         ).write_parquet(str(tmp), partition_cols=["bucket"])
+        # an all-empty drop writes NO parquet files — anchor the shard
+        # with a typed zero-row file so probes never see a file-less dir
+        if not any(tmp.rglob("*.parquet")):
+            import pyarrow.parquet as pq
+
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+            (tmp / "bucket=0").mkdir()
+            pq.write_table(empty, tmp / "bucket=0" / "empty.parquet")
         os.replace(tmp, final)
         entry = {"name": name, "n_vecs": int(n_vecs)}
         self.shards.append(entry)

@@ -435,15 +435,38 @@ class ShardedInvertedIndex(_PostingProbe):
                 exploded = exploded.union(part)
         exploded.write_parquet(str(tmp), partition_cols=["bucket"])
 
-        # token total = sum(tf) over the new shard's postings: a
-        # single-column parquet scan of what was just written
-        import ray.data as rd
-        from ray.data.aggregate import Sum
+        # an all-empty drop writes NO parquet files — anchor the shard
+        # with a typed zero-row file so read-back and later probes
+        # never see a file-less directory
+        if not any(tmp.rglob("*.parquet")):
+            import pyarrow.parquet as pq
 
-        agg = rd.read_parquet(
-            str(tmp), file_extensions=["parquet"], columns=["tf"]
-        ).aggregate(Sum("tf", alias_name="s"))
-        total_tokens = int(agg["s"] or 0)
+            fields = [
+                pa.field("token", pa.string()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("tf", pa.int64()),
+                pa.field("dl", pa.int64()),
+                pa.field("pos", pa.list_(pa.int32())),
+            ]
+            if self.field_cols is not None:
+                fields.append(pa.field("field", pa.string()))
+            empty = pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in fields],
+                schema=pa.schema(fields),
+            )
+            (tmp / "bucket=0").mkdir()
+            pq.write_table(empty, tmp / "bucket=0" / "empty.parquet")
+            total_tokens = 0
+        else:
+            # token total = sum(tf) over the new shard's postings: a
+            # single-column parquet scan of what was just written
+            import ray.data as rd
+            from ray.data.aggregate import Sum
+
+            agg = rd.read_parquet(
+                str(tmp), file_extensions=["parquet"], columns=["tf"]
+            ).aggregate(Sum("tf", alias_name="s"))
+            total_tokens = int(agg["s"] or 0)
 
         os.replace(tmp, final)
         entry = {

@@ -129,6 +129,22 @@ def test_version_mismatch_rebuilds(ray_session, tmp_path):
     assert fresh.shard_names() == []
 
 
+def test_empty_drop_appends_cleanly(ray_session, tmp_path):
+    """A drop whose docs have no tokens writes no postings — the shard
+    must still commit (typed zero-row anchor file) and later lookups,
+    appends, and compaction must work."""
+    from rayslog.stages.invindex import ShardedInvertedIndex
+
+    sh = ShardedInvertedIndex.create(str(tmp_path / "sh"), n_buckets=8)
+    entry = sh.append_shard(_ds([(1, ""), (2, "   ")]), "empty")
+    assert entry == {"name": "empty", "n_docs": 2, "total_tokens": 0}
+    assert sh.lookup(["anything"]).count() == 0
+    sh.append_shard(_ds(DOCS_A), "a")
+    assert _postings(sh, ["hash"]) == [("hash", 1, 2, 4)]
+    sh.compact()
+    assert _postings(sh, ["hash"]) == [("hash", 1, 2, 4)]
+
+
 def test_compact_preserves_lookups_and_stats(ray_session, tmp_path):
     from rayslog.stages.invindex import ShardedInvertedIndex
 

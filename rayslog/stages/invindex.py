@@ -239,6 +239,24 @@ def build_inverted_index(
         zero_copy_batch=True,
         batch_size=batch_size,
     ).write_parquet(str(tmp), partition_cols=["bucket"])
+    if not any(tmp.rglob("*.parquet")):  # postings-free corpus
+        import pyarrow.parquet as pq
+
+        fields = [
+            pa.field("token", pa.string()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("tf", pa.int64()),
+            pa.field("dl", pa.int64()),
+            pa.field("pos", pa.list_(pa.int32())),
+        ]
+        (tmp / "bucket=0").mkdir()
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.nulls(0, f.type) for f in fields],
+                schema=pa.schema(fields),
+            ),
+            tmp / "bucket=0" / "empty.parquet",
+        )
     (tmp / "_inv_meta.json").write_text(
         json.dumps({"n_buckets": int(n_buckets), "version": INDEX_VERSION})
     )

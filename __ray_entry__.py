@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fielded_search": p.q_fielded_search,
         "dedup_incremental": p.q_dedup_incremental,
         "ann_ivf_incr": p.q_ann_ivf_incr,
+        "conv_windows": p.q_conv_windows,
     }
 
 

@@ -170,6 +170,22 @@ def q_conv_assemble(sf_dir: str):
     )
 
 
+def q_conv_windows(sf_dir: str):
+    """Multi-turn context windows over the transcripts: 8-turn windows
+    every 4 turns per conversation, joined by newline — the
+    overlapping-context training-sample shape
+    (stages/pack.py:conversation_windows)."""
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.pack import conversation_windows
+
+    ds = read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    n_rows = rows_for(sf_dir)
+    return conversation_windows(
+        ds, k=8, stride=4,
+        parts=max(16, min(4096, -(-n_rows // 500_000))),
+    )
+
+
 def q_traffic_rollup(sf_dir: str):
     """Multi-level aggregate — ``GROUP BY ROLLUP(facility, hour)``:
     leaf (facility, hour) counts plus per-facility subtotals and the

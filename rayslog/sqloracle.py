@@ -1116,6 +1116,20 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   string_agg(text, chr(10) ORDER BY turn_idx) AS doc
 FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
 """,
+        "conv_windows": f"""
+WITH t AS (
+  SELECT conv_id, list(text ORDER BY turn_idx) AS ts
+  FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
+),
+w AS (
+  SELECT conv_id, ts,
+    unnest(generate_series(0, len(ts) - 8, 4)) AS st
+  FROM t WHERE len(ts) >= 8
+)
+SELECT conv_id, CAST(st // 4 AS BIGINT) AS window_idx,
+  array_to_string(ts[st + 1 : st + 8], chr(10)) AS text
+FROM w
+""",
         "traffic_rollup": base
         + "SELECT facility, CAST(date_part('hour', ts_parsed) AS INTEGER)"
         " AS hour, count(*) AS n_turns FROM allok"

@@ -117,6 +117,95 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
                          drop_part_col=False)
 
 
+def conversation_windows(ds, k: int = 8, stride: int = 4,
+                         conv_col: str = "conv_id",
+                         order_col: str = "turn_idx",
+                         text_col: str = "text",
+                         sep: str = "\n", parts: int = 64):
+    """k-turn sliding context windows per conversation: window w of a
+    conversation is its turns [w*stride, w*stride + k) joined by
+    ``sep`` — the multi-turn-context training-sample shape (stride <
+    k overlaps context between samples).  Conversations shorter than
+    ``k`` emit nothing.
+
+    One conv-hash exchange co-locates each conversation; inside a part
+    everything is vectorized (lexsort, run detection, the window
+    gather is ONE ``take`` of starts x k indices, ``binary_join`` over
+    ListArray offsets).  Output text volume is ~k/stride x input —
+    inherent to overlapping windows, not the plan.
+    """
+    from rayslog.stages.aggregate import task_exchange
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t.column(conv_col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        from rayslog.kernels import texthash as tx
+
+        h = tx.hash_utf8(c.cast(pa.string()), seed=0)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                conv_col: pa.array(
+                    [], t.column(conv_col).type if t.num_columns else pa.string()
+                ),
+                "window_idx": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        idx = pc.sort_indices(
+            t, sort_keys=[(conv_col, "ascending"), (order_col, "ascending")]
+        )
+        s = t.take(idx)
+        conv = s.column(conv_col)
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = np.asarray(conv.dictionary_encode().indices)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        g = np.nonzero(first)[0]                      # conv run starts
+        n = np.diff(np.r_[g, len(codes)])             # turns per conv
+        w = np.where(n >= k, (n - k) // stride + 1, 0)  # windows per conv
+        total = int(w.sum())
+        if total == 0:
+            return empty
+        conv_of_w = np.repeat(np.arange(len(g)), w)
+        within = (
+            np.arange(total) - np.repeat(np.r_[0, np.cumsum(w)[:-1]], w)
+        )
+        starts = g[conv_of_w] + within * stride
+        gather = (starts[:, None] + np.arange(k)).ravel()
+        texts = s.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        win_texts = texts.take(pa.array(gather))
+        lists = pa.ListArray.from_arrays(
+            pa.array((np.arange(total + 1) * k).astype(np.int32)),
+            win_texts,
+        )
+        return pa.table(
+            {
+                conv_col: conv.take(pa.array(starts)),
+                "window_idx": pa.array(within.astype(np.int64)),
+                "text": pc.binary_join(lists, sep),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "__part",
+        parts,
+        per_part,
+    )
+
+
 def assemble_conversations(ds, conv_col: str = "conv_id",
                            order_col: str = "turn_idx",
                            text_col: str = "text",

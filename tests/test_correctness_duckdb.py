@@ -37,6 +37,7 @@ QUERY_NAMES = [
     "conv_counts",
     "conv_error_rate",
     "conv_assemble",
+    "conv_windows",
     "parse_errors",
     "route_sinks",
     "enrich_route",

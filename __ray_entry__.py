@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": p.q_dedup_incremental,
         "ann_ivf_incr": p.q_ann_ivf_incr,
         "conv_windows": p.q_conv_windows,
+        "assistant_spans": p.q_assistant_spans,
     }
 
 

@@ -186,6 +186,21 @@ def q_conv_windows(sf_dir: str):
     )
 
 
+def q_assistant_spans(sf_dir: str):
+    """SFT loss-mask offsets: [start_char, end_char) of every
+    assistant turn inside its conversation's assembled document — a
+    distributed grouped prefix sum
+    (stages/pack.py:assistant_char_spans)."""
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.pack import assistant_char_spans
+
+    ds = read_transcripts(sf_dir, ["conv_id", "turn_idx", "text", "role"])
+    n_rows = rows_for(sf_dir)
+    return assistant_char_spans(
+        ds, parts=max(16, min(4096, -(-n_rows // 500_000)))
+    )
+
+
 def q_traffic_rollup(sf_dir: str):
     """Multi-level aggregate — ``GROUP BY ROLLUP(facility, hour)``:
     leaf (facility, hour) counts plus per-facility subtotals and the

@@ -1116,6 +1116,20 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   string_agg(text, chr(10) ORDER BY turn_idx) AS doc
 FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
 """,
+        "assistant_spans": f"""
+WITH o AS (
+  SELECT conv_id, turn_idx, role,
+    COALESCE(sum(len(text) + 1) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_char,
+    len(text) AS l
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  CAST(start_char AS BIGINT) AS start_char,
+  CAST(start_char + l AS BIGINT) AS end_char
+FROM o WHERE role = 'assistant'
+""",
         "conv_windows": f"""
 WITH t AS (
   SELECT conv_id, list(text ORDER BY turn_idx) AS ts

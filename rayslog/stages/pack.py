@@ -206,6 +206,93 @@ def conversation_windows(ds, k: int = 8, stride: int = 4,
     )
 
 
+def assistant_char_spans(ds, conv_col: str = "conv_id",
+                         order_col: str = "turn_idx",
+                         text_col: str = "text", role_col: str = "role",
+                         target: str = "assistant", sep_len: int = 1,
+                         parts: int = 64):
+    """Loss-mask offsets for SFT: for every ``target``-role turn, its
+    [start_char, end_char) character span inside the conversation's
+    assembled document (turns joined by a ``sep_len``-char separator in
+    ``order_col`` order) — exactly what a data loader needs to mask
+    non-assistant tokens out of the loss.
+
+    The per-conversation running offset is a GROUPED PREFIX SUM: one
+    conv-hash exchange co-locates each conversation, then one lexsort
+    + cumulative-sum-with-run-reset pass per part (no per-conv Python,
+    no window-function shuffle).
+    """
+    from rayslog.stages.aggregate import task_exchange
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t.column(conv_col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        from rayslog.kernels import texthash as tx
+
+        h = tx.hash_utf8(c.cast(pa.string()), seed=0)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                conv_col: pa.array(
+                    [],
+                    t.column(conv_col).type if t.num_columns else pa.string(),
+                ),
+                order_col: pa.array([], pa.int64()),
+                "start_char": pa.array([], pa.int64()),
+                "end_char": pa.array([], pa.int64()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        idx = pc.sort_indices(
+            t, sort_keys=[(conv_col, "ascending"), (order_col, "ascending")]
+        )
+        s = t.take(idx)
+        conv = s.column(conv_col)
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = np.asarray(conv.dictionary_encode().indices)
+        lens = (
+            pc.utf8_length(s.column(text_col))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        step = lens + sep_len
+        cs = np.cumsum(step)
+        start = cs - step  # exclusive prefix sum, global
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        g = np.nonzero(first)[0]
+        n = np.diff(np.r_[g, len(codes)])
+        start = start - np.repeat(start[g], n)  # reset per conversation
+        mask = pc.equal(s.column(role_col), target).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                conv_col: conv.filter(pa.array(mask)),
+                order_col: pc.cast(
+                    s.column(order_col), pa.int64()
+                ).filter(pa.array(mask)),
+                "start_char": pa.array(start[mask]),
+                "end_char": pa.array(start[mask] + lens[mask]),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "__part",
+        parts,
+        per_part,
+    )
+
+
 def assemble_conversations(ds, conv_col: str = "conv_id",
                            order_col: str = "turn_idx",
                            text_col: str = "text",

@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "conv_error_rate",
     "conv_assemble",
     "conv_windows",
+    "assistant_spans",
     "parse_errors",
     "route_sinks",
     "enrich_route",

@@ -46,4 +46,4 @@ def test_queries_and_oracles_line_up():
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 83 and len(o) == 72
+    assert len(q) == 84 and len(o) == 73

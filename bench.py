@@ -168,6 +168,12 @@ def _run_bench() -> dict:
             "conv_assemble", lambda: p.q_conv_assemble(SF_DIR).count()
         )
         timed_extra(
+            "conv_windows", lambda: p.q_conv_windows(SF_DIR).count()
+        )
+        timed_extra(
+            "assistant_spans", lambda: p.q_assistant_spans(SF_DIR).count()
+        )
+        timed_extra(
             "bm25_search", lambda: p.q_bm25_search(SF_DIR).to_pandas()
         )
         timed_extra(

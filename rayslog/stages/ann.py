@@ -583,12 +583,23 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
         ds, planes_ref, n_bits, n_tables, bucket_parts
     )
 
-    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        bh = g["bucket"].to_numpy()
-        ids = g["vec_id"].to_numpy()
-        order = np.lexsort((ids, bh))
-        bh, ids = bh[order], ids[order]
-        new = np.r_[True, bh[1:] != bh[:-1]]
+    _empty_pairs = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+        }
+    )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_pairs
+        bh = t.column("bucket").to_numpy(zero_copy_only=False)
+        tid = t.column("table_id").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        # parts mix tables: a bucket is a (table_id, bucket) run
+        order = np.lexsort((ids, bh, tid))
+        tid, bh, ids = tid[order], bh[order], ids[order]
+        new = np.r_[True, (bh[1:] != bh[:-1]) | (tid[1:] != tid[:-1])]
         run_id = np.cumsum(new) - 1
         counts = np.bincount(run_id)
         run_starts = np.r_[0, np.cumsum(counts)[:-1]]
@@ -607,22 +618,21 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
             out_a.append(u[a])
             out_b.append(u[b])
         if not out_a:
-            return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype="int64"),
-                 "vec_b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
+            return _empty_pairs
+        return pa.table(
             {
-                "vec_a": np.concatenate(out_a).astype("int64"),
-                "vec_b": np.concatenate(out_b).astype("int64"),
+                "vec_a": pa.array(np.concatenate(out_a).astype("int64")),
+                "vec_b": pa.array(np.concatenate(out_b).astype("int64")),
             }
         )
 
-    raw = (
-        exploded.groupby(["table_id", "bpart"])
-        .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    from rayslog.stages.aggregate import task_exchange
+
+    raw = task_exchange(
+        exploded, "bpart", bucket_parts, part_pairs
+    ).to_pandas()
+    if not len(raw):
+        return rd.from_arrow(empty)
     n_over = int((raw["vec_a"] == -1).sum())
     if n_over:
         logging.getLogger("rayslog.ann").warning(

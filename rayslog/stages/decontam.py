@@ -266,15 +266,14 @@ def dup_span_stats(
         )
         return out.rename_columns(["doc_id", "n_dup_grams", "n_grams"])
 
-    per_part = rows.groupby("gpart").map_groups(
-        resolve_part, batch_format="pyarrow"
-    )
+    from rayslog.stages.aggregate import task_exchange
 
-    # cross-part per-doc totals: bounded-parts map_groups (hash(doc) %
-    # parts) with a vectorized in-group Arrow sum — measured faster
-    # than the Aggregate sort-shuffle on the tiny (doc, gpart) partial
-    # rows, and scale-safe (doc cardinality is corpus-sized, so the
-    # combiner tree's fits-one-task assumption would NOT hold here)
+    per_part = task_exchange(rows, "gpart", parts, resolve_part)
+
+    # cross-part per-doc totals: bounded-parts exchange (hash(doc) %
+    # parts) with a vectorized in-part Arrow sum — scale-safe (doc
+    # cardinality is corpus-sized, so the combiner tree's
+    # fits-one-task assumption would NOT hold here)
     def add_dpart(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         mix = (d.astype(np.uint64) * _GRAM_K) >> _U64(33)
@@ -290,12 +289,13 @@ def dup_span_stats(
         )
         return out.rename_columns(["doc_id", "n_grams", "n_dup_grams"])
 
-    totals = (
+    totals = task_exchange(
         per_part.map_batches(
             add_dpart, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("dpart")
-        .map_groups(sum_docs, batch_format="pyarrow")
+        ),
+        "dpart",
+        parts,
+        sum_docs,
     )
 
     def finish(t: pa.Table) -> pa.Table:

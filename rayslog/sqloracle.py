@@ -632,9 +632,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-  coalesce(SUM(n_tokens) OVER
+  CAST(coalesce(SUM(n_tokens) OVER
     (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-    0) // 256 AS bin_id
+    0) // 256 AS BIGINT) AS bin_id
 FROM t
 """,
         # benchmark decontamination: non-eval docs sharing >= 1

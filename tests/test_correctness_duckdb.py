@@ -143,6 +143,18 @@ def test_query_matches_oracle(query_results, name):
     ray_df, sql_df = query_results[name]
     assert sorted(ray_df.columns) == sorted(sql_df.columns), name
     assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
+    # Driver hashes TYPED values: an int64 engine column vs a float64
+    # oracle column (DuckDB HUGEINT sums surface as float64) mismatches
+    # even when values are equal (round-3 pack_sequences red row).
+    # Catch it here — kinds must agree unless the float side is merely
+    # null-forced (an all-finite float64 vs int64 is a real type bug).
+    for c in ray_df.columns:
+        ka = ray_df[c].dtype.kind
+        kb = sql_df[c].dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            fcol = ray_df[c] if ka == "f" else sql_df[c]
+            assert fcol.isna().any(), (
+                name, c, ka, kb, "int/float kind mismatch not due to nulls")
     a = _normalize(ray_df)
     b = _normalize(sql_df)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

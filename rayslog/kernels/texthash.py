@@ -53,10 +53,16 @@ def fmix64(h: np.ndarray) -> np.ndarray:
 
 
 def _string_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(data_bytes, starts, ends) views of a String/LargeString array."""
+    """(data_bytes, starts, ends) views of a String/LargeString (or
+    Binary/LargeBinary — identical layout) array."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
@@ -199,6 +205,43 @@ def hash_utf8(arr: pa.Array, seed: int = 0) -> np.ndarray:
     mask if null-vs-empty must be distinguished)."""
     buf, starts, ends = _string_view(arr)
     return hash_bytes_poly(buf, starts, ends, seed)
+
+
+def col_hash64(arr, seed: int = 0) -> np.ndarray:
+    """Type-dispatched avalanched 64-bit hash of ANY key column:
+    strings through the C word-wise hash, integers/temporals through
+    the murmur3 finalizer.  The building block for composite-key
+    partitioning and joins (``hash_join(key=[...])``,
+    ``combine_hash64``) — callers no longer need bit-packing tricks
+    like the retired ``_uc_key`` (user<<21|chunk) layout with its
+    2^42-user cap.  Null slots hash deterministically (as empty /
+    zero); joins still treat null keys as non-matching, so nulls only
+    need CONSISTENT bucketing, which this gives.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return hash_utf8(arr, seed=seed)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return hash_utf8(arr, seed=seed)  # same buffer layout
+    x = (
+        pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(_U64)
+    )
+    return fmix64(x ^ _seed_init(seed))
+
+
+def combine_hash64(h: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine of two 64-bit hash columns (FNV-style
+    multiply-xor; both inputs already avalanched)."""
+    return (h * _U64(0x100000001B3)) ^ h2
 
 
 def tokens(

@@ -24,29 +24,31 @@ from rayslog.stages.aggregate import counts_by
 
 US = 1_000_000
 
-# composite (user_id, chunk) join key layout: chunk in the low 21 bits
-# (2^21 day-chunks ~ 5,700 years), user_id in the upper 42.  Out-of-range
-# inputs MUST raise — a silent wrap would alias two different users'
-# chunks onto one key and corrupt the carry-in join.
-_UC_CHUNK_BITS = 21
-_UC_CHUNK_MAX = (1 << _UC_CHUNK_BITS) - 1
-_UC_USER_MAX = (1 << (63 - _UC_CHUNK_BITS)) - 1
+
+def _user_hash(col) -> np.ndarray:
+    """Avalanched uint64 hash of a user-id column of ANY key type
+    (int, string, ...) — the composite-key replacement for the retired
+    ``_uc_key`` bit pack and its 2^42-user / 2^21-chunk range caps.
+    Carry joins now run on the (user_id, chunk) tuple directly via
+    ``hash_join(key=[...])``."""
+    from rayslog.kernels.texthash import col_hash64
+
+    return col_hash64(col)
 
 
-def _uc_key(u: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Pack (user_id, chunk) into one int64 key, validating ranges."""
-    if len(u):
-        if u.min() < 0 or u.max() > _UC_USER_MAX:
-            raise ValueError(
-                f"user_id out of uc_key range [0, {_UC_USER_MAX}]: "
-                f"min={u.min()} max={u.max()}"
-            )
-        if c.min() < 0 or c.max() > _UC_CHUNK_MAX:
-            raise ValueError(
-                f"chunk out of uc_key range [0, {_UC_CHUNK_MAX}]: "
-                f"min={c.min()} max={c.max()}"
-            )
-    return (u << _UC_CHUNK_BITS) | c
+def _take_col(col, idx: np.ndarray):
+    """Arrow take preserving the column's exact type (int or string)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(idx.astype(np.int64)))
+
+
+def _user_codes(col) -> np.ndarray:
+    """Dense group codes for run detection / lexsort over any key type
+    (avoids O(n log n) python-object comparisons on string ids)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.dictionary_encode().indices)
 
 
 def tumbling_counts(ds, window_sec: int = 300):
@@ -128,37 +130,36 @@ def sessionize(ds, gap_sec: int = 1_800, parts: int = 64):
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = _user_hash(t.column("user_id"))
         return pa.table(
             {
                 "user_id": t.column("user_id"),
                 "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
                 "event_id": t.column("event_id"),
-                "upart": pa.array(
-                    (u.astype(np.uint64) % np.uint64(parts)).astype(
-                        np.int32
-                    )
-                ),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
             }
         )
 
-    _empty_out = pa.table(
-        {
-            "user_id": pa.array([], pa.int64()),
-            "n_sessions": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "longest_session_events": pa.array([], pa.int64()),
-        }
-    )
+    def _empty_out(utype):
+        return pa.table(
+            {
+                "user_id": pa.array([], utype),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "longest_session_events": pa.array([], pa.int64()),
+            }
+        )
 
     def per_part(t: pa.Table) -> pa.Table:
+        utype = t.schema.field("user_id").type
         if not t.num_rows:
-            return _empty_out
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+            return _empty_out(utype)
+        uarr = t.column("user_id")
+        codes = _user_codes(uarr)
         ts = t.column("ts_us").to_numpy(zero_copy_only=False)
         ev = t.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ev, ts, u))
-        u, ts = u[order], ts[order]
+        order = np.lexsort((ev, ts, codes))
+        u, ts = codes[order], ts[order]
         new_sess = np.r_[True, (u[1:] != u[:-1]) | (np.diff(ts) > gap_us)]
         sess_start = np.nonzero(new_sess)[0]
         sess_sizes = np.diff(np.r_[sess_start, len(ts)])
@@ -170,7 +171,7 @@ def sessionize(ds, gap_sec: int = 1_800, parts: int = 64):
         longest = np.maximum.reduceat(sess_sizes, user_start)
         return pa.table(
             {
-                "user_id": pa.array(sess_user[user_start].astype("int64")),
+                "user_id": _take_col(uarr, order[sess_start][user_start]),
                 "n_sessions": pa.array(n_sessions.astype("int64")),
                 "n_events": pa.array(n_events.astype("int64")),
                 "longest_session_events": pa.array(
@@ -221,10 +222,9 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
             ts = ts.combine_chunks()
         epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
         chunk = pc.divide(epoch, chunk_us).cast(pa.int64())
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
         c = chunk.to_numpy(zero_copy_only=False)
         mix = (
-            (u.astype(np.uint64) + np.uint64(1))
+            (_user_hash(t.column("user_id")) + np.uint64(1))
             * np.uint64(0x9E3779B97F4A7C15)
         ) ^ c.astype(np.uint64)
         return pa.table(
@@ -239,21 +239,24 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
             }
         )
 
-    _empty_subs = pa.table(
-        {
-            "user_id": pa.array([], pa.int64()),
-            "start_us": pa.array([], pa.int64()),
-            "end_us": pa.array([], pa.int64()),
-            "n": pa.array([], pa.int64()),
-        }
-    )
+    def _empty_subs(utype):
+        return pa.table(
+            {
+                "user_id": pa.array([], utype),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
 
     def per_part_chunks(t: pa.Table) -> pa.Table:
+        utype = t.schema.field("user_id").type
         if not t.num_rows:
-            return _empty_subs
+            return _empty_subs(utype)
         # runs are (user, chunk) slices of the part, gap-split inside;
         # sort makes each run contiguous and time-ordered
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        uarr = t.column("user_id")
+        u = _user_codes(uarr)
         ts = t.column("ts_us").to_numpy(zero_copy_only=False)
         ev = t.column("event_id").to_numpy(zero_copy_only=False)
         ch = t.column("chunk").to_numpy(zero_copy_only=False)
@@ -270,7 +273,7 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
         sizes = np.diff(np.r_[starts_idx, len(ts)])
         return pa.table(
             {
-                "user_id": pa.array(u[starts_idx].astype("int64")),
+                "user_id": _take_col(uarr, order[starts_idx]),
                 "start_us": pa.array(ts[starts_idx].astype("int64")),
                 "end_us": pa.array(ts[ends_idx].astype("int64")),
                 "n": pa.array(sizes.astype("int64")),
@@ -283,25 +286,27 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
     subs = task_exchange(prepped, "cpart", parts, per_part_chunks)
 
     def add_upart(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = _user_hash(t.column("user_id"))
         return t.append_column(
-            "upart",
-            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+            "upart", pa.array((h % np.uint64(parts)).astype(np.int32))
         )
 
-    _empty_out = pa.table(
-        {
-            "user_id": pa.array([], pa.int64()),
-            "n_sessions": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "longest_session_events": pa.array([], pa.int64()),
-        }
-    )
+    def _empty_out(utype):
+        return pa.table(
+            {
+                "user_id": pa.array([], utype),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "longest_session_events": pa.array([], pa.int64()),
+            }
+        )
 
     def stitch_part(t: pa.Table) -> pa.Table:
+        utype = t.schema.field("user_id").type
         if not t.num_rows:
-            return _empty_out
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+            return _empty_out(utype)
+        uarr = t.column("user_id")
+        u = _user_codes(uarr)
         s = t.column("start_us").to_numpy(zero_copy_only=False)
         e = t.column("end_us").to_numpy(zero_copy_only=False)
         n = t.column("n").to_numpy(zero_copy_only=False)
@@ -322,7 +327,7 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
         longest = np.maximum.reduceat(sess_sizes, user_start)
         return pa.table(
             {
-                "user_id": pa.array(sess_user[user_start].astype("int64")),
+                "user_id": _take_col(uarr, order[sess_start][user_start]),
                 "n_sessions": pa.array(n_sessions.astype("int64")),
                 "n_events": pa.array(n_events.astype("int64")),
                 "longest_session_events": pa.array(
@@ -425,10 +430,9 @@ def asof_attribution_partitioned(
             ts = ts.combine_chunks()
         epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
         chunk = pc.divide(epoch, chunk_us).cast(pa.int64())
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
         c = chunk.to_numpy(zero_copy_only=False)
         mix = (
-            (u.astype(np.uint64) + np.uint64(1))
+            (_user_hash(t.column("user_id")) + np.uint64(1))
             * np.uint64(0x9E3779B97F4A7C15)
         ) ^ c.astype(np.uint64)
         return pa.table(
@@ -444,24 +448,26 @@ def asof_attribution_partitioned(
             }
         )
 
-    _empty_both = pa.table(
-        {
-            "event_id": pa.array([], pa.int64()),
-            "user_id": pa.array([], pa.int64()),
-            "ts": pa.array([], pa.timestamp("us")),
-            "last_source_ts": pa.array([], pa.timestamp("us")),
-            "chunk": pa.array([], pa.int64()),
-            "is_summary": pa.array([], pa.bool_()),
-        }
-    )
+    def _both_schema(utype):
+        return pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", utype),
+                ("ts", pa.timestamp("us")),
+                ("last_source_ts", pa.timestamp("us")),
+                ("chunk", pa.int64()),
+                ("is_summary", pa.bool_()),
+            ]
+        )
 
     def per_part_asof(t: pa.Table) -> pa.Table:
         """Vectorized multi-(user,chunk) local as-of + one summary row
         per (user, chunk), in one pandas pass over the part — a
         map_groups call per GROUP costs ~0.4ms of machinery each
         (measured ~18s at sf0.1's 45k groups)."""
+        sch = _both_schema(t.schema.field("user_id").type)
         if not t.num_rows:
-            return _empty_both
+            return sch.empty_table()
         df = t.to_pandas()
         # sources sort BEFORE targets at equal ts: merge_asof backward
         # is inclusive of simultaneous sources
@@ -509,9 +515,7 @@ def asof_attribution_partitioned(
         out = pd.concat(
             [local, summ[list(local.columns)]], ignore_index=True
         )
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            _empty_both.schema
-        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(sch)
 
     both = task_exchange(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
@@ -519,12 +523,6 @@ def asof_attribution_partitioned(
         parts,
         per_part_asof,
     )
-
-    # composite (user, chunk) join key via _uc_key (range-guarded pack)
-    def add_uc(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("uc_key", pa.array(_uc_key(u, c)))
 
     def only(flag: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -539,24 +537,21 @@ def asof_attribution_partitioned(
     # only (one row per user-chunk, never per event); vectorized over
     # whole user-hash parts
     def add_upart(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = _user_hash(t.column("user_id"))
         return t.append_column(
-            "upart",
-            pa.array(
-                (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
-            ),
+            "upart", pa.array((h % np.uint64(parts)).astype(np.int32))
         )
 
-    _empty_carry = pa.table(
-        {
-            "uc_key": pa.array([], pa.int64()),
-            "carry_ts": pa.array([], pa.timestamp("us")),
-        }
-    )
-
     def carry_part(t: pa.Table) -> pa.Table:
+        utype = t.schema.field("user_id").type
         if not t.num_rows:
-            return _empty_carry
+            return pa.table(
+                {
+                    "user_id": pa.array([], utype),
+                    "chunk": pa.array([], pa.int64()),
+                    "carry_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
         df = t.to_pandas().sort_values(["user_id", "chunk"])
         uid = df["user_id"]
         # cummax leaves NaT at source-less chunks; ffill propagates the
@@ -564,11 +559,12 @@ def asof_attribution_partitioned(
         carry = df["last_source_ts"].groupby(uid).cummax()
         carry = carry.groupby(uid).ffill()
         carry = carry.groupby(uid).shift(1)
-        u = df["user_id"].to_numpy().astype(np.int64)
-        c = df["chunk"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "uc_key": pa.array(_uc_key(u, c)),
+                "user_id": pa.Array.from_pandas(df["user_id"], type=utype),
+                "chunk": pa.array(
+                    df["chunk"].to_numpy().astype(np.int64)
+                ),
                 "carry_ts": pa.array(
                     carry.to_numpy().astype("datetime64[us]"),
                     pa.timestamp("us"),
@@ -588,16 +584,19 @@ def asof_attribution_partitioned(
     )
     targets = both.map_batches(
         only(False), batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(add_uc, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
     from rayslog.stages.relational import hash_join
 
+    # carry joins back on the (user_id, chunk) TUPLE — composite-key
+    # hash_join, any key type (the retired _uc_key bit pack capped
+    # user_id at 2^42 and required ints)
     joined = hash_join(
         targets.select_columns(
-            ["event_id", "user_id", "ts", "last_source_ts", "uc_key"]
+            ["event_id", "user_id", "ts", "last_source_ts", "chunk"]
         ),
         carry,
-        key="uc_key",
+        key=["user_id", "chunk"],
         how="left",
     )
 
@@ -608,10 +607,13 @@ def asof_attribution_partitioned(
         carried = t.column("carry_ts").cast(pa.timestamp("us"))
         # the local match wins when present (it is >= any earlier source)
         filled = pc.coalesce(local, carried)
+        uid = t.column("user_id")
+        if pa.types.is_floating(uid.type):  # legacy-plan empty-bucket upcast
+            uid = uid.cast(pa.int64())
         return pa.table(
             {
                 "event_id": t.column("event_id").cast(pa.int64()),
-                "user_id": t.column("user_id").cast(pa.int64()),
+                "user_id": uid,
                 "ts": t.column("ts").cast(pa.timestamp("us")),
                 "last_source_ts": filled,
             }

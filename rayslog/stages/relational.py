@@ -156,7 +156,7 @@ def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
     )
 
 
-def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
+def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
               how: str = "inner", plan: str | None = None):
     """Partitioned hash join for two LARGE sides (no broadcast).
 
@@ -180,8 +180,12 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     old sort-shuffle form — union with a ``__bucket`` column and a
     pandas merge per ``map_groups`` bucket — for A/B measurement.
 
-    Key must be integral (string keys: pre-hash to int64 in a
-    map_batches).  ``how="anti"`` keeps left rows whose key does NOT
+    ``key`` may be one column name or a LIST of names (composite key):
+    bucket assignment hashes each key column by type
+    (``texthash.col_hash64`` — int/string/timestamp all supported,
+    no bit-packing or 2^42-range caps) and combines them, and the
+    per-bucket Arrow join runs on the full key tuple.  ``how="anti"``
+    keeps left rows whose key does NOT
     appear on the right (left columns only) — the large-side
     complement of a broadcast ``is_in`` filter, for when the exclusion
     set is too big to ship to every task.  ``how="semi"`` is its
@@ -193,17 +197,14 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
     import numpy as np
     import pandas as pd
 
+    keys = [key] if isinstance(key, str) else list(key)
     plan = plan or os.environ.get("RAYSLOG_JOIN_PLAN", "tasks")
     if plan == "tasks":
-        return _task_hash_join(left_ds, right_ds, key, buckets, how)
+        return _task_hash_join(left_ds, right_ds, keys, buckets, how)
 
     def _with_bucket(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            k = t.column(key)
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
-            mix = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            mix = _key_hash(t, keys)
             t = t.append_column(
                 "__bucket", pa.array((mix % buckets).astype(np.int32))
             )
@@ -248,8 +249,11 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
         lg = g[g["__side"] == 0][left_cols]
         rg = g[g["__side"] == 1][right_cols]
         if how in ("anti", "semi"):
-            mask = lg[key].isin(rg[key])
-            out = lg[mask] if how == "semi" else lg[~mask]
+            hit = lg.merge(
+                rg[keys].drop_duplicates(), on=keys, how="left",
+                indicator=True,
+            )["_merge"].eq("both").to_numpy()
+            out = lg[hit] if how == "semi" else lg[~hit]
             # the union null-pads left columns on right-side rows, so
             # pandas widened ints to float inside this group; the
             # anti/semi output is pure left rows (no nulls) — restore
@@ -257,11 +261,21 @@ def hash_join(left_ds, right_ds, key: str, buckets: int = 32,
             return out.astype(
                 {c: types[c].to_pandas_dtype() for c in left_cols}
             )
-        return lg.merge(rg, on=key, how=how)
+        return lg.merge(rg, on=keys, how=how)
 
     return both.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def _key_hash(t: pa.Table, keys: list[str]):
+    """Combined avalanched uint64 hash of the key tuple of each row."""
+    from rayslog.kernels.texthash import col_hash64, combine_hash64
+
+    h = col_hash64(t.column(keys[0]))
+    for k2 in keys[1:]:
+        h = combine_hash64(h, col_hash64(t.column(k2)))
+    return h
 
 
 #: pandas-merge `how` -> pyarrow join_type
@@ -273,7 +287,8 @@ _ARROW_JOIN_TYPE = {
 }
 
 
-def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
+def _task_hash_join(left_ds, right_ds, keys: list[str], buckets: int,
+                    how: str):
     """The raw-task exchange plan behind :func:`hash_join` (see its
     docstring).  Split tasks copy each block once into per-bucket
     tables (``take`` of disjoint index sets — fresh buffers, so a
@@ -330,8 +345,10 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
     if rschema is None:
         if how in ("semi", "anti"):
             # right side only contributes its KEY SET; an empty set is
-            # fully typed by the left key column
-            rschema = pa.schema([pa.field(key, lschema.field(key).type)])
+            # fully typed by the left key columns
+            rschema = pa.schema(
+                [pa.field(k, lschema.field(k).type) for k in keys]
+            )
         else:
             raise ValueError(
                 "hash_join: right side has no rows and no recoverable "
@@ -346,11 +363,7 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
     @ray.remote
     def split(block):
         t = _as_arrow(block)
-        k = t.column(key)
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        mix = _key_hash(t, keys)
         b = (mix % np.uint64(P)).astype(np.int64)
         order = np.argsort(b, kind="stable")
         bounds = np.searchsorted(b[order], np.arange(P + 1))
@@ -384,8 +397,8 @@ def _task_hash_join(left_ds, right_ds, key: str, buckets: int, how: str):
         if how in ("semi", "anti"):
             # join only needs the right KEY SET; dedupe it first so a
             # high-multiplicity right side can't blow up the hash table
-            right = right.select([key]).group_by([key]).aggregate([])
-        return left.join(right, keys=key, join_type=jt)
+            right = right.select(keys).group_by(keys).aggregate([])
+        return left.join(right, keys=keys, join_type=jt)
 
     out_refs = [
         join_bucket.remote(

@@ -308,6 +308,92 @@ def test_asof_partitioned_equals_plain(ray_session):
     pd.testing.assert_frame_equal(plain, part, check_dtype=False)
 
 
+def test_sessionize_partitioned_string_users(ray_session):
+    """The two-phase sessionize runs on STRING user_ids (composite-key
+    exchange/join — no int bit-pack) and matches the int-user result."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.events import sessionize_partitioned
+
+    rng = np.random.default_rng(57)
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for user in range(7):
+        t = base + user * 500_000_000
+        for _ in range(rng.integers(20, 80)):
+            t += int(rng.choice([5, 60, 1_801, 3_601, 7_200])) * 1_000_000
+            rows.append({"user_id": user, "ts": t, "event_id": eid})
+            eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    sdf = df.copy()
+    sdf["user_id"] = sdf["user_id"].map(lambda u: f"user-{u:03d}")
+
+    ints = (
+        sessionize_partitioned(rd.from_pandas(df).repartition(3),
+                               gap_sec=1_800, chunk_sec=3_600)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    strs = (
+        sessionize_partitioned(rd.from_pandas(sdf).repartition(3),
+                               gap_sec=1_800, chunk_sec=3_600)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert strs["user_id"].tolist() == [
+        f"user-{u:03d}" for u in ints["user_id"]
+    ]
+    for c in ["n_sessions", "n_events", "longest_session_events"]:
+        assert strs[c].tolist() == ints[c].tolist(), c
+
+
+def test_asof_partitioned_string_users(ray_session):
+    """The two-phase as-of runs on STRING user_ids: the carry join goes
+    through the composite-key hash_join on (user_id, chunk)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.events import asof_attribution_partitioned
+
+    rng = np.random.default_rng(91)
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + user * 313_000_000
+        for _ in range(rng.integers(30, 90)):
+            t += int(rng.choice([10, 1_700, 3_700, 9_000])) * 1_000_000
+            kind = "purchase" if rng.random() < 0.3 else "view"
+            rows.append({"event_id": eid, "user_id": user,
+                         "event_type": kind, "ts": t})
+            eid += 1
+        rows.append({"event_id": eid, "user_id": user,
+                     "event_type": "purchase",
+                     "ts": t + 40 * 3_600 * 1_000_000})
+        eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    sdf = df.copy()
+    sdf["user_id"] = sdf["user_id"].map(lambda u: f"user-{u:03d}")
+
+    def norm(x):
+        out = x.to_pandas().sort_values("event_id").reset_index(drop=True)
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        out["last_source_ts"] = out["last_source_ts"].astype("datetime64[us]")
+        return out
+
+    ints = norm(asof_attribution_partitioned(
+        rd.from_pandas(df).repartition(3), chunk_sec=3_600))
+    strs = norm(asof_attribution_partitioned(
+        rd.from_pandas(sdf).repartition(3), chunk_sec=3_600))
+    assert strs["user_id"].tolist() == [
+        f"user-{u:03d}" for u in ints["user_id"]
+    ]
+    for c in ["event_id", "ts", "last_source_ts"]:
+        assert strs[c].tolist() == ints[c].tolist(), c
+
+
 def test_cosine_lsh_subset_of_exact_and_finds_planted(ray_session):
     """LSH-bucketed cosine pairs emit TRUE scores and form a subset of
     the exact operator's result; a strongly-similar planted pair is
@@ -503,27 +589,28 @@ def test_hll_accuracy(ray_session):
     assert abs(est - 3171) / 3171 < 0.05, est
 
 
-def test_uc_key_range_guard():
-    """Out-of-range user_id/chunk must raise, never silently alias keys."""
-    import pytest as _pytest
+def test_col_hash64_types():
+    """The composite-key hash handles int, string and timestamp columns
+    (the _uc_key bit pack and its 2^42-user cap are retired)."""
+    import pyarrow as pa
 
-    from rayslog.stages.events import _UC_CHUNK_MAX, _UC_USER_MAX, _uc_key
+    from rayslog.kernels.texthash import col_hash64, combine_hash64
 
-    u = np.array([0, 5, _UC_USER_MAX], dtype=np.int64)
-    c = np.array([0, 7, _UC_CHUNK_MAX], dtype=np.int64)
-    k = _uc_key(u, c)
-    assert k[0] == 0 and k[1] == (5 << 21) | 7
-
-    with _pytest.raises(ValueError, match="user_id out of uc_key range"):
-        _uc_key(np.array([_UC_USER_MAX + 1], dtype=np.int64),
-                np.array([0], dtype=np.int64))
-    with _pytest.raises(ValueError, match="user_id out of uc_key range"):
-        _uc_key(np.array([-1], dtype=np.int64), np.array([0], dtype=np.int64))
-    with _pytest.raises(ValueError, match="chunk out of uc_key range"):
-        _uc_key(np.array([1], dtype=np.int64),
-                np.array([_UC_CHUNK_MAX + 1], dtype=np.int64))
-    # empty input is a no-op
-    assert len(_uc_key(np.zeros(0, np.int64), np.zeros(0, np.int64))) == 0
+    ints = pa.array([0, 5, 2**62, -1], pa.int64())
+    strs = pa.array(["", "a", "user-5", "user-5"])
+    ts = pa.array([0, 10**15], pa.timestamp("us"))
+    hi, hs, ht = col_hash64(ints), col_hash64(strs), col_hash64(ts)
+    assert hi.dtype == np.uint64 and hs.dtype == np.uint64
+    assert len(set(hi.tolist())) == 4  # no 2^42 wrap aliasing
+    assert hs[2] == hs[3] and hs[1] != hs[2]
+    assert len(ht) == 2 and ht[0] != ht[1]
+    # combine is order-sensitive (composite (a,b) != (b,a))
+    c1 = combine_hash64(hi[:2], hi[2:])
+    c2 = combine_hash64(hi[2:], hi[:2])
+    assert (c1 != c2).any()
+    # chunked arrays take the same path
+    ch = pa.chunked_array([strs.slice(0, 2), strs.slice(2)])
+    assert (col_hash64(ch) == hs).all()
 
 
 def test_query_vectors_reads_only_n_rows(tmp_path):

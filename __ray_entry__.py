@@ -86,7 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "decontaminate": p.q_decontaminate,
         "decontam_survivors": p.q_decontam_survivors,
-        "dup_spans": p.q_dup_spans,
+        "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
         "curation": p.q_curation,
         "shuffle_shards": p.q_shuffle_shards,
         # ---------------- driver window ends here (50) ----------------
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq": p.q_doc_freq,
         "lm_score": p.q_lm_score,
         "domain_mix": p.q_domain_mix,
+        "dup_spans": p.q_dup_spans,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
@@ -123,7 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "approx_quantiles": p.q_approx_quantiles,  # rows-only (KLL sketch)
         "approx_quantiles_by_lang": p.q_approx_quantiles_by_lang,  # rows-only (KLL)
-        "ann_ivf": p.q_ann_ivf,              # rows-only (approximate)
         "ann_ivf_incr": p.q_ann_ivf_incr,    # rows-only (approximate)
         "cosine_dups_lsh": p.q_cosine_dups_lsh,  # rows-only (approximate)
     }
@@ -137,5 +137,5 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **oracle_queries("/root/testdata/sf0.01"),
-        **training_oracle_queries(),
+        **training_oracle_queries("/root/testdata/sf0.01"),
     }

@@ -940,24 +940,41 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qv, qi, k=10)
 
 
-def q_ann_ivf(sf_dir: str):
-    """IVF top-10 over a PERSISTED bucket-partitioned index (built once
-    per corpus under /tmp, reused across calls; probing reads only the
-    probed buckets' files); rows-only."""
+def _ivf_index_dir(sf_dir: str) -> str:
     import hashlib
     import re as _re
 
-    from rayslog.stages.ann import ivf_topk
-
-    qv, qi = _query_vectors(sf_dir)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/rayslog_data/ivf/{tag}-{h}"
-    return ivf_topk(
-        ds, qv, qi, k=10, index_dir=index_dir,
-        n_centroids=_ivf_cells(_table_rows(sf_dir, "embeddings")),
+    return f"/tmp/rayslog_data/ivf/{tag}-{h}"
+
+
+def ensure_ivf_index(sf_dir: str):
+    """Build-or-load the persisted IVF index for a corpus.  Shared by
+    ``q_ann_ivf`` and the SQL oracle generator — the oracle exports
+    this index's FROZEN centroids as literal VALUES, so both sides
+    probe the identical store (the embed_kmeans round-6 contract)."""
+    from pathlib import Path
+
+    from rayslog.stages.ann import IvfIndex, build_ivf_index
+
+    d = _ivf_index_dir(sf_dir)
+    if Path(d, "_ivf_meta.json").exists():
+        return IvfIndex(d)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return build_ivf_index(
+        ds, d, n_centroids=_ivf_cells(_table_rows(sf_dir, "embeddings"))
     )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF top-10 over a PERSISTED bucket-partitioned index (built once
+    per corpus under /tmp, reused across calls; probing reads only the
+    probed buckets' files).  Oracle-checked since r4: frozen centroids
+    make assignment+probe deterministic, spelled in SQL by
+    ``sqloracle._ann_ivf_sql``."""
+    qv, qi = _query_vectors(sf_dir)
+    return ensure_ivf_index(sf_dir).probe(qv, qi, k=10, nprobe=4)
 
 
 def _ivf_cells(n_vecs: int) -> int:

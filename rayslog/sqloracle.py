@@ -420,10 +420,73 @@ SELECT k.doc_id, k.lang, k.source FROM kept k JOIN surv USING (doc_id)
     )
 
 
-def training_oracle_queries() -> dict[str, str]:
+def _ann_ivf_sql(sf_dir: str, k: int = 10, nprobe: int = 4,
+                 n_queries: int = 8) -> str:
+    """ann_ivf oracle (embed_kmeans-style round-6 contract): load the
+    SAME persisted index ``q_ann_ivf`` probes, export its FROZEN
+    centroids as literal VALUES, and spell argmax assignment -> nprobe
+    pruning -> cosine top-k in SQL.  Valid because both sides break
+    assignment/probe argmax ties to the LOWEST centroid id and round
+    scores to 6 dp before ranking (verified row-for-row at sf0.001 and
+    sf0.01).  First call per corpus builds the index (needs an active
+    ray session — why this entry only exists when a ``sf_dir`` is
+    passed to :func:`training_oracle_queries`)."""
+    from rayslog import pipeline as p
+
+    cents = p.ensure_ivf_index(sf_dir).centroids
+    vals = ",\n  ".join(
+        "(%d, [%s]::DOUBLE[])"
+        % (i, ",".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+  {vals}),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {n_queries}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (
+  SELECT e.vec_id,
+    (SELECT cid FROM cents
+     ORDER BY list_cosine_similarity(e.v, cents.c) DESC, cid LIMIT 1)
+    AS bucket
+  FROM e
+),
+pr AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cents.cid,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.qe, cents.c) DESC, cents.cid)
+        AS rn
+    FROM q CROSS JOIN cents)
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT q.query_id, a.vec_id,
+    round(list_cosine_similarity(q.qe, e.v), 6) AS score
+  FROM q
+  JOIN pr ON pr.query_id = q.query_id
+  JOIN a ON a.bucket = pr.cid
+  JOIN e ON e.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
+def training_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
     """Oracles for the training-data operators — these run on the
     driver's pre-registered views (documents/embeddings/events/
-    lineitem/orders/customer), no generated data involved."""
+    lineitem/orders/customer), no generated data involved.
+
+    ``sf_dir``: when given, adds the ``ann_ivf`` oracle, whose SQL
+    embeds the persisted index's frozen centroids for that corpus (a
+    first-time index build needs an active ray session; omit sf_dir in
+    ray-free contexts)."""
     cents_p = "CAST(round(l_extendedprice*100) AS BIGINT)"
     cents_d = "CAST(round(l_discount*100) AS BIGINT)"
     cents_t = "CAST(round(l_tax*100) AS BIGINT)"
@@ -1088,6 +1151,8 @@ FROM documents
 WHERE lower(source) = 'src3'
   AND list_contains(regexp_extract_all(lower(text), '\S+'), 'data')
 """
+    if sf_dir is not None:
+        q["ann_ivf"] = _ann_ivf_sql(sf_dir)
     return q
 
 

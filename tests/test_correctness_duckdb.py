@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "cluster_profile",
     "embed_dedup_cc",
     "lm_score",
+    "ann_ivf",
     "cosine_dups",
     "events_filtered",
     "asof_attribution",
@@ -108,7 +109,7 @@ QUERY_NAMES = [
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
              "doc_fingerprint", "dedup_simhash",
-             "ann_ivf", "ann_ivf_incr", "media_features",
+             "ann_ivf_incr", "media_features",
              "approx_distinct"]
 
 
@@ -126,7 +127,7 @@ def query_results(ray_session):
             f" read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs = entrymod.queries()
-    sqls = {**oracle_queries(SF_DIR), **training_oracle_queries()}
+    sqls = {**oracle_queries(SF_DIR), **training_oracle_queries(SF_DIR)}
     out = {}
     for name in QUERY_NAMES:
         ray_df = qs[name](SF_DIR).to_pandas()

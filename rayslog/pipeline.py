@@ -1779,14 +1779,19 @@ def q_length_band_filter(sf_dir: str):
     the per-language [p5, p95] band — the standard length-outlier
     filter with thresholds DERIVED from the corpus itself, not fixed.
 
-    Two streaming passes: the exact grouped inverse-CDF quantiles
-    (shuffle moves O(langs x distinct counts) histogram rows, result is
-    langs x 2 — bounded strata, so the driver collect is O(langs),
-    same rationale as domain_mix's counts pass), then one shuffle-free
-    filter with the thresholds as a closure constant."""
+    One corpus scan: the small (doc_id, lang, n_tokens) feature table
+    materializes once, the exact grouped inverse-CDF quantiles reduce
+    through the ref-level combiner tree over its blocks (O(langs x
+    distinct counts) histogram rows, result is langs x 2 — bounded
+    strata, so the driver collect is O(langs)), and the band filter
+    re-reads the same blocks with the thresholds as a closure constant
+    (was: two full corpus scans + a sort-shuffle quantile pass)."""
     import numpy as np
 
-    from rayslog.stages.aggregate import grouped_quantiles_int
+    from rayslog.stages.aggregate import (
+        grouped_quantiles_int_from_refs,
+        live_block_refs,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -1802,14 +1807,16 @@ def q_length_band_filter(sf_dir: str):
             }
         )
 
-    feats = ds.map_batches(n_tok, batch_format="pyarrow", zero_copy_batch=True)
+    feats = ds.map_batches(
+        n_tok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     lo_lbl = f"p{int(BAND_QUANTILES[0] * 100)}"
-    qdf = grouped_quantiles_int(
-        feats.select_columns(["lang", "n_tokens"]),
+    qdf = grouped_quantiles_int_from_refs(
+        live_block_refs(feats),
         "lang",
         "n_tokens",
         quantiles=BAND_QUANTILES,
-    ).to_pandas()
+    )
     lo = {}
     hi = {}
     for r in qdf.itertuples():

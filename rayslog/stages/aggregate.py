@@ -703,6 +703,49 @@ def exact_quantiles_cents(ds, value_col: str, quantiles=(0.5, 0.95, 0.99)):
     )
 
 
+def grouped_quantiles_int_from_refs(refs, group_col: str, value_col: str,
+                                    quantiles=(0.5, 0.95)):
+    """Ref-level sibling of :func:`grouped_quantiles_int`: the
+    per-(group, value) histogram reduces through ``tree_reduce_refs``
+    over blocks the caller ALREADY materialized (no second corpus scan,
+    no sort-shuffle machinery), and the inverse CDF is read on the
+    driver from the tiny O(groups x distinct v) histogram.  Returns a
+    pandas frame (group, q, value).  Contract: the raw blocks must not
+    carry columns named ``v``/``n`` (the tree's round marker)."""
+    import math
+
+    import pandas as pd
+
+    def hist_reduce(t: pa.Table) -> pa.Table:
+        if "n" in t.column_names:  # later tree rounds: sum histograms
+            g = t.group_by([group_col, "v"]).aggregate([("n", "sum")])
+        else:  # first round sees raw blocks: count rows per value
+            g = (
+                t.select([group_col, value_col])
+                .group_by([group_col, value_col])
+                .aggregate([([], "count_all")])
+            )
+        return g.rename_columns([group_col, "v", "n"])
+
+    if not refs:
+        return pd.DataFrame({group_col: [], "q": [], "value": []})
+    hist = tree_reduce_refs(refs, hist_reduce).to_pandas()
+    rows = []
+    for grp, g in hist.groupby(group_col, sort=True):
+        agg = g.sort_values("v")
+        v = agg["v"].to_numpy()
+        cum = np.cumsum(agg["n"].to_numpy())
+        total = int(cum[-1])
+        for q in quantiles:
+            target = math.ceil(q * total)
+            idx = int(np.searchsorted(cum, target))
+            rows.append(
+                {group_col: grp, "q": f"p{int(q * 100)}",
+                 "value": float(v[idx])}
+            )
+    return pd.DataFrame(rows)
+
+
 def grouped_quantiles_int(ds, group_col: str, value_col: str,
                           quantiles=(0.5, 0.95)):
     """Exact per-group quantiles for an INTEGER-domain value column.

@@ -758,70 +758,74 @@ def funnel_counts(
 
     Strict ``>`` on microsecond timestamps both here and in the SQL
     oracle, so ties (same-instant events) never advance the funnel.
+
+    The k passes run as RAW tasks over the materialized blocks (one
+    per-block partial task + ``tree_reduce_refs`` per stage) — no
+    Dataset executor spin-up per stage, which was the dominant cost at
+    small scale (~0.3s fixed x k; measured r4).
     """
     import ray
 
-    from rayslog.stages.aggregate import tree_aggregate
+    from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
 
     # one parquet read + filter for all k passes: the projected input
     # is materialized into the object store once (spillable), instead
     # of re-executing the upstream read per stage
-    ds = ds.materialize()
+    mat = ds.materialize()
+    refs = live_block_refs(mat)
 
-    def min_pass(stage: str, prev_ref):
-        def partial(t: pa.Table) -> pa.Table:
-            mask = pc.equal(t.column(type_col), stage)
-            sub = t.filter(mask)
-            if prev_ref is not None:
-                ids_prev, ts_prev = ray.get(prev_ref)
-                u = sub.column(user_col).to_numpy(zero_copy_only=False)
-                ts = (
-                    sub.column(ts_col)
-                    .cast(pa.timestamp("us"))
-                    .to_numpy(zero_copy_only=False)
-                    .astype("datetime64[us]")
-                    .astype(np.int64)
-                )
-                pos = np.searchsorted(ids_prev, u)
-                pos_c = np.minimum(pos, max(len(ids_prev) - 1, 0))
-                hit = (
-                    (ids_prev[pos_c] == u) & (ts > ts_prev[pos_c])
-                    if len(ids_prev)
-                    else np.zeros(len(u), dtype=bool)
-                )
-                sub = sub.filter(pa.array(hit))
-            out = (
-                sub.select([user_col, ts_col])
-                .group_by([user_col])
-                .aggregate([(ts_col, "min")])
-            )
-            return out.rename_columns([user_col, ts_col])
-
-        part = ds.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
+    @ray.remote
+    def stage_partial(block, stage, prev):
+        t = (
+            block
+            if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block, preserve_index=False)
         )
-
-        def empty_fn():
-            import ray.data as rd
-
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        user_col: pa.nulls(0, pa.int64()),
-                        ts_col: pa.nulls(0, pa.timestamp("us")),
-                    }
-                )
+        sub = t.filter(pc.equal(t.column(type_col), stage))
+        if prev is not None:
+            ids_prev, ts_prev = prev
+            u = sub.column(user_col).to_numpy(zero_copy_only=False)
+            ts = (
+                sub.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
             )
+            pos = np.searchsorted(ids_prev, u)
+            pos_c = np.minimum(pos, max(len(ids_prev) - 1, 0))
+            hit = (
+                (ids_prev[pos_c] == u) & (ts > ts_prev[pos_c])
+                if len(ids_prev)
+                else np.zeros(len(u), dtype=bool)
+            )
+            sub = sub.filter(pa.array(hit))
+        out = (
+            sub.select([user_col, ts_col])
+            .group_by([user_col])
+            .aggregate([(ts_col, "min")])
+        )
+        return out.rename_columns([user_col, ts_col])
 
-        return tree_aggregate(
-            part, [user_col], [(ts_col, "min")], [ts_col],
-            empty_fn=empty_fn,
-        ).to_pandas()
+    def min_reduce(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by([user_col])
+            .aggregate([(ts_col, "min")])
+            .rename_columns([user_col, ts_col])
+        )
 
     counts = []
     prev_ref = None
     for stage in stages:
-        df = min_pass(stage, prev_ref)
+        if refs:
+            partial_refs = [
+                stage_partial.remote(r, stage, prev_ref) for r in refs
+            ]
+            df = tree_reduce_refs(partial_refs, min_reduce).to_pandas()
+        else:
+            import pandas as pd
+
+            df = pd.DataFrame({user_col: [], ts_col: []})
         counts.append(len(df))
         ids = df[user_col].to_numpy().astype(np.int64)
         order = np.argsort(ids)

@@ -58,47 +58,53 @@ def kmeans_iterate(
     iters: int,
     embedding_col: str = "embedding",
 ) -> np.ndarray:
-    """Run ``iters`` Lloyd rounds; returns the final (k, d) centroids."""
+    """Run ``iters`` Lloyd rounds; returns the final (k, d) centroids.
+
+    The corpus materializes ONCE; every round is raw per-block partial
+    tasks + a (k x d)-model fan-in tree over their (sums, counts) —
+    no Dataset executor spin-up per iteration (the dominant fixed cost
+    at small scale, ~0.3s x iters; measured r4)."""
     import ray
+
+    from rayslog.stages.aggregate import live_block_refs
 
     cents = np.round(np.asarray(init_centroids, dtype=np.float64), 6)
     k, d = cents.shape
+    mat = ds.materialize()
+    refs = live_block_refs(mat)
+
+    @ray.remote
+    def block_partial(block, c):
+        t = (
+            block
+            if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block, preserve_index=False)
+        )
+        m = _stack(t.column(embedding_col))
+        assign = _argmax_first(_cosine_scores(m, c))
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return sums, counts
+
+    @ray.remote
+    def combine_sc(*pairs):
+        return (
+            np.sum([p[0] for p in pairs], axis=0),
+            np.sum([p[1] for p in pairs], axis=0),
+        )
 
     for _ in range(iters):
+        if not refs:
+            break
         ref = ray.put(cents)
-
-        def partials(t: pa.Table) -> pa.Table:
-            c = ray.get(ref)
-            m = _stack(t.column(embedding_col))
-            assign = _argmax_first(_cosine_scores(m, c))
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, assign, m)
-            counts = np.bincount(assign, minlength=k).astype(np.int64)
-            return pa.table(
-                {
-                    "sums": pa.array([sums.reshape(-1)]),
-                    "counts": pa.array([counts]),
-                }
-            )
-
-        def combine(t: pa.Table) -> pa.Table:
-            s = _stack(t.column("sums")).sum(axis=0)
-            c = np.stack(
-                [np.asarray(x, dtype=np.int64) for x in
-                 t.column("counts").to_pylist()]
-            ).sum(axis=0)
-            return pa.table({"sums": pa.array([s]), "counts": pa.array([c])})
-
-        part = ds.map_batches(
-            partials, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(combine, batch_format="pyarrow")
-        df = part.to_pandas()  # one row per partial block
-        sums = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in df["sums"]]
-        ).sum(axis=0).reshape(k, d)
-        counts = np.stack(
-            [np.asarray(x, dtype=np.int64) for x in df["counts"]]
-        ).sum(axis=0)
+        out = [block_partial.remote(r, ref) for r in refs]
+        while len(out) > 1:  # model-sized fan-in, driver sees ONE pair
+            out = [
+                combine_sc.remote(*out[i : i + 16])
+                for i in range(0, len(out), 16)
+            ]
+        sums, counts = ray.get(out[0])
         nonzero = counts > 0
         new = cents.copy()
         new[nonzero] = np.round(

@@ -56,7 +56,6 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
                      k: int = 10):
     """Exact cosine top-k: (query_id, vec_id, score, rank)."""
-    import pandas as pd
     import ray
 
     qn = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
@@ -90,17 +89,39 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray,
         score, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=8_192,
     )
+    return _topk_merge(partial, k)
 
-    def global_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return partial.groupby("query_id").map_groups(
-        global_merge, batch_format="pandas"
+def _topk_merge(partial, k: int):
+    """Global per-query top-k over (query_id, vec_id, score) partials
+    via the combiner tree — top-k is re-applicable, and the partials
+    total O(queries x k) rows per block, so a sort-shuffle groupby
+    would be pure fixed machinery (the last deliberate sort-shuffle on
+    the ANN paths, converted r4).  Rank attaches only on the final
+    block."""
+    from rayslog.stages.aggregate import _topk_reduce_fn, tree_reduce
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        partial,
+        _topk_reduce_fn("query_id", "score", "vec_id", k),
+        empty_fn=empty_fn,
+        final_fn=_topk_reduce_fn(
+            "query_id", "score", "vec_id", k, with_rank=True
+        ),
     )
 
 
@@ -137,7 +158,6 @@ class _IvfProbe:
               k: int = 10, nprobe: int = 4):
         """Approximate top-k: each query scores only its nprobe nearest
         buckets; non-probed buckets are never read from storage."""
-        import pandas as pd
         import ray
 
         qn = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
@@ -180,16 +200,7 @@ class _IvfProbe:
             score_ivf, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=8_192,
         )
-
-        def global_merge(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-            g = g.reset_index(drop=True)
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            return g
-
-        return partial.groupby("query_id").map_groups(
-            global_merge, batch_format="pandas"
-        )
+        return _topk_merge(partial, k)
 
 
 class IvfIndex(_IvfProbe):

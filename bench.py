@@ -192,6 +192,15 @@ def _run_bench() -> dict:
             "ann_ivf_incr",
             lambda: p.q_ann_ivf_incr(SF_DIR).to_pandas(),
         )
+        timed_extra("ann_ivf", lambda: p.q_ann_ivf(SF_DIR).to_pandas())
+        timed_extra(
+            "length_band",
+            lambda: p.q_length_band_filter(SF_DIR).count(),
+        )
+        timed_extra(
+            "events_sessionize",
+            lambda: p.q_events_sessionize(SF_DIR).to_pandas(),
+        )
         timed_extra(
             "pack_sequences",
             lambda: p.q_pack_sequences(SF_DIR).count(),

@@ -751,52 +751,35 @@ def grouped_quantiles_int(ds, group_col: str, value_col: str,
     """Exact per-group quantiles for an INTEGER-domain value column.
 
     Same histogram discipline as exact_quantiles_cents, per group: the
-    per-batch combiner emits one (group, v, n) row per distinct value
-    per batch, the shuffle moves O(groups x distinct v) rows (never the
-    raw rows), and each group's inverse CDF is read off inside
-    ``map_groups`` — smallest v with cum_count >= ceil(q * n), mirrored
-    exactly by the SQL oracle's window form.  Returns
-    (group, q, value:float64) rows.
+    (group, value) projection materializes once and the per-(group, v)
+    count histogram reduces through the ref-level combiner tree
+    (:func:`grouped_quantiles_int_from_refs`) — O(groups x distinct v)
+    rows through the tree, never the raw rows and no sort-shuffle /
+    per-group map_groups machinery (converted r4; the old plan paid
+    ~1s of fixed Sort cost at any size).  The inverse CDF — smallest v
+    with cum_count >= ceil(q * n), mirrored exactly by the SQL
+    oracle's window form — is read on the driver.  Returns a Dataset
+    of (group, q, value:float64) rows.
 
-    Cardinality note: one map_groups call per GROUP — right for
-    bounded strata (language, source, severity).  For corpus-growing
-    group keys, bucket by hash(group) % parts and loop groups inside
-    the part (the dedup.py pattern) before paying per-group machinery.
+    Partitioning assumption (tree contract): the combined histogram
+    fits one task — right for bounded strata (language, source,
+    severity) x a bounded integer domain.  For corpus-growing group
+    keys use ``grouped_approx_quantiles`` (KLL) instead.
     """
-    import math
+    import ray.data as rd
 
-    import pandas as pd
-
-    def hist(t: pa.Table) -> pa.Table:
-        g = (
-            t.select([group_col, value_col])
-            .group_by([group_col, value_col])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns([group_col, "v", "n"])
-
-    partial = ds.map_batches(
-        hist, batch_format="pyarrow", zero_copy_batch=True
+    mat = ds.materialize()
+    df = grouped_quantiles_int_from_refs(
+        live_block_refs(mat), group_col, value_col, quantiles
     )
-
-    def read_cdf(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("v", as_index=False)["n"].sum().sort_values("v")
-        v = agg["v"].to_numpy()
-        cum = np.cumsum(agg["n"].to_numpy())
-        total = int(cum[-1])
-        rows = []
-        for q in quantiles:
-            target = math.ceil(q * total)
-            idx = int(np.searchsorted(cum, target))
-            rows.append(
+    if not len(df):
+        return rd.from_arrow(
+            pa.table(
                 {
-                    group_col: g[group_col].iloc[0],
-                    "q": f"p{int(q * 100)}",
-                    "value": float(v[idx]),
+                    group_col: pa.array([], pa.string()),
+                    "q": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
                 }
             )
-        return pd.DataFrame(rows)
-
-    return partial.groupby(group_col).map_groups(
-        read_cdf, batch_format="pandas"
-    )
+        )
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))

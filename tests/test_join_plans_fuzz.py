@@ -93,6 +93,64 @@ def test_join_plans_agree(ray_session, how, lk, rk, data):
     )
 
 
+@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left"])
+@settings(max_examples=8, deadline=None)
+@given(
+    lk=st.lists(st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+                          st.integers(0, 3)),
+                min_size=1, max_size=25),
+    rk=st.lists(st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+                          st.integers(0, 3)),
+                min_size=1, max_size=25),
+)
+def test_composite_key_join_plans_agree(ray_session, how, lk, rk):
+    """Composite (string, int) keys: both plans == the pandas oracle."""
+    import ray.data as rd
+
+    from rayslog.stages.relational import hash_join
+
+    def mk(keys, valname):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([k[0] for k in keys]),
+                    "c": pa.array([k[1] for k in keys], pa.int64()),
+                    valname: pa.array(
+                        list(range(len(keys))), pa.int64()
+                    ),
+                }
+            )
+        ).repartition(3)
+
+    a = hash_join(mk(lk, "lval"), mk(rk, "rval"), key=["u", "c"],
+                  buckets=4, how=how, plan="tasks").to_pandas()
+    b = hash_join(mk(lk, "lval"), mk(rk, "rval"), key=["u", "c"],
+                  buckets=4, how=how, plan="shuffle").to_pandas()
+    ldf = pd.DataFrame({"u": [k[0] for k in lk],
+                        "c": np.array([k[1] for k in lk], dtype=np.int64),
+                        "lval": np.arange(len(lk), dtype=np.int64)})
+    rdf = pd.DataFrame({"u": [k[0] for k in rk],
+                        "c": np.array([k[1] for k in rk], dtype=np.int64),
+                        "rval": np.arange(len(rk), dtype=np.int64)})
+    rkeys = rdf[["u", "c"]].drop_duplicates()
+    if how in ("inner", "left"):
+        exp = ldf.merge(rdf, on=["u", "c"], how=how)
+    else:
+        hit = ldf.merge(rkeys, on=["u", "c"], how="left",
+                        indicator=True)["_merge"].eq("both").to_numpy()
+        exp = ldf[hit] if how == "semi" else ldf[~hit]
+    cols = sorted(set(exp.columns))
+    if len(exp) == 0:
+        assert len(a) == 0 and len(b) == 0
+        return
+    assert sorted(a.columns) == cols and sorted(b.columns) == cols
+    na, nb, ne = _norm(a, cols), _norm(b, cols), _norm(exp, cols)
+    pd.testing.assert_frame_equal(na, nb, check_dtype=False,
+                                  check_exact=True)
+    pd.testing.assert_frame_equal(na, ne, check_dtype=False,
+                                  check_exact=True)
+
+
 def test_empty_untyped_right_semi_anti(ray_session):
     """An all-empty right side (schema lost by Ray) is the common
     anti-join case — empty exclusion set: anti keeps everything, semi

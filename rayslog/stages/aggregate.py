@@ -221,7 +221,8 @@ def tree_reduce_refs(refs, reduce_fn, fanin: int = 16, final_fn=None):
 
 
 def task_exchange(ds, part_col: str, parts: int, fn,
-                  drop_part_col: bool = True):
+                  drop_part_col: bool = True, pre_fn=None,
+                  return_refs: bool = False):
     """Raw-task hash exchange: the drop-in replacement for
     ``ds.groupby(part_col).map_groups(fn)`` when ``part_col`` is an
     integer partition id in ``[0, parts)`` computed upstream (the
@@ -239,19 +240,37 @@ def task_exchange(ds, part_col: str, parts: int, fn,
     contract, with ``part_col`` already dropped unless
     ``drop_part_col=False``) and may return any table, like
     map_groups.
+
+    Ref-land chaining (r4): ``ds`` may be a LIST of Arrow block refs
+    from a previous ``return_refs=True`` stage — no Dataset executor
+    spins at all (the ~0.2s-per-spin fixed floor measured on 64 tiny
+    blocks).  ``pre_fn`` (Table -> Table, empty-safe) runs inside each
+    split task BEFORE partitioning — fuse cheap per-block transforms
+    (filters, part-id columns) without their own pass.
+    ``return_refs=True`` returns the per-part output refs instead of a
+    Dataset.  Typed-empty outputs survive chaining: an all-empty input
+    keeps one (empty) block ref so every part still flows through
+    ``fn`` with the right schema.
     """
     import numpy as np
     import ray
     import ray.data as rd
 
     P = int(parts)
-    mat = ds.materialize()
-    refs = [
-        r
-        for b in mat.iter_internal_ref_bundles()
-        for r, m in b.blocks
-        if m.num_rows
-    ]
+    if isinstance(ds, list):
+        mat = None
+        refs = list(ds)
+    else:
+        mat = ds.materialize()
+        refs = live_block_refs(mat)
+        if not refs:
+            # keep ONE (empty) block so the schema flows through
+            # pre_fn/fn and the output parts are typed empties
+            refs = [
+                r
+                for b in mat.iter_internal_ref_bundles()
+                for r, _m in b.blocks
+            ][:1]
 
     @ray.remote
     def split(block):
@@ -260,6 +279,8 @@ def task_exchange(ds, part_col: str, parts: int, fn,
             if isinstance(block, pa.Table)
             else pa.Table.from_pandas(block, preserve_index=False)
         )
+        if pre_fn is not None:
+            t = pre_fn(t)
         pcol = t.column(part_col)
         if isinstance(pcol, pa.ChunkedArray):
             pcol = pcol.combine_chunks()
@@ -300,13 +321,20 @@ def task_exchange(ds, part_col: str, parts: int, fn,
         return fn(pa.concat_tables(ts, promote_options="default"))
 
     if not part_refs:
+        if return_refs:
+            return []
+        if mat is None:
+            raise ValueError(
+                "task_exchange: empty refs input has no schema to type "
+                "the output — pass a Dataset instead"
+            )
         return mat.map_batches(  # empty input: preserve emptiness+types
             fn, batch_format="pyarrow", zero_copy_batch=True
         )
     out = [
         apply_part.remote(*(pr[p] for pr in part_refs)) for p in range(P)
     ]
-    return rd.from_arrow_refs(out)
+    return out if return_refs else rd.from_arrow_refs(out)
 
 
 def tree_aggregate(

@@ -283,7 +283,12 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
     prepped = ds.map_batches(
         add_chunk_part, batch_format="pyarrow", zero_copy_batch=True
     )
-    subs = task_exchange(prepped, "cpart", parts, per_part_chunks)
+    # phase 1 emits per-part REFS; phase 2 chains on them as raw tasks
+    # with the upart hash fused into its split pass — one Dataset
+    # executor total instead of three (r4 ref-land conversion)
+    sub_refs = task_exchange(
+        prepped, "cpart", parts, per_part_chunks, return_refs=True
+    )
 
     def add_upart(t: pa.Table) -> pa.Table:
         h = _user_hash(t.column("user_id"))
@@ -336,10 +341,9 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
             }
         )
 
-    withu = subs.map_batches(
-        add_upart, batch_format="pyarrow", zero_copy_batch=True
+    return task_exchange(
+        sub_refs, "upart", parts, stitch_part, pre_fn=add_upart
     )
-    return task_exchange(withu, "upart", parts, stitch_part)
 
 
 def event_type_stats(ds):
@@ -517,11 +521,17 @@ def asof_attribution_partitioned(
         )
         return pa.Table.from_pandas(out, preserve_index=False).cast(sch)
 
-    both = task_exchange(
+    import ray
+
+    # phase 1 emits per-part REFS — phases 2/3 and the carry join chain
+    # as raw tasks on those refs, no Dataset executor per phase (the
+    # measured ~0.2s fixed floor each; r4 ref-land conversion)
+    both_refs = task_exchange(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         "cpart",
         parts,
         per_part_asof,
+        return_refs=True,
     )
 
     def only(flag: bool):
@@ -572,30 +582,32 @@ def asof_attribution_partitioned(
             }
         )
 
-    carry = task_exchange(
-        both.map_batches(
-            only(True), batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(
-            add_upart, batch_format="pyarrow", zero_copy_batch=True
-        ),
+    # summary filter + upart fused into the carry exchange's split pass
+    carry_refs = task_exchange(
+        both_refs,
         "upart",
         parts,
         carry_part,
+        pre_fn=lambda t: add_upart(only(True)(t)),
+        return_refs=True,
     )
-    targets = both.map_batches(
-        only(False), batch_format="pyarrow", zero_copy_batch=True
-    )
+
+    @ray.remote
+    def targets_of(part: pa.Table) -> pa.Table:
+        return only(False)(part).select(
+            ["event_id", "user_id", "ts", "last_source_ts", "chunk"]
+        )
+
+    target_refs = [targets_of.remote(r) for r in both_refs]
 
     from rayslog.stages.relational import hash_join
 
     # carry joins back on the (user_id, chunk) TUPLE — composite-key
     # hash_join, any key type (the retired _uc_key bit pack capped
-    # user_id at 2^42 and required ints)
+    # user_id at 2^42 and required ints); both sides are ref lists
     joined = hash_join(
-        targets.select_columns(
-            ["event_id", "user_id", "ts", "last_source_ts", "chunk"]
-        ),
-        carry,
+        target_refs,
+        carry_refs,
         key=["user_id", "chunk"],
         how="left",
     )

@@ -199,6 +199,10 @@ def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
 
     keys = [key] if isinstance(key, str) else list(key)
     plan = plan or os.environ.get("RAYSLOG_JOIN_PLAN", "tasks")
+    if isinstance(left_ds, list) or isinstance(right_ds, list):
+        # ref-land sides (return_refs=True exchanges) only exist on
+        # the task plan; the legacy shuffle A/B needs Datasets
+        return _task_hash_join(left_ds, right_ds, keys, buckets, how)
     if plan == "tasks":
         return _task_hash_join(left_ds, right_ds, keys, buckets, how)
 
@@ -302,6 +306,19 @@ def _task_hash_join(left_ds, right_ds, keys: list[str], buckets: int,
     P = int(buckets)
 
     def _block_refs(ds):
+        if isinstance(ds, list):
+            # ref-land side (a return_refs=True exchange / raw tasks):
+            # no executor spin; schema from the first block — exchanges
+            # keep at least one typed (possibly empty) block
+            refs = list(ds)
+            if refs:
+                blk = ray.get(refs[0])
+                if not isinstance(blk, pa.Table):
+                    blk = pa.Table.from_pandas(blk, preserve_index=False)
+                # empty refs flow through split harmlessly — no
+                # per-ref metadata fetch needed
+                return refs, blk.schema
+            return refs, None
         mat = ds.materialize()
         refs = [
             r

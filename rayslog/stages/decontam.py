@@ -268,7 +268,12 @@ def dup_span_stats(
 
     from rayslog.stages.aggregate import task_exchange
 
-    per_part = task_exchange(rows, "gpart", parts, resolve_part)
+    # phase 1 emits per-part REFS; the doc-total exchange chains on
+    # them as raw tasks with the dpart hash fused into its split pass
+    # (one Dataset executor total instead of two; r4 ref-land)
+    per_part_refs = task_exchange(
+        rows, "gpart", parts, resolve_part, return_refs=True
+    )
 
     # cross-part per-doc totals: bounded-parts exchange (hash(doc) %
     # parts) with a vectorized in-part Arrow sum — scale-safe (doc
@@ -290,12 +295,7 @@ def dup_span_stats(
         return out.rename_columns(["doc_id", "n_grams", "n_dup_grams"])
 
     totals = task_exchange(
-        per_part.map_batches(
-            add_dpart, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        "dpart",
-        parts,
-        sum_docs,
+        per_part_refs, "dpart", parts, sum_docs, pre_fn=add_dpart
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -383,9 +383,13 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
             }
         )
 
-    pairs = task_exchange(banded, "bpart", bucket_parts, part_pairs)
+    pair_refs = task_exchange(
+        banded, "bpart", bucket_parts, part_pairs, return_refs=True
+    )
     if not dedupe:
-        return pairs  # raw stream: sentinels (doc_a=-1) included
+        import ray.data as rd
+
+        return rd.from_arrow_refs(pair_refs)  # sentinels (doc_a=-1) included
 
     def check_sentinels(t: pa.Table) -> pa.Table:
         neg = pc.equal(t.column("doc_a"), -1)
@@ -400,21 +404,20 @@ def minhash_candidates(ds, bands: int = 32, rows_per_band: int = 4,
             )
         return t.filter(pc.invert(neg))
 
-    pairs = pairs.map_batches(
-        check_sentinels, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     # dedupe pairs found in multiple bands: distinct is re-applicable,
-    # so it runs through the combiner tree instead of a second shuffle
+    # so it runs through the REF-LEVEL combiner tree straight over the
+    # exchange's output refs (no extra executor; the sentinel check
+    # rides the first combine round — idempotent, raises loudly)
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        return t.group_by(["doc_a", "doc_b"]).aggregate([])
+        return check_sentinels(t).group_by(["doc_a", "doc_b"]).aggregate([])
 
-    def _empty():
-        import ray.data as rd
+    import ray.data as rd
 
+    from rayslog.stages.aggregate import tree_reduce_refs
+
+    if not pair_refs:
         return rd.from_arrow(_empty_pairs)
-
-    return tree_reduce(pairs, distinct_pairs, empty_fn=_empty)
+    return rd.from_arrow(tree_reduce_refs(pair_refs, distinct_pairs))
 
 
 def _oversize_msg(n_over: int, max_bucket: int) -> str:

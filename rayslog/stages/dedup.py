@@ -113,14 +113,18 @@ def dedup_incremental(new_ds, old_ds, id_col: str = "doc_id",
     new_keyed = new_ds.map_batches(
         keyed_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
-    survivors = task_exchange(new_keyed, "hpart", parts, keep_first)
+    # the keep-first exchange emits refs; the anti join consumes them
+    # directly (left side spins no second executor)
+    surv_refs = task_exchange(
+        new_keyed, "hpart", parts, keep_first, return_refs=True
+    )
     old_keys = old_ds.map_batches(
         lambda t: keyed(t).select(["hk"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return hash_join(
-        survivors, old_keys, key="hk", how="anti"
+        surv_refs, old_keys, key="hk", how="anti"
     ).select_columns([id_col])
 
 
@@ -496,7 +500,11 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
 
     from rayslog.stages.aggregate import task_exchange
 
-    per_bucket = task_exchange(banded, "bpart", bucket_parts, bucket_mins)
+    # bucket-min exchange emits REFS; the doc-min exchange chains on
+    # them with the dpart column fused into its split (one executor)
+    per_bucket_refs = task_exchange(
+        banded, "bpart", bucket_parts, bucket_mins, return_refs=True
+    )
 
     # per-doc min over bucket_mins.  NOT groupby(doc_id).aggregate(Min):
     # Ray's sort-aggregate at ~10^6 groups is pathological (measured:
@@ -537,12 +545,7 @@ def minhash_dedup_survivors(ds, bands: int = 32, rows_per_band: int = 4,
         )
 
     parents = task_exchange(
-        per_bucket.map_batches(
-            add_dpart, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        "dpart",
-        dparts,
-        part_parents,
+        per_bucket_refs, "dpart", dparts, part_parents, pre_fn=add_dpart
     )
 
     def survivors(t: pa.Table) -> pa.Table:

@@ -537,33 +537,56 @@ def tf_idf_top_terms(ds, n_docs: int, k: int = 3, dparts: int = 64,
             }
         )
 
-    terms = ds.map_batches(
+    # ONE corpus scan: the exploded term table materializes once and
+    # its blocks feed BOTH the document-frequency exchange and the
+    # term⨝df join (the old plan scanned the corpus twice — df pass +
+    # join-left pass — and paid Ray's sort-shuffle for the df groupby).
+    from rayslog.stages.aggregate import live_block_refs, task_exchange
+
+    terms_mat = ds.map_batches(
         explode_tf, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=8_192,
-    )
+    ).materialize()
+    t_refs = live_block_refs(terms_mat)
+    if not t_refs:  # keep one (empty) block so schemas flow through
+        t_refs = [
+            r
+            for b in terms_mat.iter_internal_ref_bundles()
+            for r, _m in b.blocks
+        ][:1]
 
-    from ray.data.aggregate import Sum
+    # join/df partitioning scales with the corpus (~term rows per
+    # bucket stays bounded); override join_buckets for skewed
+    # vocabularies
+    buckets = join_buckets or max(32, min(4096, n_docs // 20_000))
 
-    def df_partial(t: pa.Table) -> pa.Table:
+    def df_pre(t: pa.Table) -> pa.Table:
         g = (
             t.select(["tok_h"])
             .group_by(["tok_h"])
             .aggregate([([], "count_all")])
+            .rename_columns(["tok_h", "df"])
         )
-        return g.rename_columns(["tok_h", "df"])
+        h = (
+            g.column("tok_h")
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        return g.append_column(
+            "tpart", pa.array((h % np.uint64(buckets)).astype(np.int32))
+        )
 
-    df_table = (
-        terms.map_batches(
-            df_partial, batch_format="pyarrow", zero_copy_batch=True
+    def df_sum(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["tok_h"])
+            .aggregate([("df", "sum")])
+            .rename_columns(["tok_h", "df"])
         )
-        .groupby("tok_h")
-        .aggregate(Sum("df", alias_name="df"))
+
+    df_refs = task_exchange(
+        t_refs, "tpart", buckets, df_sum, pre_fn=df_pre, return_refs=True
     )
-
-    # join partitioning scales with the corpus (~term rows per bucket
-    # stays bounded); override join_buckets for skewed vocabularies
-    buckets = join_buckets or max(32, min(4096, n_docs // 20_000))
-    joined = hash_join(terms, df_table, key="tok_h", buckets=buckets)
+    joined = hash_join(t_refs, df_refs, key="tok_h", buckets=buckets)
 
     def score(t: pa.Table) -> pa.Table:
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -82,11 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": p.q_dup_clusters,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "embed_kmeans": p.q_embed_kmeans,
-        "cluster_profile": p.q_cluster_profile,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "decontaminate": p.q_decontaminate,
         "decontam_survivors": p.q_decontam_survivors,
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
+        "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
         "curation": p.q_curation,
         "shuffle_shards": p.q_shuffle_shards,
         # ---------------- driver window ends here (50) ----------------
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": p.q_lm_score,
         "domain_mix": p.q_domain_mix,
         "dup_spans": p.q_dup_spans,
+        "cluster_profile": p.q_cluster_profile,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)

@@ -967,6 +967,27 @@ def ensure_ivf_index(sf_dir: str):
     )
 
 
+#: cosine threshold shared by q_cosine_dups_ivf and its SQL oracle
+#: (same operator parameter as q_cosine_dups: the synthetic corpus is
+#: near-orthogonal random, planted near-dups sit at ~0.4-0.5)
+COSINE_IVF_THRESHOLD = 0.4
+
+
+def q_cosine_dups_ivf(sf_dir: str):
+    """IVF-bucketed embedding near-dup pairs (frozen persisted
+    centroids partition the corpus; exact round-6 cosine within each
+    bucket).  ORACLE-CHECKED — deterministic unlike the LSH sibling:
+    the oracle spells the same bucket-local semantics, so the
+    candidate-pruning recall trade (border pairs are skipped BY
+    DEFINITION on both sides) never reaches the comparison."""
+    from rayslog.stages.ann import cosine_dups_bucketed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_dups_bucketed(
+        ds, ensure_ivf_index(sf_dir), threshold=COSINE_IVF_THRESHOLD
+    )
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF top-10 over a PERSISTED bucket-partitioned index (built once
     per corpus under /tmp, reused across calls; probing reads only the

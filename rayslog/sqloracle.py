@@ -420,6 +420,47 @@ SELECT k.doc_id, k.lang, k.source FROM kept k JOIN surv USING (doc_id)
     )
 
 
+def _centroid_values_sql(sf_dir: str) -> str:
+    """The persisted IVF index's frozen centroids as SQL VALUES rows
+    (builds the index on first use — needs an active ray session)."""
+    from rayslog import pipeline as p
+
+    cents = p.ensure_ivf_index(sf_dir).centroids
+    return ",\n  ".join(
+        "(%d, [%s]::DOUBLE[])"
+        % (i, ",".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+
+
+def _cosine_dups_ivf_sql(sf_dir: str) -> str:
+    """cosine_dups_ivf oracle: frozen-centroid argmax assignment (ties
+    to the lowest cid, matching np.argmax) then exact round-6 cosine
+    pairs within each bucket — the same determinism contract as
+    ann_ivf, verified row-for-row at sf0.001/sf0.01."""
+    from rayslog import pipeline as p
+
+    vals = _centroid_values_sql(sf_dir)
+    thr = p.COSINE_IVF_THRESHOLD
+    return f"""
+WITH cents(cid, c) AS (VALUES
+  {vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (
+  SELECT e.vec_id, e.v,
+    (SELECT cid FROM cents
+     ORDER BY list_cosine_similarity(e.v, cents.c) DESC, cid LIMIT 1)
+    AS bucket
+  FROM e
+)
+SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+  round(list_cosine_similarity(a1.v, a2.v), 6) AS score
+FROM a a1 JOIN a a2
+  ON a1.bucket = a2.bucket AND a1.vec_id < a2.vec_id
+WHERE round(list_cosine_similarity(a1.v, a2.v), 6) >= {thr}
+"""
+
+
 def _ann_ivf_sql(sf_dir: str, k: int = 10, nprobe: int = 4,
                  n_queries: int = 8) -> str:
     """ann_ivf oracle (embed_kmeans-style round-6 contract): load the
@@ -431,14 +472,7 @@ def _ann_ivf_sql(sf_dir: str, k: int = 10, nprobe: int = 4,
     sf0.01).  First call per corpus builds the index (needs an active
     ray session — why this entry only exists when a ``sf_dir`` is
     passed to :func:`training_oracle_queries`)."""
-    from rayslog import pipeline as p
-
-    cents = p.ensure_ivf_index(sf_dir).centroids
-    vals = ",\n  ".join(
-        "(%d, [%s]::DOUBLE[])"
-        % (i, ",".join(repr(float(x)) for x in c))
-        for i, c in enumerate(cents)
-    )
+    vals = _centroid_values_sql(sf_dir)
     return f"""
 WITH cents(cid, c) AS (VALUES
   {vals}),
@@ -1153,6 +1187,7 @@ WHERE lower(source) = 'src3'
 """
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
+        q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)
     return q
 
 

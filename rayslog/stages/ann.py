@@ -693,6 +693,84 @@ def cosine_lsh_pairs(ds, threshold: float = 0.4, n_bits: int = 12,
 
 
 # ------------------------------------------------- exact all-pairs dedup
+def cosine_dups_bucketed(ds, index, threshold: float = 0.9):
+    """IVF-bucketed embedding near-dup pairs — the composed scale path
+    the ``cosine_near_dup_pairs`` docstring promises: the persisted
+    index's FROZEN coarse centroids partition the corpus (one
+    broadcast-centroid assignment pass), and exact round-6 cosine
+    pairs are enumerated ONLY within a bucket via one bounded-parts
+    ``task_exchange`` — O(sum B_c²) work instead of O(N²), candidate
+    recall traded at bucket borders (a >=0.9-cosine pair lands in the
+    same argmax bucket w.h.p.).
+
+    Unlike the random-plane LSH sibling (``cosine_lsh_pairs``,
+    rows-only), this is DETERMINISTIC given the persisted centroids,
+    so it carries a full SQL oracle (``sqloracle._cosine_dups_ivf_sql``
+    — same frozen-centroid-literals contract as ann_ivf).  Ties in the
+    assignment argmax break to the lowest centroid id on both sides.
+
+    Partitioning assumption: one bucket's vectors (and its B_c² score
+    matrix) fit a task — n_centroids ~ sqrt(N) keeps B_c ~ sqrt(N);
+    chunk the in-part matmul if a skewed bucket ever outgrows that.
+    Returns (vec_a, vec_b, score) with vec_a < vec_b.
+    """
+    import ray
+
+    from rayslog.stages.aggregate import task_exchange
+
+    cents = index.centroids
+    n_cells = len(cents)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _norm_rows(_matrix(t.column("embedding")))
+        b = (
+            np.argmax(m @ c.T, axis=1)
+            if len(m)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+                "bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _norm_rows(_matrix(t.column("embedding")))
+        s = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = s[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {
+                "vec_a": pa.array(lo.astype(np.int64)),
+                "vec_b": pa.array(hi.astype(np.int64)),
+                "score": pa.array(s[ia[keep], ib[keep]].astype(np.float64)),
+            }
+        )
+
+    assigned = ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return task_exchange(assigned, "bucket", n_cells, part_pairs)
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.95):
     """All (vec_a, vec_b, score) corpus pairs with cosine >= threshold.
 

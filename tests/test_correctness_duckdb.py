@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "embed_dedup_cc",
     "lm_score",
     "ann_ivf",
+    "cosine_dups_ivf",
     "cosine_dups",
     "events_filtered",
     "asof_attribution",

@@ -394,6 +394,22 @@ def test_asof_partitioned_string_users(ray_session):
         assert strs[c].tolist() == ints[c].tolist(), c
 
 
+def test_cosine_dups_ivf_subset_of_exact(ray_session):
+    """The IVF-bucketed near-dup pairs are a subset of the exact
+    all-pairs result with IDENTICAL scores (bucket pruning only drops
+    border pairs, never alters a kept pair's cosine)."""
+    from rayslog import pipeline as p
+
+    sf = "/root/testdata/sf0.001"
+    ivf = p.q_cosine_dups_ivf(sf).to_pandas()
+    exact = p.q_cosine_dups(sf).to_pandas()
+    assert len(ivf) > 0
+    ex = {(a, b): s for a, b, s in
+          zip(exact["vec_a"], exact["vec_b"], exact["score"])}
+    for a, b, s in zip(ivf["vec_a"], ivf["vec_b"], ivf["score"]):
+        assert (a, b) in ex and ex[(a, b)] == s, (a, b, s)
+
+
 def test_cosine_lsh_subset_of_exact_and_finds_planted(ray_session):
     """LSH-bucketed cosine pairs emit TRUE scores and form a subset of
     the exact operator's result; a strongly-similar planted pair is

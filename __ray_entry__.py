@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": p.q_conv_windows,
         "assistant_spans": p.q_assistant_spans,
         "pack_sequences": p.q_pack_sequences,  # r3 red (oracle type, fixed)
+        "pack_assemble": p.q_pack_assemble,  # new r4, oracle-checked
         "regional_revenue": p.q_regional_revenue,
         "order_priority": p.q_order_priority,
         "cust_order_dist": p.q_cust_order_dist,
@@ -80,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": p.q_dedup_exact,
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
-        "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "embed_kmeans": p.q_embed_kmeans,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         "decontaminate": p.q_decontaminate,
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": p.q_domain_mix,
         "dup_spans": p.q_dup_spans,
         "cluster_profile": p.q_cluster_profile,
+        "dedup_survivors_cc": p.q_dedup_survivors_cc,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)

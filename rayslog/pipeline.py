@@ -768,6 +768,16 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=256)
 
 
+def q_pack_assemble(sf_dir: str):
+    """Materialized packed training shards: one row per 256-token bin
+    (docs joined in doc_id order + doc/token counts) — the emit step
+    after pack_sequences."""
+    from rayslog.stages.pack import pack_assemble
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_assemble(ds, budget=256)
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints; rows-only check."""
     from rayslog.stages.text import rolling_fingerprint

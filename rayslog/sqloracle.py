@@ -734,6 +734,26 @@ SELECT doc_id, n_tokens,
     0) // 256 AS BIGINT) AS bin_id
 FROM t
 """,
+        # the emit step after pack_sequences: one row per bin with the
+        # docs joined in doc_id order (same prefix-sum bin rule)
+        "pack_assemble": r"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, n_tokens,
+    CAST(coalesce(SUM(n_tokens) OVER
+      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) // 256 AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  string_agg(text, chr(10) ORDER BY doc_id) AS sample
+FROM b GROUP BY bin_id
+""",
         # benchmark decontamination: non-eval docs sharing >= 1
         # distinct 4-token-gram with the eval subset (doc_id % 50 = 0),
         # n_shared = the doc's distinct shared grams.  The Ray side

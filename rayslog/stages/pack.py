@@ -134,6 +134,90 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
                          drop_part_col=False)
 
 
+def pack_assemble(ds, budget: int = 256, chunk: int = 4_096,
+                  id_col: str = "doc_id", col: str = "text",
+                  sep: str = "\n", parts: int = 64):
+    """Materialized training shards: one row per bin — the bin's docs
+    joined by ``sep`` in doc_id order, plus doc/token counts.  The
+    step after :func:`pack_sequences` every pretraining pipeline runs
+    to actually EMIT the packed samples.
+
+    Plan: the (small) bin-assignment table from ``pack_sequences``
+    joins the text column via the bucketed ``hash_join`` (text crosses
+    that exchange once), then one bin-hash ``task_exchange`` co-locates
+    each bin and assembles it with the conv_assemble kernel (lexsort +
+    run detection + ``ListArray``/``binary_join`` — no per-bin
+    Python).  Text moves twice end-to-end (join + bin exchange) —
+    inherent: bins are defined by a global prefix sum, so no single
+    partitioning co-locates both the token totals and the bin members.
+    Partitioning assumption: one part's bins' text fits a task — size
+    ``parts`` to the corpus.
+    """
+    from rayslog.stages.relational import hash_join
+
+    bins = pack_sequences(ds, budget=budget, chunk=chunk,
+                          id_col=id_col, col=col)
+    joined = hash_join(
+        ds.map_batches(
+            lambda t: t.select([id_col, col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        bins,
+        key=id_col,
+    )
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        b = t.column("bin_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bpart",
+            pa.array(
+                (b.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+            ),
+        )
+
+    _empty = pa.table(
+        {
+            "bin_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "sample": pa.array([], pa.string()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        idx = pc.sort_indices(
+            t, sort_keys=[("bin_id", "ascending"), (id_col, "ascending")]
+        )
+        s = t.take(idx)
+        b = s.column("bin_id").to_numpy(zero_copy_only=False)
+        ntok = s.column("n_tokens").to_numpy(zero_copy_only=False)
+        first = np.r_[True, b[1:] != b[:-1]]
+        starts = np.nonzero(first)[0]
+        offsets = np.r_[starts, len(b)].astype(np.int32)
+        texts = s.column(col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), texts)
+        return pa.table(
+            {
+                "bin_id": pa.array(b[starts].astype("int64")),
+                "n_docs": pa.array(np.diff(offsets).astype("int64")),
+                "n_tokens": pa.array(
+                    np.add.reduceat(ntok, starts).astype("int64")
+                ),
+                "sample": pc.binary_join(lists, sep),
+            }
+        )
+
+    from rayslog.stages.aggregate import task_exchange
+
+    return task_exchange(joined, "bpart", parts, per_part,
+                         pre_fn=add_bpart)
+
+
 def conversation_windows(ds, k: int = 8, stride: int = 4,
                          conv_col: str = "conv_id",
                          order_col: str = "turn_idx",

@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "length_band_filter",
     "curation",
     "pack_sequences",
+    "pack_assemble",
     "token_quantiles_by_lang",
     "tf_idf",
     "inverted_index",

@@ -194,6 +194,13 @@ def _run_bench() -> dict:
         )
         timed_extra("ann_ivf", lambda: p.q_ann_ivf(SF_DIR).to_pandas())
         timed_extra(
+            "cosine_dups_ivf",
+            lambda: p.q_cosine_dups_ivf(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "pack_assemble", lambda: p.q_pack_assemble(SF_DIR).count()
+        )
+        timed_extra(
             "length_band",
             lambda: p.q_length_band_filter(SF_DIR).count(),
         )

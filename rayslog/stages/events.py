@@ -6,10 +6,13 @@ ordered-partitioned-log pattern: partition by key, sort within the
 group, window with pandas (guide: "Streaming-shaped workloads").
 
 - tumbling window counts: pure vectorized bucketing (no per-group sort
-  needed) + combiner + groupby — scales like any aggregate.
-- session windows: ``groupby(user_id).map_groups`` with a gap rule over
-  the per-user sorted timeline.  Partitioning assumption: one user's
-  events fit in a group (salt by time range if a user is pathological).
+  needed) + per-batch combiner + the raw-task combiner tree — scales
+  like any aggregate.
+- session windows: one user-hash ``task_exchange`` with a vectorized
+  multi-user run-detection pass per part (any user-id type — see
+  ``_user_hash``).  Partitioning assumption: one PART's events fit a
+  task; a single pathological user takes ``sessionize_partitioned``
+  (time-chunk split + stitch, both phases ref-land raw tasks).
 """
 
 from __future__ import annotations

@@ -265,12 +265,31 @@ def task_exchange(ds, part_col: str, parts: int, fn,
         refs = live_block_refs(mat)
         if not refs:
             # keep ONE (empty) block so the schema flows through
-            # pre_fn/fn and the output parts are typed empties
-            refs = [
+            # pre_fn/fn and the output parts are typed empties.  Ray
+            # SKIPS map fns on empty blocks, so a lineage-derived empty
+            # block can be COLUMN-LESS — only keep it if part_col is
+            # actually reachable (directly or via pre_fn); otherwise
+            # fall through to the legacy untyped-empty path below.
+            cand = [
                 r
                 for b in mat.iter_internal_ref_bundles()
                 for r, _m in b.blocks
             ][:1]
+            if cand:
+                import ray as _ray
+
+                blk = _ray.get(cand[0])
+                t0 = (
+                    blk
+                    if isinstance(blk, pa.Table)
+                    else pa.Table.from_pandas(blk, preserve_index=False)
+                )
+                try:
+                    t1 = pre_fn(t0) if pre_fn is not None else t0
+                    if part_col in t1.column_names:
+                        refs = cand
+                except Exception:
+                    pass  # untyped/column-less block: legacy path
 
     @ray.remote
     def split(block):

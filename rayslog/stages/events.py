@@ -283,14 +283,16 @@ def sessionize_partitioned(ds, gap_sec: int = 1_800,
             }
         )
 
-    prepped = ds.map_batches(
-        add_chunk_part, batch_format="pyarrow", zero_copy_batch=True
-    )
     # phase 1 emits per-part REFS; phase 2 chains on them as raw tasks
     # with the upart hash fused into its split pass — one Dataset
-    # executor total instead of three (r4 ref-land conversion)
+    # executor total instead of three (r4 ref-land conversion).  The
+    # chunk/part prep is fused into phase 1's split via pre_fn: it then
+    # runs on the RAW (schema-preserving) blocks, so an all-empty input
+    # still flows typed (Ray skips map fns on empty blocks, which
+    # would strip a lineage-derived empty block to zero columns).
     sub_refs = task_exchange(
-        prepped, "cpart", parts, per_part_chunks, return_refs=True
+        ds, "cpart", parts, per_part_chunks,
+        pre_fn=add_chunk_part, return_refs=True,
     )
 
     def add_upart(t: pa.Table) -> pa.Table:
@@ -528,13 +530,12 @@ def asof_attribution_partitioned(
 
     # phase 1 emits per-part REFS — phases 2/3 and the carry join chain
     # as raw tasks on those refs, no Dataset executor per phase (the
-    # measured ~0.2s fixed floor each; r4 ref-land conversion)
+    # measured ~0.2s fixed floor each; r4 ref-land conversion).  prep
+    # fuses into phase 1's split (pre_fn) so empty inputs stay typed
+    # (Ray skips map fns on empty blocks).
     both_refs = task_exchange(
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        "cpart",
-        parts,
-        per_part_asof,
-        return_refs=True,
+        ds, "cpart", parts, per_part_asof,
+        pre_fn=prep, return_refs=True,
     )
 
     def only(flag: bool):
@@ -608,11 +609,12 @@ def asof_attribution_partitioned(
     # carry joins back on the (user_id, chunk) TUPLE — composite-key
     # hash_join, any key type (the retired _uc_key bit pack capped
     # user_id at 2^42 and required ints); both sides are ref lists
-    joined = hash_join(
+    joined_refs = hash_join(
         target_refs,
         carry_refs,
         key=["user_id", "chunk"],
         how="left",
+        return_refs=True,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -634,9 +636,13 @@ def asof_attribution_partitioned(
             }
         )
 
-    return joined.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # finish as raw tasks over the join refs — a map_batches here would
+    # be SKIPPED on empty blocks (Ray quirk), stripping the typed
+    # schema from an empty result
+    import ray.data as rd
+
+    finish_task = ray.remote(finish)
+    return rd.from_arrow_refs([finish_task.remote(r) for r in joined_refs])
 
 
 def asof_attribution(ds, target: str = "purchase", source: str = "view",

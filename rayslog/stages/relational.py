@@ -157,7 +157,8 @@ def broadcast_join(ds, small_df, key: str, columns: dict[str, str]):
 
 
 def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
-              how: str = "inner", plan: str | None = None):
+              how: str = "inner", plan: str | None = None,
+              return_refs: bool = False):
     """Partitioned hash join for two LARGE sides (no broadcast).
 
     Default plan = **raw-task hash exchange**: each side's blocks are
@@ -199,10 +200,13 @@ def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
 
     keys = [key] if isinstance(key, str) else list(key)
     plan = plan or os.environ.get("RAYSLOG_JOIN_PLAN", "tasks")
-    if isinstance(left_ds, list) or isinstance(right_ds, list):
-        # ref-land sides (return_refs=True exchanges) only exist on
-        # the task plan; the legacy shuffle A/B needs Datasets
-        return _task_hash_join(left_ds, right_ds, keys, buckets, how)
+    if (isinstance(left_ds, list) or isinstance(right_ds, list)
+            or return_refs):
+        # ref-land sides / ref output (return_refs=True exchanges)
+        # only exist on the task plan; the legacy shuffle A/B needs
+        # Datasets
+        return _task_hash_join(left_ds, right_ds, keys, buckets, how,
+                               return_refs=return_refs)
     if plan == "tasks":
         return _task_hash_join(left_ds, right_ds, keys, buckets, how)
 
@@ -292,7 +296,7 @@ _ARROW_JOIN_TYPE = {
 
 
 def _task_hash_join(left_ds, right_ds, keys: list[str], buckets: int,
-                    how: str):
+                    how: str, return_refs: bool = False):
     """The raw-task exchange plan behind :func:`hash_join` (see its
     docstring).  Split tasks copy each block once into per-bucket
     tables (``take`` of disjoint index sets — fresh buffers, so a
@@ -423,7 +427,7 @@ def _task_hash_join(left_ds, right_ds, keys: list[str], buckets: int,
         )
         for p in range(P)
     ]
-    return rd.from_arrow_refs(out_refs)
+    return out_refs if return_refs else rd.from_arrow_refs(out_refs)
 
 
 def top_customers_by_revenue(orders_ds, customer_df=None, k: int = 10,

@@ -137,3 +137,118 @@ def test_exchange_keeps_part_col_when_asked(ray_session):
     ).to_pandas()
     assert set(out.columns) == {"v", "part"}
     assert out.groupby("part")["v"].sum().to_dict() == {0: 4, 1: 6}
+
+
+def test_exchange_ref_land_chaining(ray_session):
+    """return_refs=True -> a second exchange consumes the refs with its
+    part hash fused via pre_fn; results match the two-Dataset plan."""
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    def _group_sum(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["k", "v"]).group_by(["k"]).aggregate([("v", "sum")])
+            .rename_columns(["k", "v"])
+        )
+
+    def add_kpart(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kpart", pa.array((k % 4).astype(np.int32))
+        )
+
+    ds = _ds(parts=8)
+    refs = task_exchange(ds, "part", 8, _group_sum, return_refs=True)
+    assert isinstance(refs, list) and refs
+    out = (
+        task_exchange(refs, "kpart", 4, _group_sum, pre_fn=add_kpart)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    base = (
+        _ds(parts=8)
+        .to_pandas()
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .sort_values("k", ignore_index=True)
+    )
+    assert out["k"].tolist() == base["k"].tolist()
+    assert out["v"].tolist() == base["v"].tolist()
+
+
+def test_exchange_ref_land_empty_input_keeps_types(ray_session):
+    """An all-empty Dataset input still yields typed per-part refs (one
+    schema-bearing empty block flows through fn), so downstream
+    ref-land stages and joins see real schemas."""
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+    )
+
+    def _group_sum(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["k", "v"]).group_by(["k"]).aggregate([("v", "sum")])
+            .rename_columns(["k", "v"])
+        )
+
+    refs = task_exchange(empty, "part", 4, _group_sum, return_refs=True)
+    assert len(refs) == 4
+    blocks = ray.get(refs)
+    for b in blocks:
+        assert b.num_rows == 0
+        assert b.schema.names == ["k", "v"]
+        assert b.schema.field("v").type == pa.int64()
+
+
+def test_empty_events_partitioned_ops_stay_typed(ray_session):
+    """Empty corpus end-to-end through the ref-land two-phase event
+    operators: schemas survive even though every part is empty."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayslog.stages.events import (
+        asof_attribution_partitioned,
+        sessionize_partitioned,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    import ray
+
+    def block_schemas(ds):
+        # Dataset.schema() is None for any all-empty dataset (Ray
+        # quirk) — the chaining contract lives in the BLOCKS
+        refs = [r for b in ds.materialize().iter_internal_ref_bundles()
+                for r, _m in b.blocks]
+        return [sorted(ray.get(r).schema.names) for r in refs]
+
+    s = sessionize_partitioned(empty)
+    assert s.count() == 0
+    for names in block_schemas(s):
+        assert names == [
+            "longest_session_events", "n_events", "n_sessions", "user_id",
+        ]
+    a = asof_attribution_partitioned(empty)
+    assert a.count() == 0
+    for names in block_schemas(a):
+        assert names == ["event_id", "last_source_ts", "ts", "user_id"]
+    assert block_schemas(a), "typed blocks must survive the empty chain"

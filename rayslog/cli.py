@@ -37,6 +37,26 @@ def _init_ray(num_cpus: int | None = None):
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
+def cmd_pack(args) -> int:
+    _init_ray(args.num_cpus)
+    import pyarrow.parquet as pq
+
+    from rayslog.state.checkpoint import run_resumable_pack
+
+    files = sorted(glob.glob(f"{args.input}/*.parquet")) if os.path.isdir(
+        args.input
+    ) else [args.input]
+    done, final = run_resumable_pack(
+        files, args.out, budget=args.budget
+    )
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{final}/*.parquet")
+    )
+    print(json.dumps({"processed": done, "binned_docs": n, "out": final}))
+    return 0
+
+
 def cmd_run(args) -> int:
     _init_ray(args.num_cpus)
     from rayslog.state.checkpoint import run_resumable_route
@@ -229,6 +249,15 @@ def main(argv=None) -> int:
     p_c.add_argument("--out", required=True)
     p_c.add_argument("--num-cpus", type=int, default=None)
     p_c.set_defaults(fn=cmd_curate)
+
+    p_pk = sub.add_parser(
+        "pack", help="resumable sequence-packing job over document shards"
+    )
+    p_pk.add_argument("--input", required=True)
+    p_pk.add_argument("--out", required=True)
+    p_pk.add_argument("--budget", type=int, default=256)
+    p_pk.add_argument("--num-cpus", type=int, default=None)
+    p_pk.set_defaults(fn=cmd_pack)
 
     p_q = sub.add_parser("query", help="run one named pipeline")
     p_q.add_argument("--name", required=True)

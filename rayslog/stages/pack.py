@@ -42,7 +42,7 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
     ``budget``: tokens per bin; ``chunk``: docs per range partition
     (tune up at scale — parts x 16 B is the driver-side state).
     """
-    import ray
+
 
     def featurize(t: pa.Table) -> pa.Table:
         txt = t.column(col)
@@ -71,6 +71,38 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
     feats = ds.map_batches(
         featurize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    return _bins_from_feats(feats, budget, id_col)
+
+
+def assign_bins(feats_ds, budget: int = 256, chunk: int = 4_096,
+                id_col: str = "doc_id"):
+    """Prefix-sum bin assignment for callers that ALREADY hold token
+    counts — a (doc_id, n_tokens) dataset, e.g. the resumable pack
+    job's stage B re-reading its committed per-partition feature
+    parquet.  Same bins as :func:`pack_sequences`, no text read."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                "part": pa.array((ids // chunk).astype(np.int64)),
+            }
+        )
+
+    feats = feats_ds.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return _bins_from_feats(feats, budget, id_col)
+
+
+def _bins_from_feats(feats, budget: int, id_col: str):
+    """Shared prefix-sum core over a materialized (id, n_tokens, part)
+    dataset: ref-level totals tree -> driver offsets -> range-part
+    exchange."""
+    import ray
+
     refs = live_block_refs(feats)
 
     # per-part token totals via the ref-level combiner tree straight

@@ -279,3 +279,96 @@ def run_resumable_curation(
     shutil.rmtree(final_path, ignore_errors=True)
     os.replace(tmp_final, final_path)
     return processed, final_path
+
+
+def run_resumable_pack(
+    input_files: list[str],
+    out_dir: str,
+    budget: int = 256,
+    chunk: int = 4_096,
+) -> tuple[list[str], str]:
+    """Resumable sequence packing over document parquet shards.
+
+    - **Stage A (per input file, RESUMABLE)** — the text-reading pass:
+      per-doc whitespace token counts land in a per-partition feats
+      parquet of (doc_id, n_tokens) ints (temp-dir + atomic rename,
+      manifest committed last).  A rerun skips committed partitions —
+      text is never re-read.
+    - **Stage B (global, cheap)** — the distributed prefix-sum bin
+      assignment (``pack.assign_bins``) over the SMALL int rows,
+      rewritten atomically every run (it depends on every partition's
+      totals, so re-running it is the correct semantics; cost is
+      O(docs x 16 B), not O(text)).
+
+    Returns (newly processed partitions, bins parquet dir).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.stages.pack import assign_bins
+
+    store = ManifestStore(out_dir)
+    processed = []
+    for path in sorted(input_files):
+        part = partition_id(path)
+        if store.done(part, input_path=path):
+            continue
+        tmp_dir = Path(out_dir) / f"_tmp.{part}.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        tmp_dir.mkdir(parents=True)
+        ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+        def feats(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": pc.cast(
+                        pc.fill_null(
+                            pc.count_substring_regex(
+                                t.column("text"), r"\S+"
+                            ),
+                            0,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        ds.map_batches(
+            feats, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(tmp_dir / "feats"))
+        n_rows = sum(
+            pq.read_metadata(f).num_rows
+            for f in sorted((tmp_dir / "feats").rglob("*.parquet"))
+        )
+        part_dir = Path(out_dir) / part
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        outputs = sorted(
+            str(p.relative_to(part_dir))
+            for p in part_dir.rglob("*.parquet")
+        )
+        store.commit(
+            PartitionResult(
+                partition=part, rows=n_rows, parsed=n_rows, errors=0,
+                outputs=outputs, metrics={"input": path},
+            )
+        )
+        processed.append(part)
+
+    # ---- stage B: global prefix-sum bins over ALL committed feats
+    feat_files = sorted(
+        str(f) for f in Path(out_dir).glob("part-*/feats/*.parquet")
+    )
+    final_path = str(Path(out_dir) / "bins.parquet")
+    bins = assign_bins(
+        rd.read_parquet(feat_files), budget=budget, chunk=chunk
+    )
+    tmp_final = f"{final_path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_final, ignore_errors=True)
+    bins.write_parquet(tmp_final)
+    shutil.rmtree(final_path, ignore_errors=True)
+    os.replace(tmp_final, final_path)
+    return processed, final_path

@@ -1442,3 +1442,51 @@ def test_grouped_kll_tracks_exact_quantiles(ray_session):
             est = float(got[(got["g"] == f"g{gi}") & (got["q"] == lbl)]["value"])
             rank = np.searchsorted(sv, est) / len(sv)
             assert abs(rank - q) < 0.025, (gi, lbl, rank)
+
+
+def test_resumable_pack_job(ray_session, tmp_path):
+    """Stage-A resume + bins identical to the one-shot pack_sequences
+    (the global prefix sum is partition-layout independent)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog import pipeline as p
+    from rayslog.state.checkpoint import partition_id, run_resumable_pack
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    in_a = tmp_path / "in_a.parquet"
+    in_b = tmp_path / "in_b.parquet"
+    half = docs.num_rows // 2
+    pq.write_table(docs.slice(0, half), in_a)
+    pq.write_table(docs.slice(half), in_b)
+    out = tmp_path / "out"
+
+    done, final = run_resumable_pack([str(in_a), str(in_b)], str(out))
+    assert set(done) == {partition_id(str(in_a)), partition_id(str(in_b))}
+    bins = (
+        rd.read_parquet(f"{final}/")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    oneshot = (
+        p.q_pack_sequences(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        bins[sorted(bins.columns)], oneshot[sorted(oneshot.columns)],
+        check_exact=True,
+    )
+
+    # rerun: no partition reprocessed, stage B rewritten deterministically
+    done2, final2 = run_resumable_pack([str(in_a), str(in_b)], str(out))
+    assert done2 == []
+    bins2 = (
+        rd.read_parquet(f"{final2}/")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(bins, bins2, check_exact=True)

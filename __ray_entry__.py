@@ -82,10 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "embed_kmeans": p.q_embed_kmeans,
-        "embed_dedup_cc": p.q_embed_dedup_cc,
         "decontaminate": p.q_decontaminate,
         "decontam_survivors": p.q_decontam_survivors,
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
+        "ann_ivf_incr": p.q_ann_ivf_incr,  # oracle-checked since r4
         "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
         "curation": p.q_curation,
         "shuffle_shards": p.q_shuffle_shards,
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": p.q_dup_spans,
         "cluster_profile": p.q_cluster_profile,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
+        "embed_dedup_cc": p.q_embed_dedup_cc,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # rows-only (LSH structure)
@@ -126,7 +127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": p.q_approx_distinct,  # rows-only (HLL sketch)
         "approx_quantiles": p.q_approx_quantiles,  # rows-only (KLL sketch)
         "approx_quantiles_by_lang": p.q_approx_quantiles_by_lang,  # rows-only (KLL)
-        "ann_ivf_incr": p.q_ann_ivf_incr,    # rows-only (approximate)
         "cosine_dups_lsh": p.q_cosine_dups_lsh,  # rows-only (approximate)
     }
 

@@ -1018,19 +1018,17 @@ def _ivf_cells(n_vecs: int) -> int:
     return max(16, min(4096, int(math.sqrt(max(1, n_vecs)))))
 
 
-def q_ann_ivf_incr(sf_dir: str):
-    """IVF top-10 over the INCREMENTALLY-built sharded IVF store: the
-    corpus ingests as two parity-split appends against centroids
-    FROZEN on the first drop; probing prunes non-probed buckets across
-    every shard.  Rows-only (ANN has no SQL form); pytest proves the
-    sharded store probes identically to a one-shot assignment with the
-    same centroids."""
+def ensure_sharded_ivf(sf_dir: str):
+    """Build-or-load the sharded IVF store (two parity-split appends,
+    centroids FROZEN on the first drop).  Shared by ``q_ann_ivf_incr``
+    and its SQL oracle — with frozen centroids the shard-union probe
+    equals a one-shot assignment (pytest-proven), so the same
+    frozen-centroid-literals SQL contract as ``ann_ivf`` applies."""
     import hashlib
     import re as _re
 
     from rayslog.stages.ann import ShardedIvfIndex
 
-    qv, qi = _query_vectors(sf_dir)
     tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     index = ShardedIvfIndex.create(
@@ -1051,7 +1049,19 @@ def q_ann_ivf_incr(sf_dir: str):
             zero_copy_batch=True,
         )
         index.append_shard(part, name)
-    return index.probe(qv, qi, k=10, nprobe=4)
+    return index
+
+
+def q_ann_ivf_incr(sf_dir: str):
+    """IVF top-10 over the INCREMENTALLY-built sharded IVF store: the
+    corpus ingests as two parity-split appends against centroids
+    FROZEN on the first drop; probing prunes non-probed buckets across
+    every shard.  ORACLE-CHECKED since r4: the frozen centroids make
+    the shard-union probe deterministic and equal to a one-shot
+    assignment, so the ann_ivf SQL contract applies with THIS store's
+    centroid matrix."""
+    qv, qi = _query_vectors(sf_dir)
+    return ensure_sharded_ivf(sf_dir).probe(qv, qi, k=10, nprobe=4)
 
 
 #: probe tokens shared by the Ray query AND its SQL oracle (common

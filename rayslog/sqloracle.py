@@ -420,12 +420,19 @@ SELECT k.doc_id, k.lang, k.source FROM kept k JOIN surv USING (doc_id)
     )
 
 
-def _centroid_values_sql(sf_dir: str) -> str:
-    """The persisted IVF index's frozen centroids as SQL VALUES rows
-    (builds the index on first use — needs an active ray session)."""
+def _centroid_values_sql(sf_dir: str, store: str = "plain") -> str:
+    """A persisted IVF store's frozen centroids as SQL VALUES rows
+    (builds the store on first use — needs an active ray session).
+    ``store``: "plain" (ensure_ivf_index) or "sharded"
+    (ensure_sharded_ivf, centroids frozen on the first drop)."""
     from rayslog import pipeline as p
 
-    cents = p.ensure_ivf_index(sf_dir).centroids
+    idx = (
+        p.ensure_sharded_ivf(sf_dir)
+        if store == "sharded"
+        else p.ensure_ivf_index(sf_dir)
+    )
+    cents = idx.centroids
     return ",\n  ".join(
         "(%d, [%s]::DOUBLE[])"
         % (i, ",".join(repr(float(x)) for x in c))
@@ -462,17 +469,20 @@ WHERE round(list_cosine_similarity(a1.v, a2.v), 6) >= {thr}
 
 
 def _ann_ivf_sql(sf_dir: str, k: int = 10, nprobe: int = 4,
-                 n_queries: int = 8) -> str:
-    """ann_ivf oracle (embed_kmeans-style round-6 contract): load the
-    SAME persisted index ``q_ann_ivf`` probes, export its FROZEN
-    centroids as literal VALUES, and spell argmax assignment -> nprobe
-    pruning -> cosine top-k in SQL.  Valid because both sides break
-    assignment/probe argmax ties to the LOWEST centroid id and round
-    scores to 6 dp before ranking (verified row-for-row at sf0.001 and
-    sf0.01).  First call per corpus builds the index (needs an active
-    ray session — why this entry only exists when a ``sf_dir`` is
-    passed to :func:`training_oracle_queries`)."""
-    vals = _centroid_values_sql(sf_dir)
+                 n_queries: int = 8, store: str = "plain") -> str:
+    """ann_ivf / ann_ivf_incr oracle (embed_kmeans-style round-6
+    contract): load the SAME persisted index the query probes, export
+    its FROZEN centroids as literal VALUES, and spell argmax
+    assignment -> nprobe pruning -> cosine top-k in SQL.  Valid
+    because both sides break assignment/probe argmax ties to the
+    LOWEST centroid id and round scores to 6 dp before ranking
+    (verified row-for-row at sf0.001 and sf0.01).  ``store="sharded"``
+    uses the incremental store's first-drop-frozen centroids — the
+    shard-union probe equals a one-shot assignment (pytest-proven), so
+    the identical SQL applies.  First call per corpus builds the index
+    (needs an active ray session — why these entries only exist when a
+    ``sf_dir`` is passed to :func:`training_oracle_queries`)."""
+    vals = _centroid_values_sql(sf_dir, store=store)
     return f"""
 WITH cents(cid, c) AS (VALUES
   {vals}),
@@ -1207,6 +1217,7 @@ WHERE lower(source) = 'src3'
 """
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
+        q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")
         q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)
     return q
 

@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "embed_dedup_cc",
     "lm_score",
     "ann_ivf",
+    "ann_ivf_incr",
     "cosine_dups_ivf",
     "cosine_dups",
     "events_filtered",
@@ -111,8 +112,7 @@ QUERY_NAMES = [
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
              "doc_fingerprint", "dedup_simhash",
-             "ann_ivf_incr", "media_features",
-             "approx_distinct"]
+             "media_features", "approx_distinct"]
 
 
 @pytest.fixture(scope="module")

@@ -44,11 +44,11 @@ def test_queries_and_oracles_line_up(ray_session):
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
-        "ann_ivf_incr", "cosine_dups_lsh",
+        "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 86 and len(o) == 76
+    assert len(q) == 86 and len(o) == 77
     # the driver oracle-checks only the FIRST 50 entries: every window
     # slot must be oracle-backed (rows-only entries go to the tail)
     assert all(name in o for name in list(q)[:50])

@@ -36,7 +36,8 @@ from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
 
 
 def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
-                   id_col: str = "doc_id", col: str = "text"):
+                   id_col: str = "doc_id", col: str = "text",
+                   return_refs: bool = False):
     """(doc_id, n_tokens, bin_id) for every document.
 
     ``budget``: tokens per bin; ``chunk``: docs per range partition
@@ -71,7 +72,8 @@ def pack_sequences(ds, budget: int = 256, chunk: int = 4_096,
     feats = ds.map_batches(
         featurize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    return _bins_from_feats(feats, budget, id_col)
+    return _bins_from_feats(feats, budget, id_col,
+                            return_refs=return_refs)
 
 
 def assign_bins(feats_ds, budget: int = 256, chunk: int = 4_096,
@@ -97,7 +99,8 @@ def assign_bins(feats_ds, budget: int = 256, chunk: int = 4_096,
     return _bins_from_feats(feats, budget, id_col)
 
 
-def _bins_from_feats(feats, budget: int, id_col: str):
+def _bins_from_feats(feats, budget: int, id_col: str,
+                     return_refs: bool = False):
     """Shared prefix-sum core over a materialized (id, n_tokens, part)
     dataset: ref-level totals tree -> driver offsets -> range-part
     exchange."""
@@ -163,7 +166,7 @@ def _bins_from_feats(feats, budget: int, id_col: str):
     # knows the max part, so the exchange sizes itself to the data
     n_parts = int(totals["part"].max()) + 1 if len(totals) else 1
     return task_exchange(feats, "part", n_parts, assign,
-                         drop_part_col=False)
+                         drop_part_col=False, return_refs=return_refs)
 
 
 def pack_assemble(ds, budget: int = 256, chunk: int = 4_096,
@@ -187,15 +190,15 @@ def pack_assemble(ds, budget: int = 256, chunk: int = 4_096,
     """
     from rayslog.stages.relational import hash_join
 
-    bins = pack_sequences(ds, budget=budget, chunk=chunk,
-                          id_col=id_col, col=col)
+    bin_refs = pack_sequences(ds, budget=budget, chunk=chunk,
+                              id_col=id_col, col=col, return_refs=True)
     joined = hash_join(
         ds.map_batches(
             lambda t: t.select([id_col, col]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ),
-        bins,
+        bin_refs,
         key=id_col,
     )
 

@@ -427,7 +427,8 @@ def q_token_counts(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID (actor pool); rows-only check."""
+    """Heuristic language ID (stopword-hit voting); ORACLE-CHECKED —
+    the SQL mirrors the same stopword-list scoring."""
     from rayslog.stages.text import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -1558,7 +1559,8 @@ def q_host_traffic(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard pairs (the LSH baseline); rows-only."""
+    """Exact n-gram Jaccard pairs (the LSH baseline); ORACLE-CHECKED
+    against the shingle-string all-pairs SQL."""
     from rayslog.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": p.q_dup_clusters,
         "embed_kmeans": p.q_embed_kmeans,
         "decontaminate": p.q_decontaminate,
-        "decontam_survivors": p.q_decontam_survivors,
+        "dedup_survivors_best": p.q_dedup_survivors_best,  # new r4, oracle-checked
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
         "ann_ivf_incr": p.q_ann_ivf_incr,  # oracle-checked since r4
         "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": p.q_dup_spans,
         "cluster_profile": p.q_cluster_profile,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
+        "decontam_survivors": p.q_decontam_survivors,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)

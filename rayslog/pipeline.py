@@ -811,6 +811,55 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dedup_survivors_best(sf_dir: str):
+    """Quality-weighted near-dup dedup: within each connected duplicate
+    component keep the LONGEST member (token count; ties to min
+    doc_id) instead of the min-id rule — the survivor policy real
+    curation runs use when duplicates differ in completeness
+    (truncated crawls, partial re-posts).  Non-component docs survive
+    untouched.  Composition: minhash pair graph -> connected
+    components -> members join token counts via the bucketed
+    hash_join -> per-component window rank k=1 through the combiner
+    tree -> anti-join for singletons.  Output (doc_id, n_tokens)."""
+    from rayslog.stages.aggregate import grouped_top_k
+    from rayslog.stages.cluster import connected_components
+    from rayslog.stages.dedup import minhash_near_dups, tuned_bucket_parts
+    from rayslog.stages.relational import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(
+        ds, threshold=0.5,
+        bucket_parts=tuned_bucket_parts(_table_rows(sf_dir, "documents")),
+    )
+    comps = connected_components(pairs)
+
+    def n_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    feats = ds.map_batches(
+        n_tok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    members = hash_join(feats, comps, key="doc_id")
+    best = grouped_top_k(
+        members, group_col="cluster_id", value_col="n_tokens",
+        id_col="doc_id", k=1,
+    ).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    singles = hash_join(feats, comps, key="doc_id", how="anti")
+    return singles.union(best)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate groups: connected components (min-label propagation)
     over the MinHash near-dup pair graph — (doc_id, cluster_id) with

@@ -290,6 +290,44 @@ ORDER BY doc_id
 """
 
 
+def _dedup_survivors_best_sql() -> str:
+    """Oracle for q_dedup_survivors_best: the same recursive closure as
+    _dup_clusters_sql, then the per-component window rank keeps the
+    longest member (ties to min doc_id); non-members pass through."""
+    pairs = _jaccard_sql(threshold=0.5, cap="")
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({pairs}) jp),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(v, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+best AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT c.doc_id, t.n_tokens,
+      row_number() OVER (PARTITION BY c.cluster_id
+                         ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+    FROM comp c JOIN t USING (doc_id))
+  WHERE rn = 1
+)
+SELECT doc_id, n_tokens FROM best
+UNION ALL
+SELECT t.doc_id, t.n_tokens FROM t
+WHERE t.doc_id NOT IN (SELECT doc_id FROM comp)
+"""
+
+
 def _embed_kmeans_sql(k: int = 8, iters: int = 2) -> str:
     """Oracle for q_embed_kmeans — the SAME Lloyd recurrence unrolled
     as chained CTEs: init = round-6 vectors of vec_id<k, each
@@ -630,6 +668,7 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "shuffle_shards": _shuffle_shards_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
+        "dedup_survivors_best": _dedup_survivors_best_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
         # cross-table composition: kmeans assignments (same unrolled
         # Lloyd oracle) joined to documents on the shared id domain

@@ -81,6 +81,7 @@ QUERY_NAMES = [
     "dedup_minhash",
     "dup_clusters",
     "dedup_survivors_cc",
+    "dedup_survivors_best",
     "ngram_jaccard",
     "ann_topk",
     "embed_kmeans",

@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": p.q_top_customers,
         "mktsegment_revenue": p.q_mktsegment_revenue,
         # --- rotation slots (r3-green; rotate these per round) ---
-        "dedup_exact": p.q_dedup_exact,
+        "token_budget_sample": p.q_token_budget_sample,  # new r4, oracle-checked
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "embed_kmeans": p.q_embed_kmeans,
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile": p.q_cluster_profile,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "decontam_survivors": p.q_decontam_survivors,
+        "dedup_exact": p.q_dedup_exact,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,  # rows-only (rolling hash)

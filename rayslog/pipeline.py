@@ -811,6 +811,21 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+#: per-source token budget shared by q_token_budget_sample + its oracle
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Budget-capped deterministic per-domain sample: keep each
+    source's docs in seeded-hash order while the source's running
+    token total stays within TOKEN_BUDGET_PER_SOURCE (hits a target
+    token count per domain instead of a rate)."""
+    from rayslog.stages.sample import token_budget_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return token_budget_sample(ds, budget=TOKEN_BUDGET_PER_SOURCE)
+
+
 def q_dedup_survivors_best(sf_dir: str):
     """Quality-weighted near-dup dedup: within each connected duplicate
     component keep the LONGEST member (token count; ties to min

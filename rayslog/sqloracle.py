@@ -669,6 +669,14 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "dedup_survivors_best": _dedup_survivors_best_sql(),
+        "token_budget_sample": __import__(
+            "rayslog.stages.sample", fromlist=["token_budget_sample_sql"]
+        ).token_budget_sample_sql(
+            "documents",
+            budget=__import__(
+                "rayslog.pipeline", fromlist=["TOKEN_BUDGET_PER_SOURCE"]
+            ).TOKEN_BUDGET_PER_SOURCE,
+        ),
         "embed_kmeans": _embed_kmeans_sql(),
         # cross-table composition: kmeans assignments (same unrolled
         # Lloyd oracle) joined to documents on the shared id domain

@@ -211,3 +211,119 @@ def stratified_sample_sql(
     case = "CASE " + " ".join(preds) + f" ELSE {default_pred} END"
     cols = ", ".join(columns)
     return f"SELECT {cols} FROM {table_sql} WHERE {case}"
+
+
+def token_budget_sample(ds, budget: int, seed: int = 7,
+                        group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        parts: int = 16):
+    """Deterministic token-budget-capped per-domain sample: walk each
+    domain's docs in seeded splitmix64(id) order (ties by id) and keep
+    docs while the domain's INCLUSIVE running token total stays within
+    ``budget`` — the mixture-building step that hits a target token
+    count per domain instead of a rate (rates over-/under-shoot when
+    doc lengths vary; budgets are what a data card specifies).
+
+    Plan: one streaming featurize (id, group, n_tokens, key) — the
+    payload text never leaves the scan — then ONE group-hash
+    ``task_exchange``; inside a part everything is vectorized (group
+    run detection via dictionary codes, lexsort by (group, key, id),
+    cumulative sum with per-run reset).  Bounded strata assumption:
+    the per-group ordered walk lives inside one part, so one group's
+    (id, n_tokens) rows must fit a task — domains/sources are
+    enumerable; for corpus-sized group keys use rate-based
+    ``stratified_sample`` instead.  The SQL oracle is the equivalent
+    window sum (same hash expression, bit-identical order).
+    """
+    import pyarrow.compute as pc
+
+    from rayslog.kernels.texthash import col_hash64
+    from rayslog.stages.aggregate import task_exchange
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("token_budget_sample requires non-negative ids")
+        k = splitmix64(ids.astype(np.uint64), seed)
+        gh = col_hash64(t.column(group_col))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "n_tokens": pc.cast(
+                    pc.fill_null(
+                        pc.count_substring_regex(t.column(text_col), r"\S+"),
+                        0,
+                    ),
+                    pa.int64(),
+                ),
+                "k": pa.array(k.view(np.int64)),
+                "gpart": pa.array(
+                    (gh % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        if not t.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], gtype),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        garr = t.column(group_col)
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        codes = np.asarray(garr.dictionary_encode().indices)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, k, codes))
+        c, nn = codes[order], n[order]
+        cum = np.cumsum(nn)
+        first = np.r_[True, c[1:] != c[:-1]]
+        starts = np.nonzero(first)[0]
+        runs = np.diff(np.r_[starts, len(c)])
+        # reset the running sum at each group's start (exclusive base)
+        base = np.repeat(cum[starts] - nn[starts], runs)
+        keep = (cum - base) <= budget
+        sel = np.asarray(order)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel].astype("int64")),
+                group_col: garr.take(pa.array(sel.astype(np.int64))),
+                "n_tokens": pa.array(n[sel].astype("int64")),
+            }
+        )
+
+    return task_exchange(
+        ds, "gpart", parts, per_part, pre_fn=featurize
+    )
+
+
+def token_budget_sample_sql(table: str, budget: int, seed: int = 7,
+                            group_col: str = "source",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB oracle: the identical splitmix64 order + window sum."""
+    h = sample_sql_hash_expr(id_col, seed)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {group_col},
+    CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT)
+      AS n_tokens,
+    {h} AS k
+  FROM {table}
+),
+w AS (
+  SELECT {id_col}, {group_col}, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY {group_col}
+                        ORDER BY k, {id_col}
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT {id_col}, {group_col}, n_tokens FROM w WHERE cum <= {budget}
+"""

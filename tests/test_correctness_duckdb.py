@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "repetition",
     "stratified_sample",
     "sample_k_per_lang",
+    "token_budget_sample",
     "domain_mix",
     "decontaminate",
     "decontam_survivors",

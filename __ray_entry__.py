@@ -82,7 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "embed_kmeans": p.q_embed_kmeans,
-        "decontaminate": p.q_decontaminate,
+        "contamination_report": p.q_contamination_report,  # new r4, oracle-checked
         "dedup_survivors_best": p.q_dedup_survivors_best,  # new r4, oracle-checked
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
         "ann_ivf_incr": p.q_ann_ivf_incr,  # oracle-checked since r4
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile": p.q_cluster_profile,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "decontam_survivors": p.q_decontam_survivors,
+        "decontaminate": p.q_decontaminate,
         "dedup_exact": p.q_dedup_exact,
         "embed_dedup_cc": p.q_embed_dedup_cc,
         # --- rows-only (no SQL oracle possible) — always the tail ---

@@ -1847,6 +1847,17 @@ def q_value_quantiles(sf_dir: str):
     return exact_quantiles_cents(_read(sf_dir, "events", ["value"]), "value")
 
 
+def q_contamination_report(sf_dir: str):
+    """Eval-side contamination report: for each eval doc (doc_id %
+    DECON_EVAL_MOD == 0, >=4 tokens), the fraction of its distinct
+    4-grams leaking into ANY train doc — the benchmark owner's view
+    of the decontaminate relation."""
+    from rayslog.stages.decontam import contamination_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_report(ds, eval_mod=DECON_EVAL_MOD, n=DECON_N)
+
+
 def q_dup_spans(sf_dir: str):
     """Intra-corpus duplicated-span statistic (Lee et al. 2022 exact
     substring dedup, gram granularity): per doc, the fraction of its

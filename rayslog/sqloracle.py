@@ -669,6 +669,29 @@ FROM base b LEFT JOIN bgm USING (doc_id)
         "dup_clusters": _dup_clusters_sql(),
         "dedup_survivors_cc": _dedup_survivors_cc_sql(),
         "dedup_survivors_best": _dedup_survivors_best_sql(),
+        # eval-side contamination: per eval doc, distinct 4-grams
+        # shared with ANY train doc (gram STRINGS — hash collisions on
+        # the Ray side would surface as a mismatch)
+        "contamination_report": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(t) - 3),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+  ))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(tr.gram) AS BIGINT) AS n_leaked_grams,
+  CAST(count(tr.gram) AS DOUBLE) / count(*) AS leak_frac
+FROM g LEFT JOIN tr USING (gram)
+WHERE g.doc_id % 50 = 0
+GROUP BY g.doc_id
+""",
         "token_budget_sample": __import__(
             "rayslog.stages.sample", fromlist=["token_budget_sample_sql"]
         ).token_budget_sample_sql(

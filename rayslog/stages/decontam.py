@@ -308,3 +308,147 @@ def dup_span_stats(
     return totals.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def contamination_report(
+    ds,
+    eval_mod: int = 50,
+    n: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 64,
+    batch_size: int = 8_192,
+):
+    """EVAL-side contamination report — the inverse view of
+    :func:`decontaminate`: for every eval doc (``doc_id % eval_mod ==
+    0``, >= n tokens), the fraction of its DISTINCT n-grams that leak
+    into ANY train doc.  What a benchmark owner reads to judge how
+    compromised each eval item is (decontaminate answers the
+    train-side question: which train docs to drop).
+
+    Same 100-TB shape as :func:`dup_span_stats` — the train side is
+    corpus-sized, so no broadcast is possible; equal grams co-locate
+    once through a gram-hash bounded-parts exchange, leak flags
+    resolve vectorized inside each part, and per-eval-doc partials sum
+    through a second (ref-land-chained) doc-hash exchange.  Returns
+    (doc_id, n_grams, n_leaked_grams, leak_frac).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys, gram_row = _gram_keys(t.column(col), n)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "is_eval": pa.array([], pa.bool_()),
+                "g1": pa.array([], pa.uint64()),
+                "g2": pa.array([], pa.uint64()),
+                "gpart": pa.array([], pa.int32()),
+            }
+        )
+        if not len(keys):
+            return empty
+        rec = np.empty(len(keys), dtype=[("d", ">i8"), ("k", "S16")])
+        rec["d"] = gram_row
+        rec["k"] = keys
+        uniq = np.unique(rec.view("S24")).view(rec.dtype)
+        pair = np.ascontiguousarray(uniq["k"]).view(">u8").reshape(-1, 2)
+        g1 = pair[:, 0].astype(np.uint64)
+        g2 = pair[:, 1].astype(np.uint64)
+        mix = ((g1 ^ g2) * _GRAM_K) >> _U64(33)
+        d = ids[uniq["d"].astype(np.int64)].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "is_eval": pa.array(d % eval_mod == 0),
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                "gpart": pa.array((mix % _U64(parts)).astype(np.int32)),
+            }
+        )
+
+    rows = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+    _empty_part = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_leaked_grams": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+        }
+    )
+
+    def resolve_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_part
+        g1 = t.column("g1").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g2 = t.column("g2").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ev = t.column("is_eval").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g2, g1))
+        s1, s2, sev = g1[order], g2[order], ev[order]
+        first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        run_id = np.cumsum(first) - 1
+        # a gram leaks iff its run holds >= 1 TRAIN (non-eval) row
+        has_train = np.zeros(run_id[-1] + 1, dtype=bool)
+        np.logical_or.at(has_train, run_id, ~sev)
+        leaked_sorted = has_train[run_id]
+        leaked = np.empty(len(s1), dtype=bool)
+        leaked[order] = leaked_sorted
+        keep = ev  # report eval docs only
+        if not keep.any():
+            return _empty_part
+        out = (
+            pa.table(
+                {
+                    "doc_id": pa.array(doc[keep]),
+                    "leak": pa.array(leaked[keep].astype(np.int64)),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("leak", "sum"), ([], "count_all")])
+        )
+        return out.rename_columns(["doc_id", "n_leaked_grams", "n_grams"])
+
+    from rayslog.stages.aggregate import task_exchange
+
+    per_part_refs = task_exchange(
+        rows, "gpart", parts, resolve_part, return_refs=True
+    )
+
+    def add_dpart(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mix = (d.astype(np.uint64) * _GRAM_K) >> _U64(33)
+        return t.append_column(
+            "dpart", pa.array((mix % _U64(parts)).astype(np.int32))
+        )
+
+    def sum_docs(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["doc_id", "n_grams", "n_leaked_grams"])
+            .group_by(["doc_id"])
+            .aggregate([("n_grams", "sum"), ("n_leaked_grams", "sum")])
+        )
+        return out.rename_columns(["doc_id", "n_grams", "n_leaked_grams"])
+
+    totals = task_exchange(
+        per_part_refs, "dpart", parts, sum_docs, pre_fn=add_dpart
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nl = t.column("n_leaked_grams").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "n_leaked_grams": t.column("n_leaked_grams"),
+                "leak_frac": pa.array(nl.astype(np.float64) / ng),
+            }
+        )
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

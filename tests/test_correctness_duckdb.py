@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "domain_mix",
     "decontaminate",
     "decontam_survivors",
+    "contamination_report",
     "dup_spans",
     "top_docs_by_lang",
     "distinct_users_by_type",

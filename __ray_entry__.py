@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": p.q_token_budget_sample,  # new r4, oracle-checked
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
-        "embed_kmeans": p.q_embed_kmeans,
+        "diverse_sample_per_cluster": p.q_diverse_sample_per_cluster,  # new r4
         "contamination_report": p.q_contamination_report,  # new r4, oracle-checked
         "dedup_survivors_best": p.q_dedup_survivors_best,  # new r4, oracle-checked
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": p.q_domain_mix,
         "dup_spans": p.q_dup_spans,
         "cluster_profile": p.q_cluster_profile,
+        "embed_kmeans": p.q_embed_kmeans,
         "dedup_survivors_cc": p.q_dedup_survivors_cc,
         "decontam_survivors": p.q_decontam_survivors,
         "decontaminate": p.q_decontaminate,

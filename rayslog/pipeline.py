@@ -970,6 +970,57 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans(ds, init, iters=2).sort("vec_id")
 
 
+#: docs kept per semantic cluster + hash seed (shared with the oracle)
+DIVERSE_K = 10
+DIVERSE_SEED = 11
+
+
+def q_diverse_sample_per_cluster(sf_dir: str):
+    """Cluster-balanced diverse sampling: keep DIVERSE_K docs per
+    semantic k-means cluster, chosen by seeded uniform hash rank (ties
+    by vec_id) — the diversity-preserving subset selection curation
+    runs over embedding clusters so no semantic mode dominates the
+    sample.  Composes kmeans assignment + the sampling hash + the
+    distributed window rank; fully deterministic, ORACLE-CHECKED
+    against the unrolled-Lloyd CTE + window row_number."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import grouped_top_k
+    from rayslog.stages.kmeans import kmeans
+    from rayslog.stages.sample import splitmix64
+
+    init, _ = _query_vectors(sf_dir, n=8)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    asg = kmeans(emb, init, iters=2).select_columns(["vec_id", "cluster"])
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        k = splitmix64(ids.astype(np.uint64), DIVERSE_SEED)
+        # order-preserving uint64 -> int64 shift: Arrow sorts signed,
+        # the SQL oracle sorts the UBIGINT hash — same permutation
+        rk = (k ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                "cluster": pc.cast(t.column("cluster"), pa.int64()),
+                "rk": pa.array(rk),
+            }
+        )
+
+    keyed = asg.map_batches(
+        add_rank_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = grouped_top_k(
+        keyed, group_col="cluster", value_col="rk", id_col="vec_id",
+        k=DIVERSE_K, ascending=True,
+    )
+    return top.map_batches(
+        lambda t: t.select(["vec_id", "cluster", "rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_cluster_profile(sf_dir: str):
     """Per-cluster language profile: k-means cluster assignments
     (embeddings table) hash-joined with document metadata on the

@@ -328,6 +328,28 @@ WHERE t.doc_id NOT IN (SELECT doc_id FROM comp)
 """
 
 
+def _diverse_sample_sql(k: int = 10, seed: int = 11) -> str:
+    """Oracle for q_diverse_sample_per_cluster: the unrolled-Lloyd
+    assignment CTE + row_number over the identical splitmix64 order
+    (UBIGINT compare == the engine's shifted-int64 order)."""
+    from rayslog.stages.sample import sample_sql_hash_expr
+
+    h = sample_sql_hash_expr("vec_id", seed)
+    return f"""
+WITH asg AS ({_embed_kmeans_sql()}),
+r AS (
+  SELECT vec_id, cluster,
+    row_number() OVER (PARTITION BY cluster
+                       ORDER BY {h}, vec_id) AS rank
+  FROM asg
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(cluster AS BIGINT) AS cluster,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _embed_kmeans_sql(k: int = 8, iters: int = 2) -> str:
     """Oracle for q_embed_kmeans — the SAME Lloyd recurrence unrolled
     as chained CTEs: init = round-6 vectors of vec_id<k, each
@@ -701,6 +723,9 @@ GROUP BY g.doc_id
             ).TOKEN_BUDGET_PER_SOURCE,
         ),
         "embed_kmeans": _embed_kmeans_sql(),
+        # cluster-balanced diverse sampling: same unrolled-Lloyd
+        # assignment CTE + seeded-hash window rank per cluster
+        "diverse_sample_per_cluster": _diverse_sample_sql(),
         # cross-table composition: kmeans assignments (same unrolled
         # Lloyd oracle) joined to documents on the shared id domain
         "cluster_profile": f"""

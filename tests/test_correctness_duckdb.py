@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "ngram_jaccard",
     "ann_topk",
     "embed_kmeans",
+    "diverse_sample_per_cluster",
     "cluster_profile",
     "embed_dedup_cc",
     "lm_score",

@@ -77,20 +77,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,
         "mktsegment_revenue": p.q_mktsegment_revenue,
-        # --- rotation slots (r3-green; rotate these per round) ---
+        # --- rotation slots (never-checked first; rotate per round) ---
         "token_budget_sample": p.q_token_budget_sample,  # new r4, oracle-checked
-        "dedup_minhash": p.q_dedup_minhash,
-        "dup_clusters": p.q_dup_clusters,
+        "promo_revenue": p.q_promo_revenue,  # new r4, oracle-checked
+        "returned_top_customers": p.q_returned_top_customers,  # new r4
+        "large_orders": p.q_large_orders,  # new r4, oracle-checked
+        "event_gaps": p.q_event_gaps,  # new r4, oracle-checked
         "diverse_sample_per_cluster": p.q_diverse_sample_per_cluster,  # new r4
         "contamination_report": p.q_contamination_report,  # new r4, oracle-checked
         "dedup_survivors_best": p.q_dedup_survivors_best,  # new r4, oracle-checked
         "ann_ivf": p.q_ann_ivf,  # oracle-checked since r4 (frozen centroids)
         "ann_ivf_incr": p.q_ann_ivf_incr,  # oracle-checked since r4
         "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
-        "curation": p.q_curation,
-        "shuffle_shards": p.q_shuffle_shards,
         # ---------------- driver window ends here (50) ----------------
         # --- oracle-backed, r3-green, out of this round's rotation ---
+        "dedup_minhash": p.q_dedup_minhash,
+        "dup_clusters": p.q_dup_clusters,
+        "curation": p.q_curation,
+        "shuffle_shards": p.q_shuffle_shards,
+        "brand_supplier_counts": p.q_brand_supplier_counts,  # new r4
+        "idle_customers": p.q_idle_customers,  # new r4, oracle-checked
+        "ship_latency": p.q_ship_latency,  # new r4, oracle-checked
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

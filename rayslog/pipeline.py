@@ -2050,3 +2050,115 @@ def q_distinct_users_by_type(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return distinct_count_by(ds, "event_type", "user_id")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue ratio (one ship month).  The part
+    dim auto-selects broadcast vs the distributed hash_join leg on
+    parquet-metadata row count (the regional_revenue pattern)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import promo_revenue_cents
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "part") <= thresh:
+        part_side = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ).to_pandas()
+    else:
+        part_side = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    return promo_revenue_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        part_side,
+    )
+
+
+def q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue in
+    one quarter, names via k-key filtered read + 25-row nation const."""
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import returned_item_revenue
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    return returned_item_revenue(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        customer_path=f"{sf_dir}/customer.parquet",
+        nation_df=nation,
+    )
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped: orders with total quantity > 250, top-100 by
+    price (HAVING filter inside the orderkey exchange, survivors join
+    orders in ref-land)."""
+    from rayslog.stages.relational import large_orders
+
+    return large_orders(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+    )
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped: distinct suppliers per (brand, size); part
+    attrs broadcast, distinct rides the combiner tree."""
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import brand_supplier_counts
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    return brand_supplier_counts(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]), part
+    )
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22-shaped: above-average-balance customers with no
+    orders, per nation (scalar combiner tree + distributed ANTI join)."""
+    from rayslog.stages.relational import idle_customer_stats
+
+    return idle_customer_stats(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+    )
+
+
+def q_ship_latency(sf_dir: str):
+    """Average order→ship latency (days) per order priority — the
+    date-math join family (sign-safe day-number subtraction)."""
+    from rayslog.stages.relational import ship_latency_by_priority
+
+    return ship_latency_by_priority(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-event-type inter-arrival gap stats (the LAG window shape):
+    one user-hash exchange + vectorized lexsort/diff, exact µs sums."""
+    from rayslog.stages.events import event_gap_stats
+
+    return event_gap_stats(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )

@@ -1310,6 +1310,96 @@ FROM documents
 WHERE lower(source) = 'src3'
   AND list_contains(regexp_extract_all(lower(text), '\S+'), 'data')
 """
+    # --- round-4 TPC-H-shaped join/aggregate families -----------------
+    # rev-in-cents^2 shorthand: price_c * (100 - disc_c), exact BIGINT
+    rc2 = ("CAST(round(l_extendedprice*100) AS BIGINT)"
+           " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+    q["promo_revenue"] = f"""
+WITH j AS (
+  SELECT {rc2} AS rc2, p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l.l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc2 ELSE 0 END) AS DOUBLE)
+         / 10000 AS promo_revenue,
+       CAST(sum(rc2) AS DOUBLE) / 10000 AS total_revenue,
+       100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc2 ELSE 0 END)
+                     AS DOUBLE)
+                / CAST(sum(rc2) AS DOUBLE)) AS promo_pct
+FROM j
+"""
+    q["returned_top_customers"] = f"""
+WITH r AS (
+  SELECT o.o_custkey, CAST(sum({rc2}) AS BIGINT) AS rc2sum
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  GROUP BY o.o_custkey
+)
+SELECT r.o_custkey AS c_custkey,
+  CAST(r.rc2sum AS DOUBLE) / 10000 AS revenue, c.c_name, n.n_name
+FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.rc2sum DESC, r.o_custkey LIMIT 20
+"""
+    q["large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+"""
+    q["brand_supplier_counts"] = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand, p.p_size
+"""
+    q["idle_customers"] = """
+WITH t AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS thresh
+  FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_acctbal
+FROM customer c, t
+WHERE CAST(CAST(round(c.c_acctbal*100) AS BIGINT) AS DOUBLE) > t.thresh
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+"""
+    q["ship_latency"] = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_latency_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+    q["event_gaps"] = """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+)
+SELECT event_type, CAST(count(d) AS BIGINT) AS n_gaps,
+       CAST(sum(d) AS DOUBLE) / CAST(count(d) AS DOUBLE) / 1000000.0
+         AS avg_gap_sec,
+       CAST(max(d) AS DOUBLE) / 1000000.0 AS max_gap_sec
+FROM g WHERE d IS NOT NULL GROUP BY event_type
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

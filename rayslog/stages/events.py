@@ -865,3 +865,101 @@ def funnel_counts(
             }
         )
     )
+
+
+def event_gap_stats(ds, parts: int = 64):
+    """Per-event-type inter-arrival gap stats (the LAG-window shape).
+
+    For each user's events ordered by (ts, event_id), the gap is the
+    µs delta to that user's previous event, attributed to the CURRENT
+    row's event_type (SQL ``LAG`` semantics).  Output per event_type:
+    n_gaps, avg_gap_sec, max_gap_sec.
+
+    One user-hash ``task_exchange`` (each user's timeline resolves
+    whole in one part — the sessionize partitioning assumption), one
+    vectorized lexsort+diff pass per part, then a 5-ish-key combiner
+    tree over exact int64 µs sums (avg division happens once at the
+    end, identical IEEE expression to the oracle)."""
+    from rayslog.stages.aggregate import task_exchange, tree_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "sum_us": pa.array([], pa.int64()),
+            "max_us": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, ts_s = codes[order], ts[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        gaps = np.empty(len(ts_s), dtype=np.int64)
+        gaps[1:] = ts_s[1:] - ts_s[:-1]
+        gaps = gaps[same]
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et_cur = et.take(pa.array(order[same]))
+        return (
+            pa.table({"event_type": et_cur, "gap": pa.array(gaps)})
+            .group_by(["event_type"])
+            .aggregate([("gap", "sum"), ("gap", "max"), ([], "count_all")])
+            .rename_columns(["event_type", "sum_us", "max_us", "n_gaps"])
+        )
+
+    partials = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+    agg = tree_aggregate(
+        partials,
+        ["event_type"],
+        [("sum_us", "sum"), ("max_us", "max"), ("n_gaps", "sum")],
+        ["sum_us", "max_us", "n_gaps"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_gaps"), pa.float64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_gaps": pc.cast(t.column("n_gaps"), pa.int64()),
+                "avg_gap_sec": pc.divide(
+                    pc.divide(pc.cast(t.column("sum_us"), pa.float64()), n),
+                    1_000_000.0,
+                ),
+                "max_gap_sec": pc.divide(
+                    pc.cast(t.column("max_us"), pa.float64()), 1_000_000.0
+                ),
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

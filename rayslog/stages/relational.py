@@ -968,3 +968,685 @@ def range_join_bands(ds, value_col: str, bands=None):
     return ds.map_batches(
         bander, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: the remaining TPC-H-shaped join/aggregate families
+# (promo ratio Q14, returned-item top-k Q10, large-quantity orders Q18,
+# parts/supplier distinct Q16, idle-customer anti-join Q22, ship-latency
+# date math).  All monetary math in integer cents (exact distributed
+# sums, CLAUDE.md invariant #3); every wide step is the raw-task
+# exchange / combiner tree, never a sort-shuffle.
+# --------------------------------------------------------------------------
+
+
+def _rev_cents2(t: pa.Table) -> pa.ChunkedArray:
+    """price*(1-discount) in cents^2 — exact int64."""
+    price_c = pc.round(
+        pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+    ).cast(pa.int64())
+    disc_c = pc.round(
+        pc.multiply(t.column("l_discount"), pa.scalar(100.0))
+    ).cast(pa.int64())
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+
+
+def promo_revenue_cents(lineitem_ds, part_side,
+                        date_from: str = "1996-09-01",
+                        date_to: str = "1996-10-01",
+                        promo_type: str = "PROMO"):
+    """TPC-H Q14-shaped promo-revenue ratio for one ship month.
+
+    ``part_side`` is either a small pandas frame (p_partkey, p_type) —
+    the broadcast leg, dim ships once via ray.put — or a Dataset — the
+    distributed ``hash_join`` leg for a part table too big to broadcast
+    (callers auto-select on parquet row count, the regional_revenue
+    pattern).  The global two-sum reduce rides the combiner tree; output
+    is ONE row (promo_revenue, total_revenue, promo_pct)."""
+    lo = pa.scalar(date_from).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_to).cast(pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "rev_c2": _rev_cents2(t),
+            }
+        )
+
+    li = lineitem_ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    import pandas as pd
+
+    if isinstance(part_side, pd.DataFrame):
+        joined = broadcast_join(
+            li, part_side, key="p_partkey", columns={"p_type": "p_type"}
+        )
+    else:
+        joined = hash_join(
+            li,
+            part_side.map_batches(
+                lambda t: t.select(["p_partkey", "p_type"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            key="p_partkey",
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_promo = pc.equal(t.column("p_type"), pa.scalar(promo_type))
+        rev = t.column("rev_c2")
+        promo = pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "promo_c2": pa.array(
+                    [pc.sum(promo).as_py() or 0], pa.int64()
+                ),
+                "total_c2": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "promo_c2": pa.array(
+                    [pc.sum(t.column("promo_c2")).as_py() or 0], pa.int64()
+                ),
+                "total_c2": pa.array(
+                    [pc.sum(t.column("total_c2")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        p = t.column("promo_c2")[0].as_py()
+        tot = t.column("total_c2")[0].as_py()
+        return pa.table(
+            {
+                "promo_revenue": pa.array([p / 10_000.0], pa.float64()),
+                "total_revenue": pa.array([tot / 10_000.0], pa.float64()),
+                "promo_pct": pa.array(
+                    [100.0 * (p / tot) if tot else None], pa.float64()
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            final_fn(
+                pa.table(
+                    {
+                        "promo_c2": pa.array([0], pa.int64()),
+                        "total_c2": pa.array([0], pa.int64()),
+                    }
+                )
+            )
+        )
+
+    return tree_reduce(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def returned_item_revenue(lineitem_ds, orders_ds, customer_path: str,
+                          nation_df, k: int = 20, parts: int = 64,
+                          date_from: str = "1996-07-01",
+                          date_to: str = "1996-10-01"):
+    """TPC-H Q10-shaped: top-k customers by revenue on RETURNED items
+    within one order quarter, with customer + nation names attached.
+
+    Plan: per-block partial sums per orderkey on the filtered lineitem
+    side (returnflag='R'), distributed ``hash_join`` with the
+    date-filtered orders projection, per-custkey sums through the
+    custkey-hash ``task_exchange``, global top-k via the combiner tree.
+    Names attach on the FINAL k rows only — customer via a k-key
+    filtered parquet read (O(k) driver memory), nation is a 25-row
+    closure constant."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+        return (
+            pa.table(
+                {"o_orderkey": t.column("l_orderkey"), "rev_c2": _rev_cents2(t)}
+            )
+            .group_by(["o_orderkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["o_orderkey", "rev_c2"])
+        )
+
+    lo = pa.scalar(date_from).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_to).cast(pa.timestamp("us"))
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    joined = hash_join(
+        lineitem_ds.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        orders_ds.map_batches(
+            o_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="o_orderkey",
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey", "rev_c2"])
+            .group_by(["o_custkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["o_custkey", "rev_c2"])
+        )
+        u = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "cpart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "rev_c2": pa.array([], pa.int64()),
+        }
+    )
+
+    def finish_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        return (
+            t.group_by(["o_custkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["o_custkey", "rev_c2"])
+        )
+
+    per_cust = task_exchange(
+        joined.map_batches(
+            cust_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "cpart",
+        parts,
+        finish_part,
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("rev_c2", "descending"), ("o_custkey", "ascending")]
+        ).slice(0, k)
+
+    n_keys = pa.array(
+        nation_df["n_nationkey"].astype("int64").tolist(), pa.int64()
+    )
+    n_names = pa.array(nation_df["n_name"].tolist(), pa.string())
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        keys_l = t.column("o_custkey").to_pylist()
+        import pandas as pd
+
+        if not keys_l:
+            sub = pd.DataFrame(
+                {"c_custkey": [], "c_name": [], "c_nationkey": []}
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            sub = pq.read_table(
+                customer_path,
+                columns=["c_custkey", "c_name", "c_nationkey"],
+                filters=[("c_custkey", "in", keys_l)],
+            ).to_pandas()
+        ck = pa.array(sub["c_custkey"].tolist(), pa.int64())
+        names = pa.array(sub["c_name"].tolist(), pa.string())
+        nk = pa.array(sub["c_nationkey"].astype("int64").tolist(), pa.int64())
+        idx = pc.index_in(pc.cast(t.column("o_custkey"), pa.int64()),
+                          value_set=ck)
+        nidx = pc.index_in(pc.take(nk, idx), value_set=n_keys)
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c2"), pa.float64()), 10_000.0
+                ),
+                "c_name": pc.take(names, idx),
+                "n_name": pc.take(n_names, nidx),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(per_cust, topk, empty_fn=empty_fn, final_fn=final_fn)
+
+
+def large_orders(lineitem_ds, orders_ds, qty_threshold: int = 250,
+                 k: int = 100, parts: int = 64):
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds
+    ``qty_threshold``, top-k by order price.
+
+    Per-block partial qty sums per orderkey ride the orderkey-hash
+    ``task_exchange``; the HAVING filter runs inside each part so only
+    survivors (a ~1% fraction) reach the distributed ``hash_join``
+    against orders — the survivor side stays in ref-land (no executor
+    spin between exchange and join).  Global top-k via the combiner
+    tree; ties broken by o_orderkey for a deterministic LIMIT."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                }
+            )
+            .group_by(["o_orderkey"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["o_orderkey", "qty"])
+        )
+        u = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "opart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "total_qty": pa.array([], pa.int64()),
+        }
+    )
+
+    def finish_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.group_by(["o_orderkey"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["o_orderkey", "total_qty"])
+        )
+        return g.filter(
+            pc.greater(g.column("total_qty"),
+                       pa.scalar(qty_threshold, pa.int64()))
+        )
+
+    survivors = task_exchange(
+        lineitem_ds.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "opart",
+        parts,
+        finish_part,
+        return_refs=True,
+    )
+
+    joined = hash_join(
+        survivors,
+        orders_ds.map_batches(
+            lambda t: t.select(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key="o_orderkey",
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, k)
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+             "total_qty"]
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "total_qty": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(joined, topk, empty_fn=empty_fn, final_fn=final_fn)
+
+
+def brand_supplier_counts(lineitem_ds, part_df):
+    """TPC-H Q16-shaped: distinct suppliers per (p_brand, p_size).
+
+    part attrs broadcast once (ray.put via :func:`broadcast_join`);
+    each batch dedupes its (brand, size, suppkey) triples with one
+    Arrow group_by, and the global distinct rides the combiner tree
+    (distinct is re-applicable).  Partitioning assumption: the global
+    distinct triple set fits one task (bounded by |brand×size| × the
+    per-cell supplier count — ~25×50×|suppliers| worst case; switch the
+    final to the hash-shuffle pair plan past that, the
+    distinct_count_by(final="shuffle") pattern)."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    attached = broadcast_join(
+        lineitem_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": t.column("l_partkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        part_df,
+        key="p_partkey",
+        columns={"p_brand": "p_brand", "p_size": "p_size"},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["p_brand", "p_size", "l_suppkey"])
+            .group_by(["p_brand", "p_size", "l_suppkey"])
+            .aggregate([])
+        )
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["p_brand", "p_size"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_size", "supplier_cnt"])
+        )
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "p_size": pc.cast(g.column("p_size"), pa.int64()),
+                "supplier_cnt": pc.cast(g.column("supplier_cnt"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "p_size": pa.array([], pa.int64()),
+                    "supplier_cnt": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        attached.map_batches(
+            lambda t: partial(t.select(["l_suppkey", "p_brand", "p_size"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        distinct,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
+                        since: str = "2000-01-01"):
+    """TPC-H Q22-shaped: per-nation count + balance of customers whose
+    account balance beats the positive-balance average AND who have no
+    orders on/after ``since`` (every customer in the synthetic corpus
+    has SOME order, so the idle window is what makes the anti-join
+    non-vacuous).
+
+    Two passes over a materialized 3-int-column customer projection
+    (custkey, nationkey, balance cents — ~24 B/row, the pack-fusion
+    pattern so the parquet read runs once): a combiner-tree scalar for
+    the global threshold, then a distributed ANTI ``hash_join`` against
+    the orders custkey projection (the exclusion side is every customer
+    with orders — far too big to broadcast).  Balance sums in exact
+    integer cents; the threshold division is the same IEEE double op on
+    both the engine and DuckDB sides."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "bal_c": pc.round(
+                    pc.multiply(t.column("c_acctbal"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    cust = customer_ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def thresh_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("bal_c"), pa.scalar(0, pa.int64())))
+        return pa.table(
+            {
+                "sum_c": pa.array(
+                    [pc.sum(pos.column("bal_c")).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    def thresh_reduce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sum_c": pa.array(
+                    [pc.sum(t.column("sum_c")).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array(
+                    [pc.sum(t.column("n")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    tr = tree_reduce(
+        cust.map_batches(
+            thresh_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        thresh_reduce,
+    ).to_pandas()
+    n_pos = int(tr["n"][0])
+    # same expression tree as the oracle: CAST(sum AS DOUBLE)/count
+    thresh = float(int(tr["sum_c"][0])) / n_pos if n_pos else float("inf")
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.cast(t.column("bal_c"), pa.float64()),
+                       pa.scalar(thresh))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cut = pa.scalar(since).cast(pa.timestamp("us"))
+
+    def recent_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), cut))
+        return pa.table({"c_custkey": t.column("o_custkey")})
+
+    idle = hash_join(
+        rich,
+        orders_ds.map_batches(
+            recent_orders, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="c_custkey",
+        buckets=buckets,
+        how="anti",
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["c_nationkey", "bal_c"])
+            .group_by(["c_nationkey"])
+            .aggregate([("bal_c", "sum"), ([], "count_all")])
+            .rename_columns(["c_nationkey", "bal_c", "n_cust"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["c_nationkey", "bal_c", "n_cust"])
+            .group_by(["c_nationkey"])
+            .aggregate([("bal_c", "sum"), ("n_cust", "sum")])
+            .rename_columns(["c_nationkey", "bal_c", "n_cust"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "n_cust": pc.cast(t.column("n_cust"), pa.int64()),
+                "total_acctbal": pc.divide(
+                    pc.cast(t.column("bal_c"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    def empty_fn():
+        # a fully-serviced corpus leaves the anti join EMPTY, and Ray
+        # drops an all-empty dataset's schema — emit the typed final
+        # shape directly (final_fn never runs on the empty path)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "n_cust": pa.array([], pa.int64()),
+                    "total_acctbal": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        idle.map_batches(
+            nation_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
+    """Average order→ship latency in days per order priority.
+
+    Distributed ``hash_join`` on orderkey (both sides big), then a
+    per-priority (5-key domain) combiner-tree average over exact int64
+    day sums.  Day arithmetic is day-number subtraction
+    (floor(epoch/86400s), sign-safe — ~2.8k rows ship before their
+    order date in the sandbox data), matching DuckDB's
+    date_diff('day') on DATE-cast timestamps."""
+    DAY_US = 86_400_000_000
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                # positive epochs: truncating int division == floor
+                "oday": pc.divide(
+                    t.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "sday": pc.divide(
+                    t.column("l_shipdate").cast(pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    joined = hash_join(
+        lineitem_ds.map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        orders_ds.map_batches(
+            o_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="o_orderkey",
+        buckets=buckets,
+    )
+
+    from rayslog.stages.aggregate import tree_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.subtract(t.column("sday"), t.column("oday"))
+        return (
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "days": days,
+                }
+            )
+            .group_by(["o_orderpriority"])
+            .aggregate([("days", "sum"), ([], "count_all")])
+            .rename_columns(["o_orderpriority", "days", "n_items"])
+        )
+
+    agg = tree_aggregate(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["o_orderpriority"],
+        [("days", "sum"), ("n_items", "sum")],
+        ["days", "n_items"],
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "avg_latency_days": pc.divide(
+                    pc.cast(t.column("days"), pa.float64()),
+                    pc.cast(t.column("n_items"), pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -112,6 +112,13 @@ QUERY_NAMES = [
     "regional_revenue",
     "order_priority",
     "cust_order_dist",
+    "promo_revenue",
+    "returned_top_customers",
+    "large_orders",
+    "brand_supplier_counts",
+    "idle_customers",
+    "ship_latency",
+    "event_gaps",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

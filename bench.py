@@ -265,6 +265,29 @@ def _run_bench() -> dict:
             "distinct_users",
             lambda: p.q_distinct_users_by_type(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "promo_revenue", lambda: p.q_promo_revenue(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "returned_top_customers",
+            lambda: p.q_returned_top_customers(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "large_orders", lambda: p.q_large_orders(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "brand_supplier_counts",
+            lambda: p.q_brand_supplier_counts(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "idle_customers", lambda: p.q_idle_customers(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "ship_latency", lambda: p.q_ship_latency(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "event_gaps", lambda: p.q_event_gaps(SF_DIR).to_pandas()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

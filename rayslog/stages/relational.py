@@ -1142,6 +1142,11 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_path: str,
         )
         return t.filter(mask).select(["o_orderkey", "o_custkey"])
 
+    # join stays in ref-land: the per-bucket join outputs feed the
+    # custkey exchange directly (pre_fn fusion) and the exchange's part
+    # outputs feed the top-k tree — one executor spin total (the
+    # ~0.2-0.5s-per-spin floor measured across r4 dominated the first
+    # version of this query)
     joined = hash_join(
         lineitem_ds.map_batches(
             li_partial, batch_format="pyarrow", zero_copy_batch=True
@@ -1150,6 +1155,7 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_path: str,
             o_prep, batch_format="pyarrow", zero_copy_batch=True
         ),
         key="o_orderkey",
+        return_refs=True,
     )
 
     def cust_partial(t: pa.Table) -> pa.Table:
@@ -1181,13 +1187,13 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_path: str,
             .rename_columns(["o_custkey", "rev_c2"])
         )
 
-    per_cust = task_exchange(
-        joined.map_batches(
-            cust_partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
+    per_cust_refs = task_exchange(
+        joined,
         "cpart",
         parts,
         finish_part,
+        pre_fn=cust_partial,
+        return_refs=True,
     )
 
     def topk(t: pa.Table) -> pa.Table:
@@ -1233,12 +1239,15 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_path: str,
             }
         )
 
-    def empty_fn():
-        import ray.data as rd
+    import ray.data as rd
 
+    from rayslog.stages.aggregate import tree_reduce_refs
+
+    if not per_cust_refs:
         return rd.from_arrow(final_fn(_empty))
-
-    return tree_reduce(per_cust, topk, empty_fn=empty_fn, final_fn=final_fn)
+    return rd.from_arrow(
+        tree_reduce_refs(per_cust_refs, topk, final_fn=final_fn)
+    )
 
 
 def large_orders(lineitem_ds, orders_ds, qty_threshold: int = 250,
@@ -1304,18 +1313,6 @@ def large_orders(lineitem_ds, orders_ds, qty_threshold: int = 250,
         return_refs=True,
     )
 
-    joined = hash_join(
-        survivors,
-        orders_ds.map_batches(
-            lambda t: t.select(
-                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        key="o_orderkey",
-    )
-
     def topk(t: pa.Table) -> pa.Table:
         return t.sort_by(
             [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
@@ -1327,22 +1324,78 @@ def large_orders(lineitem_ds, orders_ds, qty_threshold: int = 250,
              "total_qty"]
         )
 
-    def empty_fn():
-        import ray.data as rd
+    _empty_out = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.int64()),
+        }
+    )
 
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "o_orderkey": pa.array([], pa.int64()),
-                    "o_custkey": pa.array([], pa.int64()),
-                    "o_orderdate": pa.array([], pa.timestamp("us")),
-                    "o_totalprice": pa.array([], pa.float64()),
-                    "total_qty": pa.array([], pa.int64()),
-                }
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce, tree_reduce_refs
+
+    o_proj = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+
+    # auto-select the survivor leg (the dim-leg policy): the HAVING
+    # filter usually keeps ~1% of orders — below the broadcast bound
+    # the (orderkey, total_qty) pairs ship once via ray.put and orders
+    # filters/joins in ONE pass (no all-orders exchange); past it the
+    # distributed per-bucket hash join runs on the survivor refs.
+    bmax = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    @ray.remote
+    def _nrows(t):
+        return t.num_rows
+
+    n_surv = sum(ray.get([_nrows.remote(r) for r in survivors]))
+    if n_surv == 0:
+        return rd.from_arrow(_empty_out)
+    if n_surv <= bmax:
+        parts_t = [t for t in ray.get(survivors) if t.num_rows]
+        surv = pa.concat_tables(parts_t).combine_chunks()
+        ref = ray.put(
+            (
+                surv.column("o_orderkey").to_numpy(),
+                surv.column("total_qty").to_numpy(),
             )
         )
 
-    return tree_reduce(joined, topk, empty_fn=empty_fn, final_fn=final_fn)
+        def attach(t: pa.Table) -> pa.Table:
+            keys_a, qty_a = _cached_lookup(ref)
+            idx = pc.index_in(t.column("o_orderkey"), value_set=keys_a)
+            t = t.select(o_proj).append_column(
+                "total_qty", pc.take(qty_a, idx)
+            )
+            return t.filter(pc.is_valid(t.column("total_qty")))
+
+        return tree_reduce(
+            orders_ds.map_batches(
+                attach, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            topk,
+            empty_fn=lambda: rd.from_arrow(_empty_out),
+            final_fn=final_fn,
+        )
+
+    # survivors (refs) -> per-bucket join outputs (refs) -> top-k tree
+    jrefs = hash_join(
+        survivors,
+        orders_ds.map_batches(
+            lambda t: t.select(o_proj),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key="o_orderkey",
+        return_refs=True,
+    )
+    return rd.from_arrow(tree_reduce_refs(jrefs, topk, final_fn=final_fn))
 
 
 def brand_supplier_counts(lineitem_ds, part_df):

@@ -90,3 +90,34 @@ def test_top_customers_df_and_path_legs_identical(ray_session):
         via_df.reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_large_orders_survivor_legs_identical(ray_session, monkeypatch):
+    """The survivor side auto-selects broadcast vs distributed hash
+    join on RAYSLOG_BROADCAST_MAX_ROWS; both legs emit identical
+    rows (top-100 order is part of the contract)."""
+    from rayslog import pipeline as p
+
+    base = p.q_large_orders(SF_DIR).to_pandas()
+    assert len(base) > 0
+    monkeypatch.setenv("RAYSLOG_BROADCAST_MAX_ROWS", "1")
+    forced = p.q_large_orders(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True),
+        forced.reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+def test_promo_revenue_part_legs_identical(ray_session, monkeypatch):
+    """The part dim leg auto-selects broadcast vs hash_join; the Q14
+    ratio must not move."""
+    from rayslog import pipeline as p
+
+    base = p.q_promo_revenue(SF_DIR).to_pandas()
+    assert len(base) == 1
+    monkeypatch.setenv("RAYSLOG_BROADCAST_MAX_ROWS", "0")
+    forced = p.q_promo_revenue(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(base), _norm(forced), check_exact=True
+    )

@@ -1492,7 +1492,6 @@ def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
     with orders — far too big to broadcast).  Balance sums in exact
     integer cents; the threshold division is the same IEEE double op on
     both the engine and DuckDB sides."""
-    from rayslog.stages.aggregate import tree_reduce
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1505,22 +1504,40 @@ def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
             }
         )
 
+    import ray
+
+    from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
+
     cust = customer_ds.map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    cust_refs = live_block_refs(cust)
+    if not cust_refs:
+        import ray.data as rd
 
-    def thresh_partial(t: pa.Table) -> pa.Table:
-        pos = t.filter(pc.greater(t.column("bal_c"), pa.scalar(0, pa.int64())))
-        return pa.table(
-            {
-                "sum_c": pa.array(
-                    [pc.sum(pos.column("bal_c")).as_py() or 0], pa.int64()
-                ),
-                "n": pa.array([pos.num_rows], pa.int64()),
-            }
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "n_cust": pa.array([], pa.int64()),
+                    "total_acctbal": pa.array([], pa.float64()),
+                }
+            )
         )
 
     def thresh_reduce(t: pa.Table) -> pa.Table:
+        if "bal_c" in t.column_names:  # raw customer projection blocks
+            pos = t.filter(
+                pc.greater(t.column("bal_c"), pa.scalar(0, pa.int64()))
+            )
+            return pa.table(
+                {
+                    "sum_c": pa.array(
+                        [pc.sum(pos.column("bal_c")).as_py() or 0], pa.int64()
+                    ),
+                    "n": pa.array([pos.num_rows], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "sum_c": pa.array(
@@ -1532,24 +1549,20 @@ def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
             }
         )
 
-    tr = tree_reduce(
-        cust.map_batches(
-            thresh_partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        thresh_reduce,
-    ).to_pandas()
-    n_pos = int(tr["n"][0])
+    tr = tree_reduce_refs(cust_refs, thresh_reduce)
+    n_pos = tr.column("n")[0].as_py()
     # same expression tree as the oracle: CAST(sum AS DOUBLE)/count
-    thresh = float(int(tr["sum_c"][0])) / n_pos if n_pos else float("inf")
+    thresh = float(tr.column("sum_c")[0].as_py()) / n_pos if n_pos else (
+        float("inf")
+    )
 
-    rich = cust.map_batches(
-        lambda t: t.filter(
+    @ray.remote
+    def rich_part(t: pa.Table) -> pa.Table:
+        return t.filter(
             pc.greater(pc.cast(t.column("bal_c"), pa.float64()),
                        pa.scalar(thresh))
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
+
     cut = pa.scalar(since).cast(pa.timestamp("us"))
 
     def recent_orders(t: pa.Table) -> pa.Table:
@@ -1557,24 +1570,24 @@ def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
         return pa.table({"c_custkey": t.column("o_custkey")})
 
     idle = hash_join(
-        rich,
+        [rich_part.remote(r) for r in cust_refs],
         orders_ds.map_batches(
             recent_orders, batch_format="pyarrow", zero_copy_batch=True
         ),
         key="c_custkey",
         buckets=buckets,
         how="anti",
+        return_refs=True,
     )
 
-    def nation_partial(t: pa.Table) -> pa.Table:
-        return (
-            t.select(["c_nationkey", "bal_c"])
-            .group_by(["c_nationkey"])
-            .aggregate([("bal_c", "sum"), ([], "count_all")])
-            .rename_columns(["c_nationkey", "bal_c", "n_cust"])
-        )
-
     def reduce_fn(t: pa.Table) -> pa.Table:
+        if "n_cust" not in t.column_names:  # raw anti-join blocks
+            return (
+                t.select(["c_nationkey", "bal_c"])
+                .group_by(["c_nationkey"])
+                .aggregate([("bal_c", "sum"), ([], "count_all")])
+                .rename_columns(["c_nationkey", "bal_c", "n_cust"])
+            )
         return (
             t.select(["c_nationkey", "bal_c", "n_cust"])
             .group_by(["c_nationkey"])
@@ -1593,30 +1606,12 @@ def idle_customer_stats(customer_ds, orders_ds, buckets: int = 32,
             }
         )
 
-    def empty_fn():
-        # a fully-serviced corpus leaves the anti join EMPTY, and Ray
-        # drops an all-empty dataset's schema — emit the typed final
-        # shape directly (final_fn never runs on the empty path)
-        import ray.data as rd
+    import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "c_nationkey": pa.array([], pa.int64()),
-                    "n_cust": pa.array([], pa.int64()),
-                    "total_acctbal": pa.array([], pa.float64()),
-                }
-            )
-        )
-
-    return tree_reduce(
-        idle.map_batches(
-            nation_partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        reduce_fn,
-        empty_fn=empty_fn,
-        final_fn=final_fn,
-    )
+    # the anti-join bucket refs carry a full schema even when every
+    # bucket is empty (a fully-serviced corpus), so the branching tree
+    # reduces them to the typed zero-row final shape directly
+    return rd.from_arrow(tree_reduce_refs(idle, reduce_fn, final_fn=final_fn))
 
 
 def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
@@ -1654,7 +1649,9 @@ def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
             }
         )
 
-    joined = hash_join(
+    # join buckets stay in ref-land: one partial task per bucket, then
+    # the combiner tree — no executor spins after the two input scans
+    jrefs = hash_join(
         lineitem_ds.map_batches(
             l_prep, batch_format="pyarrow", zero_copy_batch=True
         ),
@@ -1663,34 +1660,37 @@ def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
         ),
         key="o_orderkey",
         buckets=buckets,
+        return_refs=True,
     )
 
-    from rayslog.stages.aggregate import tree_aggregate
-
-    def partial(t: pa.Table) -> pa.Table:
-        days = pc.subtract(t.column("sday"), t.column("oday"))
+    def reduce_fn(t: pa.Table) -> pa.Table:
         return (
-            pa.table(
-                {
-                    "o_orderpriority": t.column("o_orderpriority"),
-                    "days": days,
-                }
-            )
+            t.select(["o_orderpriority", "days", "n_items"])
             .group_by(["o_orderpriority"])
-            .aggregate([("days", "sum"), ([], "count_all")])
+            .aggregate([("days", "sum"), ("n_items", "sum")])
             .rename_columns(["o_orderpriority", "days", "n_items"])
         )
 
-    agg = tree_aggregate(
-        joined.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        ["o_orderpriority"],
-        [("days", "sum"), ("n_items", "sum")],
-        ["days", "n_items"],
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
+    import numpy as np
+    import ray
+
+    # one partial task per join bucket (full bucket parallelism — a
+    # branching first tree round would concat fanin raw buckets into
+    # one task and serialize the aggregation; measured 2x slower)
+    @ray.remote
+    def partial_task(t: pa.Table) -> pa.Table:
+        return reduce_fn(
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "days": pc.subtract(t.column("sday"), t.column("oday")),
+                    "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),
                 "n_items": pc.cast(t.column("n_items"), pa.int64()),
@@ -1699,7 +1699,15 @@ def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
                     pc.cast(t.column("n_items"), pa.float64()),
                 ),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce_refs
+
+    return rd.from_arrow(
+        tree_reduce_refs(
+            [partial_task.remote(r) for r in jrefs], reduce_fn,
+            final_fn=final_fn,
+        )
     )

@@ -68,8 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
-        "price_bands": p.q_price_bands,
-        "value_quantiles": p.q_value_quantiles,
+        "co_purchase_pairs": p.q_co_purchase_pairs,  # new r4, oracle-checked
+        "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": p.q_brand_supplier_counts,  # new r4
         "idle_customers": p.q_idle_customers,  # new r4, oracle-checked
         "ship_latency": p.q_ship_latency,  # new r4, oracle-checked
+        "price_bands": p.q_price_bands,
+        "value_quantiles": p.q_value_quantiles,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

@@ -288,6 +288,13 @@ def _run_bench() -> dict:
         timed_extra(
             "event_gaps", lambda: p.q_event_gaps(SF_DIR).to_pandas()
         )
+        timed_extra(
+            "co_purchase_pairs",
+            lambda: p.q_co_purchase_pairs(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "lang_quartiles", lambda: p.q_lang_quartiles(SF_DIR).count()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2162,3 +2162,41 @@ def q_event_gaps(sf_dir: str):
     return event_gap_stats(
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     )
+
+
+def q_co_purchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: top-50 part pairs by shared-order
+    count (order-part dedupe -> vectorized pair expansion -> pair-hash
+    count exchange -> top-k tree)."""
+    from rayslog.stages.relational import co_purchase_pairs
+
+    return co_purchase_pairs(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    )
+
+
+def q_lang_quartiles(sf_dir: str):
+    """NTILE(4) length quartile of every document within its language
+    (the grouped window-function shape)."""
+    import pyarrow.compute as pc_
+
+    from rayslog.stages.aggregate import grouped_ntile
+
+    out = grouped_ntile(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang",
+        ["n_chars", "doc_id"],
+        n=4,
+        out_col="quartile",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "quartile": pc_.cast(t.column("quartile"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

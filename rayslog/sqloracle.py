@@ -1387,6 +1387,23 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["co_purchase_pairs"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(n AS BIGINT) AS n_orders
+FROM p ORDER BY n DESC, part_a, part_b LIMIT 50
+"""
+    q["lang_quartiles"] = """
+SELECT doc_id, lang,
+  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+       AS BIGINT) AS quartile
+FROM documents
+"""
     q["event_gaps"] = """
 WITH g AS (
   SELECT event_type,

@@ -830,3 +830,70 @@ def grouped_quantiles_int(ds, group_col: str, value_col: str,
             )
         )
     return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def grouped_ntile(ds, group_col: str, order_cols: list[str], n: int = 4,
+                  parts: int = 64, out_col: str = "ntile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY group ORDER BY order_cols)``
+    as a distributed operator: every row gets its bucket index (1-based)
+    within its group's global order.
+
+    One group-hash ``task_exchange`` (all rows of a group resolve in
+    one part — the sessionize partitioning assumption; a group that
+    outgrows a task needs a two-phase rank: per-chunk counts → prefix
+    offsets, the pack_sequences pattern), then one vectorized lexsort +
+    bucket-boundary assignment per part (DuckDB sizing: the first
+    ``len % n`` buckets get the extra row).  Output: the input columns
+    + ``out_col`` (int64)."""
+    import numpy as np
+
+    from rayslog.kernels.texthash import col_hash64
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = col_hash64(t.column(group_col))
+        return t.append_column(
+            "__gpart", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        # Arrow multi-key sort: true value order for ANY order-col type
+        # (a dictionary-encode order would be appearance order — fine
+        # for the PARTITION run detection below, wrong for ORDER BY)
+        order_a = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        order = order_a.to_numpy(zero_copy_only=False)
+        garr = t.column(group_col)
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        g = np.asarray(garr.dictionary_encode().indices)[order]
+        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(g)])
+        base, rem = lens // n, lens % n
+        # bucket sizes per group: rem buckets of (base+1), then base —
+        # row i (0-based within group) maps to
+        #   i // (base+1)             while i < rem*(base+1)
+        #   rem + (i - rem*(base+1)) // base   otherwise
+        within = np.arange(len(g)) - np.repeat(starts, lens)
+        base_r = np.repeat(base, lens)
+        rem_r = np.repeat(rem, lens)
+        cut = rem_r * (base_r + 1)
+        small = within < cut
+        tile = np.where(
+            small,
+            within // np.maximum(base_r + 1, 1),
+            rem_r + (within - cut) // np.maximum(base_r, 1),
+        ).astype(np.int64)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return t.append_column(out_col, pa.array(tile[inv] + 1))
+
+    prepped = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = task_exchange(prepped, "__gpart", parts, per_part)
+    return out

@@ -1711,3 +1711,151 @@ def ship_latency_by_priority(orders_ds, lineitem_ds, buckets: int = 32):
             final_fn=final_fn,
         )
     )
+
+
+def co_purchase_pairs(lineitem_ds, k: int = 50, parts: int = 64):
+    """Market-basket co-occurrence: top-k unordered part pairs that
+    appear together in the most orders.
+
+    Two chained ref-land exchanges: (1) orderkey-hash parts expand each
+    order's distinct item set into its C(n,2) pairs with one vectorized
+    repeat/offset pass (no per-order Python) and pre-count pairs
+    locally; (2) pair-hash parts finish each pair's GLOBAL count (the
+    same pair occurs in many orders, i.e. many orderkey parts — top-k
+    truncation before this co-location would drop pairs) and take the
+    local top-k; the per-part top-ks merge through the combiner tree.
+    Partitioning assumption: one pair part's distinct pairs fit a task
+    — size ``parts`` to the catalog, or add a min-support filter in
+    ``count_part`` for adversarial pair domains."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce_refs
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        u = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "opart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "ppart": pa.array([], pa.int32()),
+        }
+    )
+
+    def expand_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        # re-dedupe across blocks, then expand each order's sorted item
+        # run into pairs: for a run of length n at offset s, pair i<j
+        # maps to (repeat, tiled-offset) index arithmetic
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(ok)])
+        # pairs per run: n*(n-1)/2; left index repeats (n-1, n-2, ...)
+        n_pairs = lens * (lens - 1) // 2
+        if n_pairs.sum() == 0:
+            return _empty.select(["part_a", "part_b", "n_orders", "ppart"])
+        # vectorized combination indices: for each run, left element i
+        # repeats (n-1-i) times, right runs i+1..n-1
+        reps = np.repeat(lens, lens) - (
+            np.arange(lens.sum()) - np.repeat(starts, lens)
+        ) - 1
+        left_idx = np.repeat(np.arange(len(ok)), reps)
+        seq = np.arange(reps.sum())
+        right_idx = seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
+        g2 = (
+            pa.table(
+                {
+                    "part_a": pa.array(pk[left_idx]),
+                    "part_b": pa.array(pk[right_idx]),
+                }
+            )
+            .group_by(["part_a", "part_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["part_a", "part_b", "n_orders"])
+        )
+        # second exchange key: the same pair occurs in many ORDERS (=
+        # many orderkey parts), so counts must co-locate by PAIR before
+        # any top-k truncation
+        a = g2.column("part_a").to_numpy(zero_copy_only=False)
+        b = g2.column("part_b").to_numpy(zero_copy_only=False)
+        mix = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b.astype(np.uint64)
+        )
+        return g2.append_column(
+            "ppart", pa.array((mix % np.uint64(parts)).astype(np.int32))
+        )
+
+    pair_partial_refs = task_exchange(
+        lineitem_ds.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "opart",
+        parts,
+        expand_part,
+        return_refs=True,
+    )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [
+                ("n_orders", "descending"),
+                ("part_a", "ascending"),
+                ("part_b", "ascending"),
+            ]
+        ).slice(0, k)
+
+    def count_part(t: pa.Table) -> pa.Table:
+        # one pair lives wholly in this part — full count, then the
+        # LOCAL top-k (safe: the global top-k is the top-k of per-part
+        # top-ks once counts are final)
+        g = (
+            t.select(["part_a", "part_b", "n_orders"])
+            .group_by(["part_a", "part_b"])
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["part_a", "part_b", "n_orders"])
+        )
+        return _topk(g)
+
+    pair_refs = task_exchange(
+        pair_partial_refs, "ppart", parts, count_part, return_refs=True
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return _topk(t)
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_a": pc.cast(t.column("part_a"), pa.int64()),
+                "part_b": pc.cast(t.column("part_b"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    if not pair_refs:
+        return rd.from_arrow(_empty)
+    return rd.from_arrow(
+        tree_reduce_refs(pair_refs, reduce_fn, final_fn=final_fn)
+    )

@@ -119,6 +119,8 @@ QUERY_NAMES = [
     "idle_customers",
     "ship_latency",
     "event_gaps",
+    "co_purchase_pairs",
+    "lang_quartiles",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -70,10 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
         "co_purchase_pairs": p.q_co_purchase_pairs,  # new r4, oracle-checked
         "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
+        "rolling_avg": p.q_rolling_avg,  # new r4, oracle-checked
         "events_tumbling": p.q_events_tumbling,
         "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
-        "events_sliding": p.q_events_sliding,
         "lineitem_pricing": p.q_lineitem_pricing,
         "top_customers": p.q_top_customers,
         "mktsegment_revenue": p.q_mktsegment_revenue,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency": p.q_ship_latency,  # new r4, oracle-checked
         "price_bands": p.q_price_bands,
         "value_quantiles": p.q_value_quantiles,
+        "events_sliding": p.q_events_sliding,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

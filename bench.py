@@ -295,6 +295,9 @@ def _run_bench() -> dict:
         timed_extra(
             "lang_quartiles", lambda: p.q_lang_quartiles(SF_DIR).count()
         )
+        timed_extra(
+            "rolling_avg", lambda: p.q_rolling_avg(SF_DIR).count()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2200,3 +2200,14 @@ def q_lang_quartiles(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_rolling_avg(sf_dir: str):
+    """Per-event rolling mean of the user's last 4 values (the
+    frame-window ROWS BETWEEN shape) — exact int-cents prefix sums."""
+    from rayslog.stages.events import rolling_value_avg
+
+    return rolling_value_avg(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        window_rows=4,
+    )

@@ -1387,6 +1387,17 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["rolling_avg"] = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+    CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(sum(c) OVER f AS DOUBLE) / (count(c) OVER f) / 100.0 AS ma_value
+FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
     q["co_purchase_pairs"] = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (

@@ -963,3 +963,84 @@ def event_gap_stats(ds, parts: int = 64):
     return agg.map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def rolling_value_avg(ds, window_rows: int = 4, parts: int = 64):
+    """Frame-window rolling average: for every event, the mean of its
+    user's last ``window_rows`` values (ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW, ordered by ts, event_id) — the moving-average shape.
+
+    One user-hash ``task_exchange`` (a user's timeline resolves whole
+    in one part), then one vectorized pass per part: lexsort, integer
+    cumsum, frame sum = cumsum diff (exact in int64 cents — a float
+    cumsum would drift vs the oracle's per-frame sums), frame length
+    clamped at run starts.  Output per event: user_id, event_id,
+    ma_value (frame mean in currency units)."""
+    from rayslog.stages.aggregate import task_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "value"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "val_c": pc.round(
+                    pc.multiply(t.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "ma_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        vc = t.column("val_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, v = codes[order], vc[order]
+        idx = np.arange(len(u), dtype=np.int64)
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(u)])
+        within = idx - np.repeat(starts, lens)
+        # frame start = max(row - (k-1), run start); frame sum via
+        # exact int64 prefix sums
+        csum = np.cumsum(v)
+        frame_n = np.minimum(within + 1, window_rows)
+        lo = idx - frame_n  # index BEFORE the frame (may be -1-like)
+        lo_sum = np.where(lo >= 0, csum[np.maximum(lo, 0)], 0)
+        # lo points at the last row outside the frame; when the frame
+        # starts at the run start, lo is start-1 — still a valid
+        # global prefix index unless the run starts at 0
+        frame_sum = csum - lo_sum
+        ma = frame_sum.astype(np.float64) / frame_n / 100.0
+        uarr = _take_col(t.column("user_id"), order)
+        return pa.table(
+            {
+                "user_id": uarr,
+                "event_id": pa.array(ev[order]),
+                "ma_value": pa.array(ma),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )

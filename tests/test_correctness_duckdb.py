@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "event_gaps",
     "co_purchase_pairs",
     "lang_quartiles",
+    "rolling_avg",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_purchase_pairs": p.q_co_purchase_pairs,  # new r4, oracle-checked
         "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
         "rolling_avg": p.q_rolling_avg,  # new r4, oracle-checked
-        "events_tumbling": p.q_events_tumbling,
+        "drop_reconcile": p.q_drop_reconcile,  # new r4 (FULL OUTER join)
         "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
         "lineitem_pricing": p.q_lineitem_pricing,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands": p.q_price_bands,
         "value_quantiles": p.q_value_quantiles,
         "events_sliding": p.q_events_sliding,
+        "events_tumbling": p.q_events_tumbling,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

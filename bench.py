@@ -298,6 +298,9 @@ def _run_bench() -> dict:
         timed_extra(
             "rolling_avg", lambda: p.q_rolling_avg(SF_DIR).count()
         )
+        timed_extra(
+            "drop_reconcile", lambda: p.q_drop_reconcile(SF_DIR).to_pandas()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

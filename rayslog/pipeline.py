@@ -2211,3 +2211,94 @@ def q_rolling_avg(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
         window_rows=4,
     )
+
+
+def q_drop_reconcile(sf_dir: str):
+    """FULL OUTER reconciliation of two overlapping document drops
+    (even-id vs third-id slices): per-presence-status doc counts and
+    char totals.  Exercises hash_join(how="full") — unmatched rows of
+    BOTH sides survive with coalesced keys; the classification +
+    count rides one partial task per join bucket + the combiner tree."""
+    import numpy as np
+    import pyarrow.compute as pc_
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce_refs
+    from rayslog.stages.relational import hash_join
+
+    def side(mod: int, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc_.equal(
+                pc_.subtract(
+                    t.column("doc_id"),
+                    pc_.multiply(
+                        pc_.divide(t.column("doc_id"),
+                                   pa.scalar(mod, pa.int64())),
+                        pa.scalar(mod, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            t = t.filter(keep)
+            return pa.table(
+                {"doc_id": t.column("doc_id"), out: t.column("n_chars")}
+            )
+
+        return fn
+
+    docs = lambda out, mod: _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(  # noqa: E731
+        side(mod, out), batch_format="pyarrow", zero_copy_batch=True
+    )
+    jrefs = hash_join(
+        docs("left_chars", 2), docs("right_chars", 3),
+        key="doc_id", how="full", return_refs=True,
+    )
+
+    @ray.remote
+    def classify(t: pa.Table) -> pa.Table:
+        lv = pc_.is_valid(t.column("left_chars"))
+        rv = pc_.is_valid(t.column("right_chars"))
+        status = pc_.if_else(
+            pc_.and_(lv, rv),
+            pa.scalar("both"),
+            pc_.if_else(lv, pa.scalar("left_only"),
+                        pa.scalar("right_only")),
+        )
+        chars = pc_.coalesce(t.column("left_chars"),
+                             t.column("right_chars"))
+        return (
+            pa.table(
+                {
+                    "status": status,
+                    "total_chars": chars,
+                    "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["status"])
+            .aggregate([("total_chars", "sum"), ("n_docs", "sum")])
+            .rename_columns(["status", "total_chars", "n_docs"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["status"])
+            .aggregate([("total_chars", "sum"), ("n_docs", "sum")])
+            .rename_columns(["status", "total_chars", "n_docs"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": t.column("status"),
+                "n_docs": pc_.cast(t.column("n_docs"), pa.int64()),
+                "total_chars": pc_.cast(t.column("total_chars"), pa.int64()),
+            }
+        )
+
+    return rd.from_arrow(
+        tree_reduce_refs(
+            [classify.remote(r) for r in jrefs], reduce_fn,
+            final_fn=final_fn,
+        )
+    )

@@ -1387,6 +1387,21 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["drop_reconcile"] = """
+WITH l AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+r AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+j AS (
+  SELECT CASE WHEN l.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                THEN 'both'
+              WHEN l.doc_id IS NOT NULL THEN 'left_only'
+              ELSE 'right_only' END AS status,
+         coalesce(l.n_chars, r.n_chars) AS chars
+  FROM l FULL JOIN r ON l.doc_id = r.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM j GROUP BY status
+"""
     q["rolling_avg"] = """
 WITH w AS (
   SELECT user_id, event_id, ts,

@@ -192,6 +192,10 @@ def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
     set is too big to ship to every task.  ``how="semi"`` is its
     mirror: left rows whose key DOES appear on the right, emitted once
     regardless of right-side multiplicity (the EXISTS-subquery shape).
+    ``how="full"`` is the FULL OUTER join: unmatched rows of BOTH
+    sides survive with the other side's columns null and the key
+    columns coalesced (Arrow ``full outer`` per bucket — correct
+    because a key's rows land in exactly one bucket on both sides).
     """
     import os
 
@@ -269,7 +273,7 @@ def hash_join(left_ds, right_ds, key: str | list[str], buckets: int = 32,
             return out.astype(
                 {c: types[c].to_pandas_dtype() for c in left_cols}
             )
-        return lg.merge(rg, on=keys, how=how)
+        return lg.merge(rg, on=keys, how="outer" if how == "full" else how)
 
     return both.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
@@ -290,6 +294,7 @@ def _key_hash(t: pa.Table, keys: list[str]):
 _ARROW_JOIN_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }

@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "co_purchase_pairs",
     "lang_quartiles",
     "rolling_avg",
+    "drop_reconcile",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

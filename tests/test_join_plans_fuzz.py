@@ -33,7 +33,7 @@ def _norm(df, cols):
     )
 
 
-@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left"])
+@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left", "full"])
 @settings(max_examples=12, deadline=None)
 @given(
     lk=st.lists(st.integers(0, 12), min_size=0, max_size=30),
@@ -71,6 +71,8 @@ def test_join_plans_agree(ray_session, how, lk, rk, data):
         exp = ldf.merge(rdf, on="k", how="inner")
     elif how == "left":
         exp = ldf.merge(rdf, on="k", how="left")
+    elif how == "full":
+        exp = ldf.merge(rdf, on="k", how="outer")
     elif how == "semi":
         exp = ldf[ldf["k"].isin(rdf["k"])]
     else:

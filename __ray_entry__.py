@@ -74,9 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_reconcile": p.q_drop_reconcile,  # new r4 (FULL OUTER join)
         "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
-        "lineitem_pricing": p.q_lineitem_pricing,
+        "events_cube": p.q_events_cube,  # new r4, oracle-checked
+        "event_pivot": p.q_event_pivot,  # new r4, oracle-checked
         "top_customers": p.q_top_customers,
-        "mktsegment_revenue": p.q_mktsegment_revenue,
         # --- rotation slots (never-checked first; rotate per round) ---
         "token_budget_sample": p.q_token_budget_sample,  # new r4, oracle-checked
         "promo_revenue": p.q_promo_revenue,  # new r4, oracle-checked
@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": p.q_value_quantiles,
         "events_sliding": p.q_events_sliding,
         "events_tumbling": p.q_events_tumbling,
+        "lineitem_pricing": p.q_lineitem_pricing,
+        "mktsegment_revenue": p.q_mktsegment_revenue,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

@@ -301,6 +301,12 @@ def _run_bench() -> dict:
         timed_extra(
             "drop_reconcile", lambda: p.q_drop_reconcile(SF_DIR).to_pandas()
         )
+        timed_extra(
+            "events_cube", lambda: p.q_events_cube(SF_DIR).to_pandas()
+        )
+        timed_extra(
+            "event_pivot", lambda: p.q_event_pivot(SF_DIR).to_pandas()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2302,3 +2302,126 @@ def q_drop_reconcile(sf_dir: str):
             final_fn=final_fn,
         )
     )
+
+
+def q_events_cube(sf_dir: str):
+    """``GROUP BY CUBE(event_type, hour)`` event counts: leaf cells
+    plus BOTH one-dimension subtotals and the grand total, NULL keys
+    marking collapsed levels (the SQL convention).  Leaf aggregation is
+    the combiner tree; all three subtotal levels derive from the
+    reduced leaf block itself (bounded 5x24 domain) — no extra corpus
+    pass (the traffic_rollup pattern, extended to the full cube)."""
+    from rayslog.stages.aggregate import counts_by
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int32()),
+            }
+        )
+
+    leaf = counts_by(
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        alias="n_events",
+        final="tree",
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        et_t = t.schema.field("event_type").type
+        hr_t = t.schema.field("hour").type
+
+        def collapse(keys: list[str]) -> pa.Table:
+            g = (
+                t.select([*keys, "n_events"])
+                .group_by(keys)
+                .aggregate([("n_events", "sum")])
+                .rename_columns([*keys, "n_events"])
+            )
+            n = len(g)
+            return pa.table(
+                {
+                    "event_type": (
+                        g.column("event_type")
+                        if "event_type" in keys
+                        else pa.nulls(n, et_t)
+                    ),
+                    "hour": (
+                        g.column("hour") if "hour" in keys
+                        else pa.nulls(n, hr_t)
+                    ),
+                    "n_events": g.column("n_events"),
+                }
+            )
+
+        total = pa.table(
+            {
+                "event_type": pa.nulls(1, et_t),
+                "hour": pa.nulls(1, hr_t),
+                "n_events": pa.array(
+                    [pc.sum(t.column("n_events")).as_py()], pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [
+                t.select(["event_type", "hour", "n_events"]),
+                collapse(["event_type"]),
+                collapse(["hour"]),
+                total,
+            ]
+        )
+
+    # the reduced leaf is ONE block: batch_size=None keeps it whole
+    return leaf.map_batches(
+        cube, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+#: the pivot column domain — a PIVOT needs a known, fixed column set
+#: (a data-dependent set would make the output schema nondeterministic)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str):
+    """Hour-of-day × event-type PIVOT: one row per hour with a count
+    column per (fixed, documented) event type.  Same tree-reduced leaf
+    as the cube; the pivot is a vectorized index_in/take per type over
+    the single reduced block."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import counts_by
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int32()),
+            }
+        )
+
+    leaf = counts_by(
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        alias="n_events",
+        final="tree",
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        hours = pc.unique(t.column("hour")).sort()
+        cols = {"hour": hours}
+        for et in _EVENT_TYPES:
+            sub = t.filter(pc.equal(t.column("event_type"), pa.scalar(et)))
+            idx = pc.index_in(hours, value_set=sub.column("hour"))
+            cnt = pc.take(sub.column("n_events"), idx)
+            cols[f"n_{et}"] = pc.coalesce(cnt, pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    return leaf.map_batches(
+        pivot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

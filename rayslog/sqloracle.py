@@ -1387,6 +1387,20 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["events_cube"] = """
+SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hour,
+       count(*) AS n_events
+FROM events GROUP BY CUBE(event_type, hour)
+"""
+    q["event_pivot"] = """
+SELECT CAST(date_part('hour', ts) AS INTEGER) AS hour,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
     q["drop_reconcile"] = """
 WITH l AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
 r AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),

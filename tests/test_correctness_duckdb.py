@@ -123,6 +123,8 @@ QUERY_NAMES = [
     "lang_quartiles",
     "rolling_avg",
     "drop_reconcile",
+    "events_cube",
+    "event_pivot",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
         "events_cube": p.q_events_cube,  # new r4, oracle-checked
         "event_pivot": p.q_event_pivot,  # new r4, oracle-checked
-        "top_customers": p.q_top_customers,
+        "above_avg_orders": p.q_above_avg_orders,  # new r4, oracle-checked
         # --- rotation slots (never-checked first; rotate per round) ---
         "token_budget_sample": p.q_token_budget_sample,  # new r4, oracle-checked
         "promo_revenue": p.q_promo_revenue,  # new r4, oracle-checked
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": p.q_events_tumbling,
         "lineitem_pricing": p.q_lineitem_pricing,
         "mktsegment_revenue": p.q_mktsegment_revenue,
+        "top_customers": p.q_top_customers,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

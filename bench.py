@@ -307,6 +307,10 @@ def _run_bench() -> dict:
         timed_extra(
             "event_pivot", lambda: p.q_event_pivot(SF_DIR).to_pandas()
         )
+        timed_extra(
+            "above_avg_orders",
+            lambda: p.q_above_avg_orders(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2425,3 +2425,96 @@ def q_event_pivot(sf_dir: str):
     return leaf.map_batches(
         pivot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery shape: orders priced above their CUSTOMER's
+    average order value, counted per order priority.
+
+    One custkey-hash exchange resolves the correlation: each part holds
+    a customer's orders whole, so the per-customer mean and the filter
+    run in the same vectorized pass.  The comparison is exact integer
+    arithmetic — price > avg  ⟺  price_c * n > sum_c — so no float
+    threshold can drift vs the oracle (which spells the same integer
+    inequality via window sums)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_aggregate
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": cents,
+                "cpart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_above": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], c[order]
+        starts = np.r_[0, np.nonzero(us[1:] != us[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(us)])
+        sums = np.add.reduceat(cs, starts)
+        n_r = np.repeat(lens, lens)
+        sum_r = np.repeat(sums, lens)
+        above = cs * n_r > sum_r  # exact: price_c * n > sum_c
+        et = t.column("o_orderpriority")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        pri = et.take(pa.array(order[above]))
+        return (
+            pa.table(
+                {
+                    "o_orderpriority": pri,
+                    "n_above": pa.array(
+                        np.ones(int(above.sum()), dtype=np.int64)
+                    ),
+                }
+            )
+            .group_by(["o_orderpriority"])
+            .aggregate([("n_above", "sum")])
+            .rename_columns(["o_orderpriority", "n_above"])
+        )
+
+    partials = task_exchange(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cpart",
+        parts,
+        per_part,
+    )
+    agg = tree_aggregate(
+        partials, ["o_orderpriority"], [("n_above", "sum")], ["n_above"]
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_above": pc.cast(t.column("n_above"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

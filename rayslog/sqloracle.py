@@ -1387,6 +1387,18 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["above_avg_orders"] = """
+WITH w AS (
+  SELECT o_orderpriority,
+    CAST(round(o_totalprice*100) AS BIGINT) AS c,
+    count(*) OVER (PARTITION BY o_custkey) AS n,
+    sum(CAST(round(o_totalprice*100) AS BIGINT))
+      OVER (PARTITION BY o_custkey) AS s
+  FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+FROM w WHERE c * n > s GROUP BY o_orderpriority
+"""
     q["events_cube"] = """
 SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hour,
        count(*) AS n_events

@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "drop_reconcile",
     "events_cube",
     "event_pivot",
+    "above_avg_orders",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -880,7 +880,7 @@ def event_gap_stats(ds, parts: int = 64):
     vectorized lexsort+diff pass per part, then a 5-ish-key combiner
     tree over exact int64 µs sums (avg division happens once at the
     end, identical IEEE expression to the oracle)."""
-    from rayslog.stages.aggregate import task_exchange, tree_aggregate
+    from rayslog.stages.aggregate import task_exchange
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.select(["user_id", "ts", "event_id", "event_type"])
@@ -937,14 +937,18 @@ def event_gap_stats(ds, parts: int = 64):
         parts,
         per_part,
     )
-    agg = tree_aggregate(
-        partials,
-        ["event_type"],
-        [("sum_us", "sum"), ("max_us", "max"), ("n_gaps", "sum")],
-        ["sum_us", "max_us", "n_gaps"],
-    )
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["event_type", "sum_us", "max_us", "n_gaps"])
+            .group_by(["event_type"])
+            .aggregate(
+                [("sum_us", "sum"), ("max_us", "max"), ("n_gaps", "sum")]
+            )
+            .rename_columns(["event_type", "sum_us", "max_us", "n_gaps"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
         n = pc.cast(t.column("n_gaps"), pa.float64())
         return pa.table(
             {
@@ -960,8 +964,28 @@ def event_gap_stats(ds, parts: int = 64):
             }
         )
 
-    return agg.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True
+    def empty_fn():
+        # all users have single events -> zero gaps everywhere; a
+        # trailing map_batches would be SKIPPED on the empty blocks and
+        # the output would lose its schema (the Ray all-empty quirk) —
+        # emit the typed final shape directly
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "avg_gap_sec": pa.array([], pa.float64()),
+                    "max_gap_sec": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
 
 

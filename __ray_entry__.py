@@ -72,8 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
         "rolling_avg": p.q_rolling_avg,  # new r4, oracle-checked
         "drop_reconcile": p.q_drop_reconcile,  # new r4 (FULL OUTER join)
-        "events_sessionize": p.q_events_sessionize,
         "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
+        "triangle_count": p.q_triangle_count,  # new r4, oracle-checked
         "events_cube": p.q_events_cube,  # new r4, oracle-checked
         "event_pivot": p.q_event_pivot,  # new r4, oracle-checked
         "above_avg_orders": p.q_above_avg_orders,  # new r4, oracle-checked
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": p.q_value_quantiles,
         "events_sliding": p.q_events_sliding,
         "events_tumbling": p.q_events_tumbling,
+        "events_sessionize": p.q_events_sessionize,
         "lineitem_pricing": p.q_lineitem_pricing,
         "mktsegment_revenue": p.q_mktsegment_revenue,
         "top_customers": p.q_top_customers,

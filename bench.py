@@ -311,6 +311,10 @@ def _run_bench() -> dict:
             "above_avg_orders",
             lambda: p.q_above_avg_orders(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "triangle_count",
+            lambda: p.q_triangle_count(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

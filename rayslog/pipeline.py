@@ -2518,3 +2518,14 @@ def q_above_avg_orders(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangles in the part co-purchase graph (graph analytics beyond
+    connected components): distinct-edge build -> min-vertex wedge
+    expansion -> distributed SEMI join against the edge set."""
+    from rayslog.stages.relational import triangle_count
+
+    return triangle_count(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    )

@@ -1387,6 +1387,18 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["triangle_count"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+"""
     q["above_avg_orders"] = """
 WITH w AS (
   SELECT o_orderpriority,

@@ -1864,3 +1864,157 @@ def co_purchase_pairs(lineitem_ds, k: int = 50, parts: int = 64):
     return rd.from_arrow(
         tree_reduce_refs(pair_refs, reduce_fn, final_fn=final_fn)
     )
+
+
+def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
+    """Triangles in the co-purchase graph (parts that share an order =
+    an edge): the graph-analytics shape beyond connected components.
+
+    Plan (all ref-land, no executor spins after the input scan):
+    (1) orderkey-hash exchange expands each order's distinct item set
+    into edges (x<y) — the co_purchase expansion; (2) edge-hash
+    exchange makes edges globally DISTINCT; (3) node-hash exchange
+    groups each node's (larger) neighbors and expands every
+    neighbor pair into a WEDGE — because edges are stored x<y, wedges
+    generate only from each triangle's MINIMUM vertex, so each
+    triangle is counted exactly once; (4) a distributed SEMI
+    ``hash_join`` of wedges against the edge set keeps the wedges
+    whose closing edge exists (left multiplicity preserved — one
+    matched wedge row per triangle), and the count fans in by ref.
+    Partitioning assumptions: one node's adjacency fits a task
+    (super-node wedges explode as d²/2 — salt or cap degree for
+    power-law graphs), and one edge part fits a task."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        u = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "opart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    def _comb2(ok: np.ndarray, pk: np.ndarray):
+        """All within-run index pairs (i<j) of runs of ``ok`` (sorted),
+        returned as (left_idx, right_idx) into the sorted arrays."""
+        starts = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(ok)])
+        reps = np.repeat(lens, lens) - (
+            np.arange(lens.sum()) - np.repeat(starts, lens)
+        ) - 1
+        left_idx = np.repeat(np.arange(len(ok)), reps)
+        seq = np.arange(reps.sum())
+        right_idx = seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
+        return left_idx, right_idx
+
+    _empty_e = pa.table(
+        {
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "epart": pa.array([], pa.int32()),
+        }
+    )
+
+    def expand_edges(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_e
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        li, ri = _comb2(ok, pk)
+        if not len(li):
+            return _empty_e
+        x, y = pk[li], pk[ri]
+        mix = (
+            x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + y.astype(np.uint64)
+        )
+        return (
+            pa.table(
+                {
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                    "epart": pa.array(
+                        (mix % np.uint64(parts)).astype(np.int32)
+                    ),
+                }
+            )
+            .group_by(["x", "y", "epart"])
+            .aggregate([])
+        )
+
+    pair_refs = task_exchange(
+        lineitem_ds.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "opart",
+        parts,
+        expand_edges,
+        return_refs=True,
+    )
+
+    def distinct_edges(t: pa.Table) -> pa.Table:
+        g = t.select(["x", "y"]).group_by(["x", "y"]).aggregate([])
+        u = g.column("x").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "xpart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    edge_refs = task_exchange(
+        pair_refs, "epart", parts, distinct_edges, return_refs=True
+    )
+
+    _empty_w = pa.table(
+        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+    )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_w
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        li, ri = _comb2(xs, ys)
+        if not len(li):
+            return _empty_w
+        # wedge (b, c) with b<c — both neighbors of the (minimum)
+        # vertex xs; the closing edge is stored as x=b, y=c
+        return pa.table({"x": pa.array(ys[li]), "y": pa.array(ys[ri])})
+
+    wedge_refs = task_exchange(
+        edge_refs, "xpart", parts, wedges, return_refs=True
+    )
+
+    closed = hash_join(
+        wedge_refs,
+        [r for r in edge_refs],
+        key=["x", "y"],
+        buckets=buckets,
+        how="semi",
+        return_refs=True,
+    )
+
+    @ray.remote
+    def _nrows(t):
+        return t.num_rows
+
+    n = int(sum(ray.get([_nrows.remote(r) for r in closed])))
+    return rd.from_arrow(
+        pa.table({"n_triangles": pa.array([n], pa.int64())})
+    )

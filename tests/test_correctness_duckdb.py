@@ -126,6 +126,7 @@ QUERY_NAMES = [
     "events_cube",
     "event_pivot",
     "above_avg_orders",
+    "triangle_count",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

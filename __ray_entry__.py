@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed, r2-green but outside the r3 window ---
         "ngram_jaccard": p.q_ngram_jaccard,
         "ann_topk": p.q_ann_topk,
-        "cosine_dups": p.q_cosine_dups,
+        "rolling_time": p.q_rolling_time,  # new r4, oracle-checked
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": p.q_lineitem_pricing,
         "mktsegment_revenue": p.q_mktsegment_revenue,
         "top_customers": p.q_top_customers,
+        "cosine_dups": p.q_cosine_dups,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

@@ -315,6 +315,9 @@ def _run_bench() -> dict:
             "triangle_count",
             lambda: p.q_triangle_count(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "rolling_time", lambda: p.q_rolling_time(SF_DIR).count()
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2529,3 +2529,14 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     )
+
+
+def q_rolling_time(sf_dir: str):
+    """RANGE-frame rolling window: per event, count + value sum of the
+    user's events in the trailing 300s (timestamp peers in-frame)."""
+    from rayslog.stages.events import rolling_time_stats
+
+    return rolling_time_stats(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        window_sec=300,
+    )

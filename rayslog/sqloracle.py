@@ -1387,6 +1387,19 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["rolling_time"] = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+    CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(count(*) OVER f AS BIGINT) AS n_win,
+  CAST(sum(c) OVER f AS DOUBLE) / 100.0 AS sum_win
+FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING
+                          AND CURRENT ROW)
+"""
     q["triangle_count"] = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (

@@ -1068,3 +1068,93 @@ def rolling_value_avg(ds, window_rows: int = 4, parts: int = 64):
         parts,
         per_part,
     )
+
+
+def rolling_time_stats(ds, window_sec: int = 300, parts: int = 64):
+    """RANGE-frame rolling stats: for every event, the count and value
+    sum of that user's events with ``ts`` in ``[ts_i - window, ts_i]``
+    — SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``
+    (peers of the current timestamp are IN the frame, unlike the ROWS
+    frame of :func:`rolling_value_avg`).
+
+    One user-hash exchange, then one vectorized pass per part: segment
+    timestamps shift into disjoint per-user bands (band width > global
+    ts range + window, so a single global ``searchsorted`` respects
+    user boundaries), and frame sums come from exact int64-cents
+    prefix sums.  Overflow guard: bands need ``range × n_users_in_part``
+    to fit int64 — raises loudly past that (repartition or shrink the
+    part count there)."""
+    from rayslog.stages.aggregate import task_exchange
+
+    w_us = window_sec * US
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "value"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "val_c": pc.round(
+                    pc.multiply(t.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "n_win": pa.array([], pa.int64()),
+            "sum_win": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        vc = t.column("val_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, ts_s, v = codes[order], ts[order], vc[order]
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(u)])
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        t0, t1 = int(ts_s.min()), int(ts_s.max())
+        band = (t1 - t0) + w_us + 2
+        if band * (len(starts) + 1) > 2**62:
+            raise ValueError(
+                "rolling_time_stats: ts-range x users-per-part overflows "
+                "the band encoding — raise `parts` or pre-split the data"
+            )
+        adj = (ts_s - t0) + seg_id * band
+        csum = np.cumsum(v)
+        lo = np.searchsorted(adj, adj - w_us, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        n_win = hi - lo
+        lo_sum = np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        sum_c = csum[hi - 1] - lo_sum
+        uarr = _take_col(t.column("user_id"), order)
+        return pa.table(
+            {
+                "user_id": uarr,
+                "event_id": pa.array(ev[order]),
+                "n_win": pa.array(n_win.astype(np.int64)),
+                "sum_win": pa.array(sum_c.astype(np.float64) / 100.0),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )

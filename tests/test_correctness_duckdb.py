@@ -127,6 +127,7 @@ QUERY_NAMES = [
     "event_pivot",
     "above_avg_orders",
     "triangle_count",
+    "rolling_time",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

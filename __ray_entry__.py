@@ -62,8 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_incr": p.q_bm25_search_incr,
         "fielded_search": p.q_fielded_search,
         # --- oracle-backed, r2-green but outside the r3 window ---
-        "ngram_jaccard": p.q_ngram_jaccard,
-        "ann_topk": p.q_ann_topk,
+        "value_variance": p.q_value_variance,  # new r4, oracle-checked
+        "last_event_per_user": p.q_last_event_per_user,  # new r4
         "rolling_time": p.q_rolling_time,  # new r4, oracle-checked
         "events_filtered": p.q_events_filtered,
         "asof_attribution": p.q_asof_attribution,
@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_revenue": p.q_mktsegment_revenue,
         "top_customers": p.q_top_customers,
         "cosine_dups": p.q_cosine_dups,
+        "ngram_jaccard": p.q_ngram_jaccard,
+        "ann_topk": p.q_ann_topk,
         "text_quality": p.q_text_quality,
         "token_counts": p.q_token_counts,
         "normalize_text": p.q_normalize_text,

@@ -318,6 +318,14 @@ def _run_bench() -> dict:
         timed_extra(
             "rolling_time", lambda: p.q_rolling_time(SF_DIR).count()
         )
+        timed_extra(
+            "value_variance",
+            lambda: p.q_value_variance(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "last_event_per_user",
+            lambda: p.q_last_event_per_user(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2540,3 +2540,129 @@ def q_rolling_time(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
         window_sec=300,
     )
+
+
+def q_value_variance(sf_dir: str):
+    """Exact population variance of event value per type, via integer
+    (sum, sum-of-squares, n) partials and ONE double evaluation of the
+    naive formula at the end — DuckDB's var_pop streams Welford-style
+    and differs in final ulps, so the oracle spells the SAME explicit
+    expression tree.  int64 bound: sum of squared cents fits 2^63 for
+    ~4e9 rows at |value|<=500 — past that, widen to per-block double
+    partials and a rows-only check."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.round(
+            pc.multiply(t.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "s": c,
+                    "s2": pc.multiply(c, c),
+                    "n": pa.array(
+                        __import__("numpy").ones(t.num_rows, dtype="int64")
+                    ),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("s", "sum"), ("s2", "sum"), ("n", "sum")])
+            .rename_columns(["event_type", "s", "s2", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["event_type", "s", "s2", "n"])
+            .group_by(["event_type"])
+            .aggregate([("s", "sum"), ("s2", "sum"), ("n", "sum")])
+            .rename_columns(["event_type", "s", "s2", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        var = (s2 - s * s / n) / n / 10_000.0
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": pc.cast(t.column("n"), pa.int64()),
+                "var_value": pa.array(var),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "var_value": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_last_event_per_user(sf_dir: str):
+    """Latest event per user (the grouped argmax / LAST_VALUE shape):
+    per-block per-user argmax partials ride the combiner tree — argmax
+    by (ts, event_id) is re-applicable, so no exchange at all."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def argmax(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "descending"),
+                ("event_id", "descending"),
+            ],
+        )
+        s = t.take(idx)
+        import numpy as np
+
+        u = s.column("user_id")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        codes = np.asarray(u.dictionary_encode().indices)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        return s.filter(pa.array(first)).select(
+            ["user_id", "ts", "event_id", "event_type"]
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        ds.map_batches(argmax, batch_format="pyarrow", zero_copy_batch=True),
+        argmax,
+        empty_fn=empty_fn,
+    )

@@ -1387,6 +1387,30 @@ SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+    q["value_variance"] = """
+WITH a AS (
+  SELECT event_type,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,
+    CAST(sum(CAST(round(value*100) AS BIGINT)
+             * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s2,
+    count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  (CAST(s2 AS DOUBLE)
+   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+  / CAST(n AS DOUBLE) / 10000.0 AS var_value
+FROM a
+"""
+    q["last_event_per_user"] = """
+SELECT user_id, ts, event_id, event_type
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
     q["rolling_time"] = """
 WITH w AS (
   SELECT user_id, event_id, ts,

@@ -128,6 +128,8 @@ QUERY_NAMES = [
     "above_avg_orders",
     "triangle_count",
     "rolling_time",
+    "value_variance",
+    "last_event_per_user",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

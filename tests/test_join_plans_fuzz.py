@@ -95,7 +95,7 @@ def test_join_plans_agree(ray_session, how, lk, rk, data):
     )
 
 
-@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left"])
+@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left", "full"])
 @settings(max_examples=8, deadline=None)
 @given(
     lk=st.lists(st.tuples(st.sampled_from(["a", "b", "c", "d"]),
@@ -137,6 +137,8 @@ def test_composite_key_join_plans_agree(ray_session, how, lk, rk):
     rkeys = rdf[["u", "c"]].drop_duplicates()
     if how in ("inner", "left"):
         exp = ldf.merge(rdf, on=["u", "c"], how=how)
+    elif how == "full":
+        exp = ldf.merge(rdf, on=["u", "c"], how="outer")
     else:
         hit = ldf.merge(rkeys, on=["u", "c"], how="left",
                         indicator=True)["_merge"].eq("both").to_numpy()

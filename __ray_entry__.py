@@ -30,10 +30,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver oracle-checks only the FIRST 50
     # entries.  Layout (see CLAUDE.md "driver window rotation"):
     #   1-12   north-rule syslog set (always in-window)
-    #   13-38  oracle-backed queries never checked / not checked in r3
-    #   39-50  rotation slots (r3-green oracle-backed, rotated per round)
-    #   51-73  remaining oracle-backed (fell out this rotation)
-    #   74-84  rows-only entries (can never earn a hash row) — always last
+    #   13-50  oracle-backed queries never driver-checked (r4-new ones
+    #          prioritized) or longest-unchecked
+    #   51-99  remaining oracle-backed (fell out this rotation; rotate
+    #          them in over r5)
+    #   100-   rows-only entries (can never earn a hash row) — always last
     return {
         # --- north rule: syslog parse -> enrich -> route -> aggregate ---
         "parse_3164": p.q_parse_3164,

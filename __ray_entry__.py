@@ -66,8 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_variance": p.q_value_variance,  # new r4, oracle-checked
         "last_event_per_user": p.q_last_event_per_user,  # new r4
         "rolling_time": p.q_rolling_time,  # new r4, oracle-checked
-        "events_filtered": p.q_events_filtered,
-        "asof_attribution": p.q_asof_attribution,
+        "dominant_event_type": p.q_dominant_event_type,  # new r4 (grouped mode)
+        "value_histogram": p.q_value_histogram,  # new r4 (fixed-bin hist)
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
         "co_purchase_pairs": p.q_co_purchase_pairs,  # new r4, oracle-checked
         "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
         # ---------------- driver window ends here (50) ----------------
         # --- oracle-backed, r3-green, out of this round's rotation ---
+        "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
+        "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "curation": p.q_curation,

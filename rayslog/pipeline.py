@@ -2666,3 +2666,103 @@ def q_last_event_per_user(sf_dir: str):
         argmax,
         empty_fn=empty_fn,
     )
+
+
+def q_dominant_event_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break: each user's most
+    frequent event type (ties broken by event_type asc — DuckDB's
+    mode() picks an arbitrary member, so the oracle spells the same
+    count/row_number ordering instead).  Per-block (user, type) count
+    partials ride one user-hash exchange; the per-user argmax is a
+    vectorized lexsort + first-of-run pass per part."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.select(["user_id", "event_type", "n"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n", "descending"),
+                ("event_type", "ascending"),
+            ],
+        )
+        s = g.take(idx)
+        import numpy as np
+
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        first = np.r_[True, u[1:] != u[:-1]]
+        s = s.filter(pa.array(first))
+        return pa.table(
+            {
+                "user_id": s.column("user_id"),
+                "event_type": s.column("event_type"),
+                "n_events": pc.cast(s.column("n"), pa.int64()),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        per_part,
+    )
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of event values (25-unit bins, clipped to
+    [0, 19]): per-block bin counts + the combiner tree — the
+    one-pass distributed histogram shape."""
+    from rayslog.stages.aggregate import counts_by
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binit(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t.column("value"), pa.scalar(25.0)))
+        b = pc.min_element_wise(
+            pc.max_element_wise(pc.cast(b, pa.int64()),
+                                pa.scalar(0, pa.int64())),
+            pa.scalar(19, pa.int64()),
+        )
+        return pa.table({"bin": b})
+
+    return counts_by(
+        ds.map_batches(binit, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"],
+        alias="n_events",
+        final="tree",
+    )

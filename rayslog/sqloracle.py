@@ -1518,6 +1518,20 @@ SELECT event_type, CAST(count(d) AS BIGINT) AS n_gaps,
        CAST(max(d) AS DOUBLE) / 1000000.0 AS max_gap_sec
 FROM g WHERE d IS NOT NULL GROUP BY event_type
 """
+    q["dominant_event_type"] = """
+SELECT user_id, event_type, n_events FROM (
+  SELECT user_id, event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+    q["value_histogram"] = """
+SELECT least(greatest(CAST(floor(value/25.0) AS BIGINT), 0), 19) AS bin,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

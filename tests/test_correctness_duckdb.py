@@ -130,6 +130,8 @@ QUERY_NAMES = [
     "rolling_time",
     "value_variance",
     "last_event_per_user",
+    "dominant_event_type",
+    "value_histogram",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

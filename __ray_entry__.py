@@ -68,12 +68,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time": p.q_rolling_time,  # new r4, oracle-checked
         "dominant_event_type": p.q_dominant_event_type,  # new r4 (grouped mode)
         "value_histogram": p.q_value_histogram,  # new r4 (fixed-bin hist)
-        "asof_attribution_partitioned": p.q_asof_attribution_partitioned,
+        "nation_trade_volume": p.q_nation_trade_volume,  # new r4 (Q7 shape)
         "co_purchase_pairs": p.q_co_purchase_pairs,  # new r4, oracle-checked
         "lang_quartiles": p.q_lang_quartiles,  # new r4, oracle-checked
         "rolling_avg": p.q_rolling_avg,  # new r4, oracle-checked
         "drop_reconcile": p.q_drop_reconcile,  # new r4 (FULL OUTER join)
-        "events_sessionize_partitioned": p.q_events_sessionize_partitioned,
+        "user_retention": p.q_user_retention,  # new r4 (cohort retention)
         "triangle_count": p.q_triangle_count,  # new r4, oracle-checked
         "events_cube": p.q_events_cube,  # new r4, oracle-checked
         "event_pivot": p.q_event_pivot,  # new r4, oracle-checked
@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed, r3-green, out of this round's rotation ---
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
+        "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green
+        "events_sessionize_partitioned": p.q_events_sessionize_partitioned,  # r2-green
         "dedup_minhash": p.q_dedup_minhash,
         "dup_clusters": p.q_dup_clusters,
         "curation": p.q_curation,

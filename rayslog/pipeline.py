@@ -2766,3 +2766,119 @@ def q_value_histogram(sf_dir: str):
         alias="n_events",
         final="tree",
     )
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7-shaped cross-nation trade matrix: revenue per
+    (supp_nation, cust_nation) pair, nations distinct, 1996-1997
+    orders.  Customer/supplier legs auto-select broadcast vs
+    distributed hash_join exactly like q_regional_revenue."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import nation_trade_volume_cents
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    def dim(table: str, cols: list[str]):
+        if _table_rows(sf_dir, table) <= thresh:
+            return pq.read_table(
+                f"{sf_dir}/{table}.parquet", columns=cols
+            ).to_pandas()
+        return _read(sf_dir, table, cols)
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    return nation_trade_volume_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        dim("customer", ["c_custkey", "c_nationkey"]),
+        dim("supplier", ["s_suppkey", "s_nationkey"]),
+        nation,
+    )
+
+
+def q_user_retention(sf_dir: str):
+    """Daily cohort retention: users bucketed by first-activity day,
+    counted once per (cohort_day, day_offset) they were active — the
+    classic product-analytics retention matrix.  Per-block distinct
+    (user, day) partials ride one user-hash exchange (every activity
+    day of a user lands in the same part, so the cohort min and the
+    offsets are part-local); the final (cohort, offset) count — a
+    bounded ~30x30 domain — collapses through the counts combiner
+    tree, never a sort-shuffle."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import counts_by, task_exchange
+
+    parts = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = ts // 1_000_000 // 86_400
+        g = (
+            pa.table({"user_id": u, "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        uu = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((uu.astype(np.uint64) % np.uint64(parts)).astype(
+                np.int32
+            )),
+        )
+
+    _empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.select(["user_id", "day"])
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        # index of each row's run start (runs are user-contiguous and
+        # day-ascending, so the run start holds the user's cohort day)
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(u)), 0)
+        )
+        cohort = d[run_start]
+        return pa.table(
+            {
+                "cohort_day": pa.array(cohort, pa.int64()),
+                "day_offset": pa.array(d - cohort, pa.int64()),
+            }
+        )
+
+    pairs = task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        per_part,
+    )
+    return counts_by(
+        pairs, ["cohort_day", "day_offset"], alias="n_users", final="tree"
+    )

@@ -1532,6 +1532,36 @@ SELECT least(greatest(CAST(floor(value/25.0) AS BIGINT), 0), 19) AS bin,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1
 """
+    q["nation_trade_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND s.s_nationkey <> c.c_nationkey
+GROUP BY 1, 2
+"""
+    q["user_retention"] = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+    (epoch_us(ts)//1000000)//86400 AS day
+  FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort FROM w GROUP BY user_id
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
+       CAST(w.day - c.cohort AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

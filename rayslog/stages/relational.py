@@ -569,6 +569,171 @@ def _cached_lookup(ref):
     return hit
 
 
+def _line_rev_c2(t: pa.Table) -> pa.Array:
+    """Order-independent revenue partial: price_c x (100 - disc_c) in
+    integer cents^2 (CLAUDE.md invariant #3 — float sums would
+    hash-mismatch the oracle nondeterministically)."""
+    price_c = pc.round(
+        pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+    ).cast(pa.int64())
+    disc_c = pc.round(
+        pc.multiply(t.column("l_discount"), pa.scalar(100.0))
+    ).cast(pa.int64())
+    return pc.multiply(
+        price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+    )
+
+
+def _orders_nation_side(orders_ds, customer_df, nation_keys, lo, hi,
+                        buckets: int):
+    """orders in [lo, hi) joined to customer, projected to
+    ``(l_orderkey, c_nationkey)``.  The customer leg auto-selects:
+    a pandas frame broadcasts once via ``ray.put`` and is looked up
+    per batch inside stateless task functions (process-cached Arrow
+    arrays); a ray Dataset runs the distributed ``hash_join`` leg with
+    the nation filter + 2-column projection pushed into the dim's own
+    map_batches, so the dim never lands on the driver."""
+    import pandas as pd
+    import ray
+
+    nk_list = sorted(int(k) for k in nation_keys)
+
+    if isinstance(customer_df, pd.DataFrame):
+        cust = customer_df[customer_df["c_nationkey"].isin(nation_keys)]
+        cust_ref = ray.put(
+            (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+        )
+
+        def orders_side_fn(t: pa.Table) -> pa.Table:
+            """orders in window, customer kept -> (l_orderkey, c_nationkey)."""
+            keys, nks = _cached_lookup(cust_ref)
+            m = pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi),
+            )
+            t = t.filter(m)
+            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "c_nationkey": pc.take(nks, idx),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("c_nationkey")))
+
+        return orders_ds.map_batches(
+            orders_side_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # customer too big to broadcast: distributed hash-join leg
+    def orders_proj(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "l_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        nk = pa.array(nk_list).cast(t.column("c_nationkey").type)
+        t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=nk))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": t.column("c_nationkey"),
+            }
+        )
+
+    return hash_join(
+        orders_ds.map_batches(
+            orders_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        customer_df.map_batches(
+            cust_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="c_custkey",
+        buckets=buckets,
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _line_nation_side(lineitem_ds, supplier_df, nation_keys,
+                      buckets: int):
+    """lineitem joined to supplier, projected to
+    ``(l_orderkey, s_nationkey, rev_c2)``; same broadcast-vs-hash-join
+    auto-select as :func:`_orders_nation_side`."""
+    import pandas as pd
+    import ray
+
+    nk_list = sorted(int(k) for k in nation_keys)
+
+    if isinstance(supplier_df, pd.DataFrame):
+        supp = supplier_df[supplier_df["s_nationkey"].isin(nation_keys)]
+        supp_ref = ray.put(
+            (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+        )
+
+        def line_side_fn(t: pa.Table) -> pa.Table:
+            """lineitem with kept supplier -> (l_orderkey, s_nationkey, rev_c2)."""
+            keys, nks = _cached_lookup(supp_ref)
+            idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
+            snk = pc.take(nks, idx)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nationkey": snk,
+                    "rev_c2": _line_rev_c2(t),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("s_nationkey")))
+
+        return lineitem_ds.map_batches(
+            line_side_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def line_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c2": _line_rev_c2(t),
+            }
+        )
+
+    def supp_proj(t: pa.Table) -> pa.Table:
+        nk = pa.array(nk_list).cast(t.column("s_nationkey").type)
+        t = t.filter(pc.is_in(t.column("s_nationkey"), value_set=nk))
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                "s_nationkey": t.column("s_nationkey"),
+            }
+        )
+
+    return hash_join(
+        lineitem_ds.map_batches(
+            line_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        supplier_df.map_batches(
+            supp_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="s_suppkey",
+        buckets=buckets,
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "s_nationkey", "rev_c2"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def regional_revenue_cents(
     lineitem_ds,
     orders_ds,
@@ -609,8 +774,6 @@ def regional_revenue_cents(
       distributed sums are order-independent (CLAUDE.md invariant #3).
     """
     import numpy as np
-    import pandas as pd
-    import ray
 
     nat = nation_df.merge(
         region_df[region_df["r_name"] == region_name],
@@ -619,149 +782,15 @@ def regional_revenue_cents(
     )
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
     nation_keys = set(nation_names)
-    nk_list = sorted(int(k) for k in nation_keys)  # <=25 ints, closure-safe
 
     lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
     hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
-
-    def _rev_c2(t: pa.Table) -> pa.Array:
-        price_c = pc.round(
-            pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
-        ).cast(pa.int64())
-        disc_c = pc.round(
-            pc.multiply(t.column("l_discount"), pa.scalar(100.0))
-        ).cast(pa.int64())
-        return pc.multiply(
-            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
-        )
-
-    if isinstance(customer_df, pd.DataFrame):
-        cust = customer_df[customer_df["c_nationkey"].isin(nation_keys)]
-        cust_ref = ray.put(
-            (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
-        )
-
-        def orders_side_fn(t: pa.Table) -> pa.Table:
-            """orders in window, customer in region -> (l_orderkey, c_nationkey)."""
-            keys, nks = _cached_lookup(cust_ref)
-            m = pc.and_(
-                pc.greater_equal(t.column("o_orderdate"), lo),
-                pc.less(t.column("o_orderdate"), hi),
-            )
-            t = t.filter(m)
-            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
-            out = pa.table(
-                {
-                    "l_orderkey": t.column("o_orderkey"),
-                    "c_nationkey": pc.take(nks, idx),
-                }
-            )
-            return out.filter(pc.is_valid(out.column("c_nationkey")))
-
-        orders_side = orders_ds.map_batches(
-            orders_side_fn, batch_format="pyarrow", zero_copy_batch=True
-        )
-    else:
-        # customer too big to broadcast: distributed hash-join leg.
-        # Nation filter + 2-column projection push into the dim's own
-        # map_batches, so only (c_custkey, c_nationkey) of region
-        # customers crosses the exchange.
-        def orders_proj(t: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.greater_equal(t.column("o_orderdate"), lo),
-                pc.less(t.column("o_orderdate"), hi),
-            )
-            t = t.filter(m)
-            return pa.table(
-                {
-                    "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
-                    "l_orderkey": t.column("o_orderkey"),
-                }
-            )
-
-        def cust_proj(t: pa.Table) -> pa.Table:
-            nk = pa.array(nk_list).cast(t.column("c_nationkey").type)
-            t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=nk))
-            return pa.table(
-                {
-                    "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
-                    "c_nationkey": t.column("c_nationkey"),
-                }
-            )
-
-        orders_side = hash_join(
-            orders_ds.map_batches(
-                orders_proj, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            customer_df.map_batches(
-                cust_proj, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            key="c_custkey",
-            buckets=buckets,
-        ).map_batches(
-            lambda t: t.select(["l_orderkey", "c_nationkey"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
-    if isinstance(supplier_df, pd.DataFrame):
-        supp = supplier_df[supplier_df["s_nationkey"].isin(nation_keys)]
-        supp_ref = ray.put(
-            (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
-        )
-
-        def line_side_fn(t: pa.Table) -> pa.Table:
-            """lineitem with region supplier -> (l_orderkey, s_nationkey, rev_c2)."""
-            keys, nks = _cached_lookup(supp_ref)
-            idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
-            snk = pc.take(nks, idx)
-            out = pa.table(
-                {
-                    "l_orderkey": t.column("l_orderkey"),
-                    "s_nationkey": snk,
-                    "rev_c2": _rev_c2(t),
-                }
-            )
-            return out.filter(pc.is_valid(out.column("s_nationkey")))
-
-        line_side = lineitem_ds.map_batches(
-            line_side_fn, batch_format="pyarrow", zero_copy_batch=True
-        )
-    else:
-        def line_proj(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
-                    "l_orderkey": t.column("l_orderkey"),
-                    "rev_c2": _rev_c2(t),
-                }
-            )
-
-        def supp_proj(t: pa.Table) -> pa.Table:
-            nk = pa.array(nk_list).cast(t.column("s_nationkey").type)
-            t = t.filter(pc.is_in(t.column("s_nationkey"), value_set=nk))
-            return pa.table(
-                {
-                    "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
-                    "s_nationkey": t.column("s_nationkey"),
-                }
-            )
-
-        line_side = hash_join(
-            lineitem_ds.map_batches(
-                line_proj, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            supplier_df.map_batches(
-                supp_proj, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            key="s_suppkey",
-            buckets=buckets,
-        ).map_batches(
-            lambda t: t.select(["l_orderkey", "s_nationkey", "rev_c2"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
+    orders_side = _orders_nation_side(
+        orders_ds, customer_df, nation_keys, lo, hi, buckets
+    )
+    line_side = _line_nation_side(
+        lineitem_ds, supplier_df, nation_keys, buckets
+    )
     joined = hash_join(line_side, orders_side, key="l_orderkey",
                        buckets=buckets)
 
@@ -813,6 +842,110 @@ def regional_revenue_cents(
             pa.table(
                 {
                     "n_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(partials, reduce_fn, empty_fn=empty_fn,
+                       final_fn=final_fn)
+
+
+def nation_trade_volume_cents(
+    lineitem_ds,
+    orders_ds,
+    customer_df,
+    supplier_df,
+    nation_df,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    buckets: int = 32,
+):
+    """TPC-H Q7-shaped cross-nation trade matrix: revenue shipped from
+    each supplier nation to each DIFFERENT customer nation within a
+    two-year order window.
+
+    Same join plan as :func:`regional_revenue_cents` (shared
+    :func:`_orders_nation_side` / :func:`_line_nation_side` legs:
+    broadcast dim lookup below the row threshold, distributed
+    hash_join above; one large-large orderkey exchange), but the
+    final grouping keeps the full (supp_nation, cust_nation) pair
+    domain — <= 25x24 keys, so partials still collapse through the
+    combiner tree, never a sort-shuffle."""
+    import numpy as np
+
+    nation_names = dict(
+        zip(nation_df["n_nationkey"], nation_df["n_name"])
+    )
+    nation_keys = set(nation_names)
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+    orders_side = _orders_nation_side(
+        orders_ds, customer_df, nation_keys, lo, hi, buckets
+    )
+    line_side = _line_nation_side(
+        lineitem_ds, supplier_df, nation_keys, buckets
+    )
+    joined = hash_join(line_side, orders_side, key="l_orderkey",
+                       buckets=buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        )
+        return (
+            t.select(["s_nationkey", "c_nationkey", "rev_c2"])
+            .group_by(["s_nationkey", "c_nationkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["s_nationkey", "c_nationkey", "rev_c2"])
+        )
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nk = pa.array(np.array(sorted(nation_names), dtype=np.int64))
+    nm = pa.array([nation_names[k] for k in sorted(nation_names)])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["s_nationkey", "c_nationkey"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["s_nationkey", "c_nationkey", "rev_c2"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        si = pc.index_in(
+            pc.cast(t.column("s_nationkey"), nk.type), value_set=nk
+        )
+        ci = pc.index_in(
+            pc.cast(t.column("c_nationkey"), nk.type), value_set=nk
+        )
+        out = pa.table(
+            {
+                "supp_nation": pc.take(nm, si),
+                "cust_nation": pc.take(nm, ci),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c2"), pa.float64()), 10_000.0
+                ),
+            }
+        )
+        return out.sort_by(
+            [("revenue", "descending"),
+             ("supp_nation", "ascending"),
+             ("cust_nation", "ascending")]
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "supp_nation": pa.array([], pa.string()),
+                    "cust_nation": pa.array([], pa.string()),
                     "revenue": pa.array([], pa.float64()),
                 }
             )

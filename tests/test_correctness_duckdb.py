@@ -132,6 +132,8 @@ QUERY_NAMES = [
     "last_event_per_user",
     "dominant_event_type",
     "value_histogram",
+    "nation_trade_volume",
+    "user_retention",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -326,6 +326,22 @@ def _run_bench() -> dict:
             "last_event_per_user",
             lambda: p.q_last_event_per_user(SF_DIR).count(),
         )
+        timed_extra(
+            "dominant_event_type",
+            lambda: p.q_dominant_event_type(SF_DIR).count(),
+        )
+        timed_extra(
+            "value_histogram",
+            lambda: p.q_value_histogram(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "nation_trade_volume",
+            lambda: p.q_nation_trade_volume(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "user_retention",
+            lambda: p.q_user_retention(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -92,6 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups_ivf": p.q_cosine_dups_ivf,  # new r4, oracle-checked
         # ---------------- driver window ends here (50) ----------------
         # --- oracle-backed, r3-green, out of this round's rotation ---
+        # (the four session-4 late additions lead: never driver-checked,
+        #  first in line for the r5 rotation)
+        "top_open_orders": p.q_top_open_orders,  # new r4 (Q3 shape)
+        "special_deal_revenue": p.q_special_deal_revenue,  # new r4 (Q19)
+        "user_value_running": p.q_user_value_running,  # new r4 (cum window)
+        "distinct_parts_by_supplier": p.q_distinct_parts_by_supplier,  # new r4
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

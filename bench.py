@@ -342,6 +342,22 @@ def _run_bench() -> dict:
             "user_retention",
             lambda: p.q_user_retention(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "top_open_orders",
+            lambda: p.q_top_open_orders(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "special_deal_revenue",
+            lambda: p.q_special_deal_revenue(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "user_value_running",
+            lambda: p.q_user_value_running(SF_DIR).count(),
+        )
+        timed_extra(
+            "distinct_parts_by_supplier",
+            lambda: p.q_distinct_parts_by_supplier(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2882,3 +2882,89 @@ def q_user_retention(sf_dir: str):
     return counts_by(
         pairs, ["cohort_day", "day_offset"], alias="n_users", final="tree"
     )
+
+
+def q_top_open_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: top-10 BUILDING-segment
+    orders by revenue still unshipped at the cutoff.  Customer leg
+    auto-selects broadcast vs distributed SEMI hash_join."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import top_open_orders_cents
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "customer") <= thresh:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        ).to_pandas()
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return top_open_orders_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ),
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ),
+        cust,
+    )
+
+
+def q_special_deal_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: one scalar row
+    summing lineitems matching any (brand, size, quantity-band) deal
+    arm.  Part dim auto-selects broadcast vs hash_join."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import special_deal_revenue_cents
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "part") <= thresh:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+        ).to_pandas()
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    return special_deal_revenue_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        part,
+    )
+
+
+def q_user_value_running(sf_dir: str):
+    """Cumulative window per user (SUM/COUNT OVER ROWS UNBOUNDED
+    PRECEDING ordered by ts, event_id) — the running-total shape that
+    completes the window family."""
+    from rayslog.stages.events import running_value_sum
+
+    return running_value_sum(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    )
+
+
+def q_distinct_parts_by_supplier(sf_dir: str):
+    """Exact count(DISTINCT l_partkey) per supplier — the
+    high-group-cardinality regime of distinct_count_by (10k+ suppliers
+    vs distinct_users_by_type's 5 event types)."""
+    from rayslog.stages.aggregate import distinct_count_by
+
+    return distinct_count_by(
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]),
+        "l_suppkey",
+        "l_partkey",
+        alias="n_parts",
+    )

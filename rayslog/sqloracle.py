@@ -1562,6 +1562,52 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
 FROM w JOIN c ON w.user_id = c.user_id
 GROUP BY 1, 2
 """
+    q["top_open_orders"] = """
+SELECT l.l_orderkey,
+  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND l.l_shipdate > TIMESTAMP '1997-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+         l.l_orderkey ASC
+LIMIT 10
+"""
+    q["special_deal_revenue"] = """
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0)
+           AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#12' AND p.p_size <= 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#17' AND p.p_size <= 30
+       AND l.l_quantity BETWEEN 25 AND 50)
+"""
+    q["user_value_running"] = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+    CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(sum(c) OVER f AS DOUBLE) / 100.0 AS run_value,
+  CAST(count(*) OVER f AS BIGINT) AS run_n
+FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+"""
+    q["distinct_parts_by_supplier"] = """
+SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_suppkey
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

@@ -1070,6 +1070,83 @@ def rolling_value_avg(ds, window_rows: int = 4, parts: int = 64):
     )
 
 
+def running_value_sum(ds, parts: int = 64):
+    """Cumulative window (ROWS UNBOUNDED PRECEDING): for every event,
+    the running total and running count of that user's values ordered
+    by (ts, event_id) — completes the window-frame family next to
+    :func:`rolling_value_avg` (bounded ROWS) and
+    :func:`rolling_time_stats` (RANGE).
+
+    Same plan shape: one user-hash ``task_exchange`` (a user's whole
+    timeline lands in one part), then a single vectorized pass per
+    part — lexsort + exact int64-cents cumsum, run-rebased by
+    subtracting the prefix just before each user's run start."""
+    from rayslog.stages.aggregate import task_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "value"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "val_c": pc.round(
+                    pc.multiply(t.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "run_value": pa.array([], pa.float64()),
+            "run_n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        vc = t.column("val_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, v = codes[order], vc[order]
+        idx = np.arange(len(u), dtype=np.int64)
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(u)])
+        within = idx - np.repeat(starts, lens)
+        csum = np.cumsum(v)
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        run_sum = csum - np.repeat(base, lens)
+        uarr = _take_col(t.column("user_id"), order)
+        return pa.table(
+            {
+                "user_id": uarr,
+                "event_id": pa.array(ev[order]),
+                "run_value": pa.array(
+                    run_sum.astype(np.float64) / 100.0
+                ),
+                "run_n": pa.array(within + 1),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+
+
 def rolling_time_stats(ds, window_sec: int = 300, parts: int = 64):
     """RANGE-frame rolling stats: for every event, the count and value
     sum of that user's events with ``ts`` in ``[ts_i - window, ts_i]``

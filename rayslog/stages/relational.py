@@ -569,6 +569,19 @@ def _cached_lookup(ref):
     return hit
 
 
+def _cached_arrays(ref):
+    """Like :func:`_cached_lookup` but for an arbitrary-arity tuple of
+    numpy arrays (e.g. a key column plus several payload columns)."""
+    key = ("tuple", ref.hex())
+    hit = _LOOKUP_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        hit = tuple(pa.array(a) for a in ray.get(ref))
+        _LOOKUP_CACHE[key] = hit
+    return hit
+
+
 def _line_rev_c2(t: pa.Table) -> pa.Array:
     """Order-independent revenue partial: price_c x (100 - disc_c) in
     integer cents^2 (CLAUDE.md invariant #3 — float sums would
@@ -949,6 +962,328 @@ def nation_trade_volume_cents(
                     "revenue": pa.array([], pa.float64()),
                 }
             )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(partials, reduce_fn, empty_fn=empty_fn,
+                       final_fn=final_fn)
+
+
+def top_open_orders_cents(
+    lineitem_ds,
+    orders_ds,
+    customer_df,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-07-01",
+    k: int = 10,
+    buckets: int = 32,
+):
+    """TPC-H Q3-shaped shipping-priority query: the top-k unshipped
+    orders by open revenue for one market segment — orders placed
+    before the cutoff whose lineitems ship after it.
+
+    Plan: the customer leg auto-selects (broadcast segment-member
+    custkey set below the row threshold via ``ray.put`` +
+    process-cached ``is_in``; distributed SEMI hash_join above); both
+    fact sides pre-filter and project before the one large-large
+    orderkey exchange.  Orderkey groups are complete within a join
+    bucket, so each bucket finishes its groups and truncates to its
+    local top-k — the global top-k is a subset of the union, merged
+    through the combiner tree (grouped_top_k's partitioning
+    argument)."""
+    import pandas as pd
+    import ray
+
+    cutoff_ts = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    if isinstance(customer_df, pd.DataFrame):
+        keys = customer_df.loc[
+            customer_df["c_mktsegment"] == segment, "c_custkey"
+        ].to_numpy()
+        keys_ref = ray.put((keys, keys))
+
+        def orders_prep(t: pa.Table) -> pa.Table:
+            members, _ = _cached_lookup(keys_ref)
+            m = pc.and_(
+                pc.less(t.column("o_orderdate"), cutoff_ts),
+                pc.is_in(t.column("o_custkey"), value_set=members),
+            )
+            t = t.filter(m)
+            return pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+
+        orders_side = orders_ds.map_batches(
+            orders_prep, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        def orders_proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t.column("o_orderdate"), cutoff_ts))
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                    "l_orderkey": t.column("o_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+
+        def cust_proj(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
+            )
+            return pa.table(
+                {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())}
+            )
+
+        orders_side = hash_join(
+            orders_ds.map_batches(
+                orders_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            customer_df.map_batches(
+                cust_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="c_custkey",
+            how="semi",
+            buckets=buckets,
+        ).map_batches(
+            lambda t: t.select(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff_ts))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c2": _line_rev_c2(t),
+            }
+        )
+
+    line_side = lineitem_ds.map_batches(
+        line_prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(line_side, orders_side, key="l_orderkey",
+                       buckets=buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(
+                ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_c2"]
+            )
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(
+                ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_c2"]
+            )
+        )
+        return g.sort_by(
+            [("rev_c2", "descending"), ("l_orderkey", "ascending")]
+        ).slice(0, k)
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("rev_c2", "descending"), ("l_orderkey", "ascending")]
+        ).slice(0, k)
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c2"), pa.float64()), 10_000.0
+                ),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(partials, topk_reduce, empty_fn=empty_fn,
+                       final_fn=final_fn)
+
+
+def special_deal_revenue_cents(
+    lineitem_ds,
+    part_df,
+    deals=(
+        ("Brand#1", 10, 1.0, 15.0),
+        ("Brand#12", 20, 10.0, 25.0),
+        ("Brand#17", 30, 25.0, 50.0),
+    ),
+    buckets: int = 32,
+):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: lineitems whose
+    (part brand, part size, quantity) satisfy ANY of the deal arms
+    ``(brand, size_max, qty_lo, qty_hi)``, summed to one revenue row.
+
+    The part side prunes to deal brands BEFORE it moves: broadcast
+    (pandas) it ships a (partkey, arm-bitmask-ready brand index, size)
+    triple via ``ray.put`` and the disjunction evaluates vectorized
+    inside lineitem's map_batches; as a Dataset it runs the
+    distributed hash_join leg with the same brand pruning pushed into
+    the dim's projection.  The scalar total rides the combiner tree
+    in exact int cents^2 — a single-row all-reduce, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    brands = [d[0] for d in deals]
+
+    def _arm_mask(t: pa.Table, bidx_col, size_col) -> pa.Array:
+        """Disjunction over deal arms; bidx is the arm index or -1."""
+        qty = t.column("l_quantity")
+        m = None
+        for i, (_, size_max, qty_lo, qty_hi) in enumerate(deals):
+            arm = pc.and_(
+                pc.equal(bidx_col, pa.scalar(i, pa.int64())),
+                pc.and_(
+                    pc.less_equal(size_col, pa.scalar(size_max,
+                                                      pa.int64())),
+                    pc.and_(
+                        pc.greater_equal(qty, pa.scalar(qty_lo)),
+                        pc.less_equal(qty, pa.scalar(qty_hi)),
+                    ),
+                ),
+            )
+            m = arm if m is None else pc.or_(m, arm)
+        return m
+
+    if isinstance(part_df, pd.DataFrame):
+        sub = part_df[part_df["p_brand"].isin(brands)]
+        bidx = sub["p_brand"].map({b: i for i, b in enumerate(brands)})
+        part_ref = ray.put(
+            (
+                sub["p_partkey"].to_numpy(),
+                bidx.to_numpy(np.int64),
+                sub["p_size"].to_numpy(np.int64),
+            )
+        )
+
+        def line_fn(t: pa.Table) -> pa.Table:
+            keys, barr, sarr = _cached_arrays(part_ref)
+            idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+            valid = pc.is_valid(idx)
+            t = t.filter(valid)
+            idx = pc.filter(idx, valid)
+            bcol = pc.take(barr, idx)
+            scol = pc.take(sarr, idx)
+            m = _arm_mask(t, bcol, scol)
+            t = t.filter(m)
+            return pa.table(
+                {"rev_c2": pa.array(
+                    [pc.sum(_line_rev_c2(t)).as_py() or 0],
+                    pa.int64(),
+                )}
+            )
+
+        partials = lineitem_ds.map_batches(
+            line_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        def part_proj(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.is_in(t.column("p_brand"),
+                         value_set=pa.array(brands))
+            )
+            bidx = pc.index_in(t.column("p_brand"),
+                               value_set=pa.array(brands))
+            return pa.table(
+                {
+                    "l_partkey": pc.cast(t.column("p_partkey"),
+                                         pa.int64()),
+                    "bidx": pc.cast(bidx, pa.int64()),
+                    "psize": pc.cast(t.column("p_size"), pa.int64()),
+                }
+            )
+
+        def line_proj(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": pc.cast(t.column("l_partkey"),
+                                         pa.int64()),
+                    "l_quantity": t.column("l_quantity"),
+                    "rev_price": t.column("l_extendedprice"),
+                    "rev_disc": t.column("l_discount"),
+                }
+            )
+
+        joined = hash_join(
+            lineitem_ds.map_batches(
+                line_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            part_df.map_batches(
+                part_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="l_partkey",
+            buckets=buckets,
+        )
+
+        def bucket_fn(t: pa.Table) -> pa.Table:
+            m = _arm_mask(t, t.column("bidx"), t.column("psize"))
+            t = t.filter(m)
+            rev = pa.table(
+                {
+                    "l_extendedprice": t.column("rev_price"),
+                    "l_discount": t.column("rev_disc"),
+                }
+            )
+            return pa.table(
+                {"rev_c2": pa.array(
+                    [pc.sum(_line_rev_c2(rev)).as_py() or 0],
+                    pa.int64(),
+                )}
+            )
+
+        partials = joined.map_batches(
+            bucket_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"rev_c2": pa.array(
+                [pc.sum(t.column("rev_c2")).as_py() or 0], pa.int64()
+            )}
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        total = pc.sum(t.column("rev_c2")).as_py() or 0
+        return pa.table(
+            {"revenue": pa.array([total / 10_000.0], pa.float64())}
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"revenue": pa.array([0.0], pa.float64())})
         )
 
     from rayslog.stages.aggregate import tree_reduce

@@ -134,6 +134,10 @@ QUERY_NAMES = [
     "value_histogram",
     "nation_trade_volume",
     "user_retention",
+    "top_open_orders",
+    "special_deal_revenue",
+    "user_value_running",
+    "distinct_parts_by_supplier",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

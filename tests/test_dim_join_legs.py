@@ -121,3 +121,28 @@ def test_promo_revenue_part_legs_identical(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         _norm(base), _norm(forced), check_exact=True
     )
+
+
+def test_session4_query_legs_identical(ray_session, monkeypatch):
+    """nation_trade_volume / top_open_orders / special_deal_revenue:
+    broadcast vs forced hash_join dim legs emit identical rows."""
+    from rayslog import pipeline as p
+
+    base = {
+        "trade": p.q_nation_trade_volume(SF_DIR).to_pandas(),
+        "open": p.q_top_open_orders(SF_DIR).to_pandas(),
+        "deal": p.q_special_deal_revenue(SF_DIR).to_pandas(),
+    }
+    assert len(base["trade"]) > 0
+    assert len(base["open"]) == 10
+    assert len(base["deal"]) == 1
+    monkeypatch.setenv("RAYSLOG_BROADCAST_MAX_ROWS", "0")
+    forced = {
+        "trade": p.q_nation_trade_volume(SF_DIR).to_pandas(),
+        "open": p.q_top_open_orders(SF_DIR).to_pandas(),
+        "deal": p.q_special_deal_revenue(SF_DIR).to_pandas(),
+    }
+    for k in base:
+        pd.testing.assert_frame_equal(
+            _norm(base[k]), _norm(forced[k]), check_exact=True
+        )

@@ -358,6 +358,10 @@ def _run_bench() -> dict:
             "distinct_parts_by_supplier",
             lambda: p.q_distinct_parts_by_supplier(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "page_rank",
+            lambda: p.q_page_rank(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -2968,3 +2968,14 @@ def q_distinct_parts_by_supplier(sf_dir: str):
         "l_partkey",
         alias="n_parts",
     )
+
+
+def q_page_rank(sf_dir: str):
+    """Integer fixed-point PageRank (3 rounds, damping 85/100 as exact
+    integer floors) over the co-purchase graph — the iterative BSP
+    graph shape; oracle is the unrolled 3-iteration CTE."""
+    from rayslog.stages.relational import page_rank_copurchase
+
+    return page_rank_copurchase(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    )

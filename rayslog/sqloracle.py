@@ -1608,6 +1608,40 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    # Integer fixed-point PageRank, 3 iterations unrolled — the engine's
+    # page_rank_copurchase spells the identical integer spec
+    # (pr0 = scale//N; pr' = (15*base)//100 + (85*Σ pr//deg)//100), so
+    # the comparison is hash-exact despite the iterative float-free
+    # algorithm (same contract style as the embed_kmeans oracle).
+    q["page_rank"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY x),
+base AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS b FROM deg),
+pr0 AS (SELECT v, (SELECT b FROM base) AS pr FROM deg),
+s1 AS (SELECT e.y AS v, sum(p.pr // g.dg) AS s
+       FROM e JOIN pr0 p ON e.x = p.v JOIN deg g ON e.x = g.v
+       GROUP BY e.y),
+pr1 AS (SELECT g.v, CAST((15 * (SELECT b FROM base)) // 100
+          + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS pr
+        FROM deg g LEFT JOIN s1 ON g.v = s1.v),
+s2 AS (SELECT e.y AS v, sum(p.pr // g.dg) AS s
+       FROM e JOIN pr1 p ON e.x = p.v JOIN deg g ON e.x = g.v
+       GROUP BY e.y),
+pr2 AS (SELECT g.v, CAST((15 * (SELECT b FROM base)) // 100
+          + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS pr
+        FROM deg g LEFT JOIN s2 ON g.v = s2.v),
+s3 AS (SELECT e.y AS v, sum(p.pr // g.dg) AS s
+       FROM e JOIN pr2 p ON e.x = p.v JOIN deg g ON e.x = g.v
+       GROUP BY e.y),
+pr3 AS (SELECT g.v, CAST((15 * (SELECT b FROM base)) // 100
+          + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
+        FROM deg g LEFT JOIN s3 ON g.v = s3.v)
+SELECT v AS part_id, pr AS pr_score FROM pr3
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

@@ -2334,27 +2334,29 @@ def co_purchase_pairs(lineitem_ds, k: int = 50, parts: int = 64):
     )
 
 
-def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
-    """Triangles in the co-purchase graph (parts that share an order =
-    an edge): the graph-analytics shape beyond connected components.
-
-    Plan (all ref-land, no executor spins after the input scan):
-    (1) orderkey-hash exchange expands each order's distinct item set
-    into edges (x<y) — the co_purchase expansion; (2) edge-hash
-    exchange makes edges globally DISTINCT; (3) node-hash exchange
-    groups each node's (larger) neighbors and expands every
-    neighbor pair into a WEDGE — because edges are stored x<y, wedges
-    generate only from each triangle's MINIMUM vertex, so each
-    triangle is counted exactly once; (4) a distributed SEMI
-    ``hash_join`` of wedges against the edge set keeps the wedges
-    whose closing edge exists (left multiplicity preserved — one
-    matched wedge row per triangle), and the count fans in by ref.
-    Partitioning assumptions: one node's adjacency fits a task
-    (super-node wedges explode as d²/2 — salt or cap degree for
-    power-law graphs), and one edge part fits a task."""
+def _comb2_runs(ok, pk=None):
+    """All within-run index pairs (i<j) of runs of ``ok`` (sorted),
+    returned as (left_idx, right_idx) into the sorted arrays."""
     import numpy as np
-    import ray
-    import ray.data as rd
+
+    starts = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
+    lens = np.diff(np.r_[starts, len(ok)])
+    reps = np.repeat(lens, lens) - (
+        np.arange(lens.sum()) - np.repeat(starts, lens)
+    ) - 1
+    left_idx = np.repeat(np.arange(len(ok)), reps)
+    seq = np.arange(reps.sum())
+    right_idx = seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
+    return left_idx, right_idx
+
+
+def _copurchase_edge_refs(lineitem_ds, parts: int):
+    """Globally DISTINCT co-purchase edges (x<y, parts sharing an
+    order), as task_exchange block refs partitioned by x-hash
+    (``xpart`` column travels with the edges).  Two exchanges:
+    orderkey-hash expands each order's distinct item set into pairs;
+    edge-hash dedupes pairs globally."""
+    import numpy as np
 
     from rayslog.stages.aggregate import task_exchange
 
@@ -2369,19 +2371,6 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
             "opart",
             pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
         )
-
-    def _comb2(ok: np.ndarray, pk: np.ndarray):
-        """All within-run index pairs (i<j) of runs of ``ok`` (sorted),
-        returned as (left_idx, right_idx) into the sorted arrays."""
-        starts = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
-        lens = np.diff(np.r_[starts, len(ok)])
-        reps = np.repeat(lens, lens) - (
-            np.arange(lens.sum()) - np.repeat(starts, lens)
-        ) - 1
-        left_idx = np.repeat(np.arange(len(ok)), reps)
-        seq = np.arange(reps.sum())
-        right_idx = seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
-        return left_idx, right_idx
 
     _empty_e = pa.table(
         {
@@ -2403,7 +2392,7 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
         pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
         order = np.lexsort((pk, ok))
         ok, pk = ok[order], pk[order]
-        li, ri = _comb2(ok, pk)
+        li, ri = _comb2_runs(ok)
         if not len(li):
             return _empty_e
         x, y = pk[li], pk[ri]
@@ -2443,9 +2432,134 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
             pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
         )
 
-    edge_refs = task_exchange(
+    return task_exchange(
         pair_refs, "epart", parts, distinct_edges, return_refs=True
     )
+
+
+def page_rank_copurchase(
+    lineitem_ds,
+    iters: int = 3,
+    scale: int = 10**12,
+    parts: int = 64,
+):
+    """Integer fixed-point PageRank over the co-purchase graph — the
+    iterative BSP graph shape beyond one-shot triangle counting.
+
+    The spec IS integer arithmetic so distributed sums are
+    order-independent and the DuckDB oracle (an unrolled per-iteration
+    CTE, same trick as embed_kmeans's round-6 contract) matches
+    hash-exact:
+
+    - ``pr0(v) = scale // N`` for each of the N vertices;
+    - per round: ``pr'(u) = (15*(scale//N))//100
+      + (85 * Σ_{v~u} (pr(v)//deg(v))) // 100`` — damping 0.85 as
+      exact integer 85/100 floors.
+
+    Plan: the distinct edge set builds once (two exchanges, see
+    :func:`_copurchase_edge_refs`) and its block refs are REUSED every
+    round — no lineage re-execution.  Each round the driver
+    precomputes the V-sized contribution vector ``pr // deg``,
+    broadcasts it via ``ray.put``, and every edge block emits a
+    V-sized partial in-sum (np.bincount with integer-valued float64
+    weights — exact below 2^53, and Σpr ≤ scale = 10^12 keeps every
+    partial far under that).  Partitioning assumption (kmeans/CC
+    precedent): the V-sized model fits the driver — at 10^9+ vertices
+    swap the model update for the distributed BSP min-label pattern in
+    stages/cluster.py."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    edge_refs = _copurchase_edge_refs(lineitem_ds, parts)
+
+    @ray.remote
+    def deg_partial(t: pa.Table):
+        vs = np.concatenate(
+            [
+                t.column("x").to_numpy(zero_copy_only=False),
+                t.column("y").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(vs, return_counts=True)
+        return uniq, cnt.astype(np.int64)
+
+    pieces = ray.get([deg_partial.remote(r) for r in edge_refs])
+    allv = np.concatenate([p[0] for p in pieces])
+    allc = np.concatenate([p[1] for p in pieces])
+    vkeys, inv = np.unique(allv, return_inverse=True)
+    deg = np.zeros(len(vkeys), dtype=np.int64)
+    np.add.at(deg, inv, allc)
+    n_v = len(vkeys)
+    if n_v == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "part_id": pa.array([], pa.int64()),
+                    "pr_score": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    base = scale // n_v
+    pr = np.full(n_v, base, dtype=np.int64)
+
+    @ray.remote
+    def in_sum_partial(t: pa.Table, model):
+        keys, c = model
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        xi = np.searchsorted(keys, x)
+        yi = np.searchsorted(keys, y)
+        s = np.bincount(yi, weights=c[xi].astype(np.float64),
+                        minlength=len(keys))
+        s += np.bincount(xi, weights=c[yi].astype(np.float64),
+                         minlength=len(keys))
+        return s.astype(np.int64)
+
+    for _ in range(iters):
+        model_ref = ray.put((vkeys, pr // deg))
+        partials = ray.get(
+            [in_sum_partial.remote(r, model_ref) for r in edge_refs]
+        )
+        s = np.sum(partials, axis=0)
+        pr = (15 * base) // 100 + (85 * s) // 100
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "part_id": pa.array(vkeys.astype(np.int64)),
+                "pr_score": pa.array(pr),
+            }
+        )
+    )
+
+
+def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
+    """Triangles in the co-purchase graph (parts that share an order =
+    an edge): the graph-analytics shape beyond connected components.
+
+    Plan (all ref-land, no executor spins after the input scan):
+    (1) orderkey-hash exchange expands each order's distinct item set
+    into edges (x<y) — the co_purchase expansion; (2) edge-hash
+    exchange makes edges globally DISTINCT; (3) node-hash exchange
+    groups each node's (larger) neighbors and expands every
+    neighbor pair into a WEDGE — because edges are stored x<y, wedges
+    generate only from each triangle's MINIMUM vertex, so each
+    triangle is counted exactly once; (4) a distributed SEMI
+    ``hash_join`` of wedges against the edge set keeps the wedges
+    whose closing edge exists (left multiplicity preserved — one
+    matched wedge row per triangle), and the count fans in by ref.
+    Partitioning assumptions: one node's adjacency fits a task
+    (super-node wedges explode as d²/2 — salt or cap degree for
+    power-law graphs), and one edge part fits a task."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    edge_refs = _copurchase_edge_refs(lineitem_ds, parts)
 
     _empty_w = pa.table(
         {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
@@ -2458,7 +2572,7 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
         y = t.column("y").to_numpy(zero_copy_only=False)
         order = np.lexsort((y, x))
         xs, ys = x[order], y[order]
-        li, ri = _comb2(xs, ys)
+        li, ri = _comb2_runs(xs)
         if not len(li):
             return _empty_w
         # wedge (b, c) with b<c — both neighbors of the (minimum)

@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "special_deal_revenue",
     "user_value_running",
     "distinct_parts_by_supplier",
+    "page_rank",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

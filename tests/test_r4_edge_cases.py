@@ -175,3 +175,114 @@ def test_returned_top_customers_empty_quarter(ray_session):
     assert sorted(out.schema().names) == [
         "c_custkey", "c_name", "n_name", "revenue",
     ]
+
+
+def test_running_value_sum_matches_pandas(ray_session):
+    """Cumulative window vs a brute-force pandas groupby-cumsum."""
+    import datetime as dt
+
+    from rayslog.stages.events import running_value_sum
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(rng.integers(0, 6)),
+         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s)),
+         "click",
+         round(float(rng.uniform(0, 10)), 2))
+        for s in rng.choice(10_000, size=200, replace=False)
+    ]
+    df = running_value_sum(_events(rows), parts=4).to_pandas()
+
+    ref = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_id": list(range(len(rows))),
+            "c": [int(round(r[3] * 100)) for r in rows],
+        }
+    ).sort_values(["user_id", "ts", "event_id"])
+    ref["run_value"] = ref.groupby("user_id")["c"].cumsum() / 100.0
+    ref["run_n"] = ref.groupby("user_id").cumcount() + 1
+
+    a = df.sort_values(["user_id", "event_id"], ignore_index=True)
+    b = ref[["user_id", "event_id", "run_value", "run_n"]].sort_values(
+        ["user_id", "event_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_dominant_event_type_tie_breaks_ascending(ray_session):
+    """Equal counts resolve to the lexicographically smallest type."""
+    import datetime as dt
+
+    from rayslog import pipeline as p
+
+    rows = (
+        [(1, dt.datetime(2024, 1, 1, 0, i), "view", 1.0) for i in range(3)]
+        + [(1, dt.datetime(2024, 1, 1, 1, i), "click", 1.0) for i in range(3)]
+        + [(2, dt.datetime(2024, 1, 1, 2), "signup", 1.0)]
+    )
+    ds = _events(rows)
+    # the query fn reads <dir>/events.parquet — stage it in a tmp dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ds.write_parquet(f"{d}/events.parquet")
+        df = p.q_dominant_event_type(d).to_pandas().sort_values(
+            "user_id", ignore_index=True
+        )
+    assert list(df["user_id"]) == [1, 2]
+    assert list(df["event_type"]) == ["click", "signup"]  # tie -> asc
+    assert list(df["n_events"]) == [3, 1]
+
+
+def test_user_retention_single_day_users(ray_session):
+    """Users active on one day only -> a single (cohort, 0) diagonal."""
+    import datetime as dt
+    import tempfile
+
+    from rayslog import pipeline as p
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1 + u, 3), "click", 1.0)
+        for u in range(4)
+    ] * 2  # two events each, same day
+    with tempfile.TemporaryDirectory() as d:
+        _events(rows).write_parquet(f"{d}/events.parquet")
+        df = p.q_user_retention(d).to_pandas()
+    assert (df["day_offset"] == 0).all()
+    assert df["n_users"].sum() == 4
+
+
+def test_page_rank_toy_graph_hand_computed(ray_session):
+    """Path graph 1-2-3 via two 2-item orders: hand-computed integer
+    PageRank, one iteration."""
+    import ray.data as rd
+
+    from rayslog.stages.relational import page_rank_copurchase
+
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 20, 20], pa.int64()),
+                "l_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    df = (
+        page_rank_copurchase(li, iters=1, scale=10**12, parts=4)
+        .to_pandas()
+        .sort_values("part_id", ignore_index=True)
+    )
+    # N=3, base=333333333333; deg: 1->1, 2->2, 3->1
+    base = 10**12 // 3
+    c1 = base // 1          # contributions of vertices 1 and 3
+    c2 = base // 2          # vertex 2
+    t = (15 * base) // 100
+    exp = {
+        1: t + (85 * c2) // 100,
+        2: t + (85 * (c1 + c1)) // 100,
+        3: t + (85 * c2) // 100,
+    }
+    assert list(df["part_id"]) == [1, 2, 3]
+    assert list(df["pr_score"]) == [exp[1], exp[2], exp[3]]

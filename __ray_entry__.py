@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_running": p.q_user_value_running,  # new r4 (cum window)
         "distinct_parts_by_supplier": p.q_distinct_parts_by_supplier,  # new r4
         "page_rank": p.q_page_rank,  # new r4 (iterative BSP graph)
+        "min_cost_supplier": p.q_min_cost_supplier,  # new r4 (Q2 argmin)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

@@ -2979,3 +2979,22 @@ def q_page_rank(sf_dir: str):
     return page_rank_copurchase(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     )
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped cheapest supplier per size-15 part (grouped
+    argmin with tie-break, dim names attached on the final rows via
+    key-filtered reads)."""
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        part_path=f"{sf_dir}/part.parquet",
+        supplier_path=f"{sf_dir}/supplier.parquet",
+        nation_df=pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas(),
+    )

@@ -1608,6 +1608,23 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["min_cost_supplier"] = """
+WITH qp AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+c AS (SELECT l.l_partkey, l.l_suppkey,
+        CAST(round(l.l_extendedprice*100) AS BIGINT) AS cents
+      FROM lineitem l JOIN qp ON l.l_partkey = qp.p_partkey),
+m AS (SELECT l_partkey, l_suppkey, cents,
+        row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY cents, l_suppkey) AS rn
+      FROM c)
+SELECT m.l_partkey AS p_partkey, qp.p_name,
+  CAST(m.cents AS DOUBLE)/100.0 AS min_cost,
+  m.l_suppkey AS s_suppkey, s.s_name, n.n_name
+FROM m JOIN qp ON m.l_partkey = qp.p_partkey
+JOIN supplier s ON m.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE rn = 1
+"""
     # Integer fixed-point PageRank, 3 iterations unrolled — the engine's
     # page_rank_copurchase spells the identical integer spec
     # (pr0 = scale//N; pr' = (15*base)//100 + (85*Σ pr//deg)//100), so

@@ -2600,3 +2600,132 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
     return rd.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
     )
+
+
+def min_cost_supplier(
+    lineitem_ds,
+    part_path: str,
+    supplier_path: str,
+    nation_df,
+    size: int = 15,
+):
+    """TPC-H Q2-shaped cheapest-supplier-per-part: for every part of
+    the given ``p_size``, the supplier offering the minimum lineitem
+    price (ties broken by the smaller suppkey), with part / supplier /
+    nation names attached.
+
+    Plan: the qualifying partkey set loads via a size-FILTERED parquet
+    read (O(|size-slice|) driver memory, ~2% of |part|) and ships once
+    (``ray.put`` + per-process cache); each lineitem batch filters
+    with one ``is_in`` and reduces to its local per-part min-(cents,
+    suppkey) row; the global argmin rides the combiner tree (the
+    min-tuple reduce is re-applicable).  Dim names attach on the FINAL
+    result only via key-filtered parquet reads — no whole-dim driver
+    load, no dim rows on the fan-in.  Partitioning assumption: one row
+    per qualifying part fits one tree task (tree_reduce docstring);
+    hash-split the tree by partkey range past ~10^8 qualifying parts.
+
+    Reference shape: TPC-H Q2's min-supplycost join-back, re-expressed
+    over lineitem prices since the corpus has no partsupp table.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import _topk_reduce_fn, tree_reduce
+
+    qpart = pq.read_table(
+        part_path,
+        columns=["p_partkey", "p_name"],
+        filters=[("p_size", "==", size)],
+    )
+    keys_ref = ray.put(
+        (qpart.column("p_partkey").to_numpy(zero_copy_only=False),)
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        (pk_set,) = _cached_arrays(keys_ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk_set))
+        cents = pc.round(
+            pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "cents": cents,
+                "l_suppkey": t.column("l_suppkey"),
+            }
+        )
+
+    argmin = _topk_reduce_fn(
+        "l_partkey", "cents", "l_suppkey", k=1, ascending=True
+    )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sk = sorted(set(t.column("l_suppkey").to_pylist()))
+        if sk:
+            supp = pq.read_table(
+                supplier_path,
+                columns=["s_suppkey", "s_name", "s_nationkey"],
+                filters=[("s_suppkey", "in", sk)],
+            ).to_pandas()
+        else:
+            supp = pd.DataFrame(
+                {"s_suppkey": pd.Series([], dtype="int64"),
+                 "s_name": pd.Series([], dtype="object"),
+                 "s_nationkey": pd.Series([], dtype="int64")}
+            )
+        supp = supp.merge(
+            nation_df, left_on="s_nationkey", right_on="n_nationkey"
+        )
+        sidx = pc.index_in(
+            t.column("l_suppkey"),
+            value_set=pa.array(supp["s_suppkey"].tolist(), pa.int64()),
+        )
+        pidx = pc.index_in(
+            t.column("l_partkey"),
+            value_set=pc.cast(qpart.column("p_partkey"), pa.int64()),
+        )
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "p_name": pc.take(qpart.column("p_name"), pidx),
+                "min_cost": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "s_name": pc.take(
+                    pa.array(supp["s_name"].tolist(), pa.string()), sidx
+                ),
+                "n_name": pc.take(
+                    pa.array(supp["n_name"].tolist(), pa.string()), sidx
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            final_fn(
+                pa.table(
+                    {
+                        "l_partkey": pa.array([], pa.int64()),
+                        "cents": pa.array([], pa.int64()),
+                        "l_suppkey": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        )
+
+    return tree_reduce(
+        lineitem_ds.map_batches(
+            lambda t: argmin(prep(t)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        argmin,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -139,6 +139,7 @@ QUERY_NAMES = [
     "user_value_running",
     "distinct_parts_by_supplier",
     "page_rank",
+    "min_cost_supplier",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -2998,3 +2998,42 @@ def q_min_cost_supplier(sf_dir: str):
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
         ).to_pandas(),
     )
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: per order year, the revenue
+    fraction EUROPE-region customers sourced from nation 3's
+    suppliers.  Dim legs auto-select broadcast vs hash_join like
+    q_regional_revenue; the share is one exact-int division per year."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import nation_market_share_cents
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    def dim(table: str, cols: list[str]):
+        if _table_rows(sf_dir, table) <= thresh:
+            return pq.read_table(
+                f"{sf_dir}/{table}.parquet", columns=cols
+            ).to_pandas()
+        return _read(sf_dir, table, cols)
+
+    return nation_market_share_cents(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        dim("customer", ["c_custkey", "c_nationkey"]),
+        dim("supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        ).to_pandas(),
+        pq.read_table(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ).to_pandas(),
+    )

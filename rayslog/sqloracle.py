@@ -1608,6 +1608,30 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["nation_market_share"] = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS c2,
+    (s.s_nationkey = 3) AS is_t
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'EUROPE'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  CAST(sum(CASE WHEN is_t THEN c2 ELSE 0 END) AS DOUBLE)/10000.0
+    AS nation_revenue,
+  CAST(sum(c2) AS DOUBLE)/10000.0 AS total_revenue,
+  CAST(sum(CASE WHEN is_t THEN c2 ELSE 0 END) AS DOUBLE)
+    / CAST(sum(c2) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+"""
     q["min_cost_supplier"] = """
 WITH qp AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
 c AS (SELECT l.l_partkey, l.l_suppkey,

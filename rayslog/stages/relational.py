@@ -598,9 +598,9 @@ def _line_rev_c2(t: pa.Table) -> pa.Array:
 
 
 def _orders_nation_side(orders_ds, customer_df, nation_keys, lo, hi,
-                        buckets: int):
+                        buckets: int, with_year: bool = False):
     """orders in [lo, hi) joined to customer, projected to
-    ``(l_orderkey, c_nationkey)``.  The customer leg auto-selects:
+    ``(l_orderkey, c_nationkey[, o_year])``.  The customer leg auto-selects:
     a pandas frame broadcasts once via ``ray.put`` and is looked up
     per batch inside stateless task functions (process-cached Arrow
     arrays); a ray Dataset runs the distributed ``hash_join`` leg with
@@ -626,12 +626,15 @@ def _orders_nation_side(orders_ds, customer_df, nation_keys, lo, hi,
             )
             t = t.filter(m)
             idx = pc.index_in(t.column("o_custkey"), value_set=keys)
-            out = pa.table(
-                {
-                    "l_orderkey": t.column("o_orderkey"),
-                    "c_nationkey": pc.take(nks, idx),
-                }
-            )
+            cols = {
+                "l_orderkey": t.column("o_orderkey"),
+                "c_nationkey": pc.take(nks, idx),
+            }
+            if with_year:
+                cols["o_year"] = pc.cast(
+                    pc.year(t.column("o_orderdate")), pa.int64()
+                )
+            out = pa.table(cols)
             return out.filter(pc.is_valid(out.column("c_nationkey")))
 
         return orders_ds.map_batches(
@@ -645,12 +648,15 @@ def _orders_nation_side(orders_ds, customer_df, nation_keys, lo, hi,
             pc.less(t.column("o_orderdate"), hi),
         )
         t = t.filter(m)
-        return pa.table(
-            {
-                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
-                "l_orderkey": t.column("o_orderkey"),
-            }
-        )
+        cols = {
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "l_orderkey": t.column("o_orderkey"),
+        }
+        if with_year:
+            cols["o_year"] = pc.cast(
+                pc.year(t.column("o_orderdate")), pa.int64()
+            )
+        return pa.table(cols)
 
     def cust_proj(t: pa.Table) -> pa.Table:
         nk = pa.array(nk_list).cast(t.column("c_nationkey").type)
@@ -672,7 +678,10 @@ def _orders_nation_side(orders_ds, customer_df, nation_keys, lo, hi,
         key="c_custkey",
         buckets=buckets,
     ).map_batches(
-        lambda t: t.select(["l_orderkey", "c_nationkey"]),
+        lambda t: t.select(
+            ["l_orderkey", "c_nationkey"]
+            + (["o_year"] if with_year else [])
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -2726,6 +2735,116 @@ def min_cost_supplier(
             zero_copy_batch=True,
         ),
         argmin,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def nation_market_share_cents(
+    lineitem_ds,
+    orders_ds,
+    customer_df,
+    supplier_df,
+    nation_df,
+    region_df,
+    region_name: str = "EUROPE",
+    target_nationkey: int = 3,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    buckets: int = 32,
+):
+    """TPC-H Q8-shaped national market share: per order year, the
+    fraction of revenue (orders from one region's customers) supplied
+    by one target nation.
+
+    Same join plan as :func:`regional_revenue_cents` (shared
+    broadcast-vs-hash_join dim legs, one large-large orderkey
+    exchange), but the supplier leg keeps ALL nations (the share's
+    denominator) and the orders leg carries the order year.  Partials
+    reduce to <= |years| rows of two int-cents^2 sums (target, total);
+    the share divides the two exact ints in float64 once, on the final
+    block — identical to the oracle's ``CAST(.. AS DOUBLE) /
+    CAST(.. AS DOUBLE)``, so the comparison is hash-exact.
+    """
+    nat = nation_df.merge(
+        region_df[region_df["r_name"] == region_name],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    region_nations = set(nat["n_nationkey"])
+    all_nations = set(nation_df["n_nationkey"])
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+    orders_side = _orders_nation_side(
+        orders_ds, customer_df, region_nations, lo, hi, buckets,
+        with_year=True,
+    )
+    line_side = _line_nation_side(
+        lineitem_ds, supplier_df, all_nations, buckets
+    )
+    joined = hash_join(line_side, orders_side, key="l_orderkey",
+                       buckets=buckets)
+    target = pa.scalar(target_nationkey, pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        c2 = t.column("rev_c2")
+        is_t = pc.equal(
+            pc.cast(t.column("s_nationkey"), pa.int64()), target
+        )
+        return (
+            pa.table(
+                {
+                    "o_year": t.column("o_year"),
+                    "t_c2": pc.if_else(is_t, c2, pa.scalar(0, pa.int64())),
+                    "c2": c2,
+                }
+            )
+            .group_by(["o_year"])
+            .aggregate([("t_c2", "sum"), ("c2", "sum")])
+            .rename_columns(["o_year", "t_c2", "c2"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["o_year"])
+            .aggregate([("t_c2", "sum"), ("c2", "sum")])
+            .rename_columns(["o_year", "t_c2", "c2"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        tg = pc.cast(t.column("t_c2"), pa.float64())
+        tot = pc.cast(t.column("c2"), pa.float64())
+        return pa.table(
+            {
+                "o_year": pc.cast(t.column("o_year"), pa.int64()),
+                "nation_revenue": pc.divide(tg, 10_000.0),
+                "total_revenue": pc.divide(tot, 10_000.0),
+                "mkt_share": pc.divide(tg, tot),
+            }
+        ).sort_by([("o_year", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "nation_revenue": pa.array([], pa.float64()),
+                    "total_revenue": pa.array([], pa.float64()),
+                    "mkt_share": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
         empty_fn=empty_fn,
         final_fn=final_fn,
     )

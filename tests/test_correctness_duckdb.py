@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "distinct_parts_by_supplier",
     "page_rank",
     "min_cost_supplier",
+    "nation_market_share",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -146,3 +146,19 @@ def test_session4_query_legs_identical(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             _norm(base[k]), _norm(forced[k]), check_exact=True
         )
+
+
+def test_nation_market_share_legs_identical(ray_session, monkeypatch):
+    """Q8's with_year orders side: broadcast vs forced hash_join legs
+    emit identical (year, share) rows, and the share is a well-formed
+    fraction."""
+    from rayslog import pipeline as p
+
+    base = p.q_nation_market_share(SF_DIR).to_pandas()
+    assert len(base) > 0
+    assert ((base["mkt_share"] >= 0) & (base["mkt_share"] <= 1)).all()
+    monkeypatch.setenv("RAYSLOG_BROADCAST_MAX_ROWS", "0")
+    forced = p.q_nation_market_share(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(base), _norm(forced), check_exact=True
+    )

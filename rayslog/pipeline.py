@@ -3037,3 +3037,15 @@ def q_nation_market_share(sf_dir: str):
             f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
         ).to_pandas(),
     )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped global-threshold share: parts whose revenue
+    exceeds 0.075% of total revenue, threshold compared in exact
+    integer arithmetic."""
+    from rayslog.stages.relational import important_parts
+
+    return important_parts(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount"])
+    )

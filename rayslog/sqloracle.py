@@ -1608,6 +1608,17 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["important_parts"] = """
+WITH s AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS c2
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT sum(c2) AS t FROM s)
+SELECT s.l_partkey AS p_partkey,
+  CAST(s.c2 AS DOUBLE)/10000.0 AS part_revenue,
+  CAST(s.c2 AS DOUBLE) / CAST(tot.t AS DOUBLE) AS rev_share
+FROM s, tot WHERE s.c2 > (3 * tot.t) // 4000
+"""
     q["nation_market_share"] = """
 WITH j AS (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

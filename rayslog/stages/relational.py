@@ -2848,3 +2848,74 @@ def nation_market_share_cents(
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def important_parts(lineitem_ds, num: int = 3, den: int = 4000):
+    """TPC-H Q11-shaped "important stock": parts whose total revenue
+    exceeds ``num/den`` of GLOBAL revenue (default 0.075% — 1.5x the
+    mean share of the synthetic corpus's uniform part domain).
+
+    One corpus scan: per-block grouped partials ride the combiner
+    tree to one row per part; the global total and the threshold
+    filter run on the final block only.  The threshold compare is
+    EXACT integer arithmetic — ``part_c2 > (num*total)//den`` is
+    equivalent to ``part_c2*den > num*total`` without overflow
+    (Python-int threshold, int64 column compare) and matches the
+    oracle's HUGEINT ``//`` spelling bit-for-bit.  Partitioning
+    assumption: one row per part fits one tree task (tree_reduce
+    docstring) — hash-split the tree past ~10^8 parts.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {"l_partkey": t.column("l_partkey"), "c2": _line_rev_c2(t)}
+            )
+            .group_by(["l_partkey"])
+            .aggregate([("c2", "sum")])
+            .rename_columns(["l_partkey", "c2"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["l_partkey"])
+            .aggregate([("c2", "sum")])
+            .rename_columns(["l_partkey", "c2"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        total = pc.sum(t.column("c2")).as_py() or 0
+        thr = (num * total) // den
+        t = t.filter(pc.greater(t.column("c2"), pa.scalar(thr, pa.int64())))
+        c2 = pc.cast(t.column("c2"), pa.float64())
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "part_revenue": pc.divide(c2, 10_000.0),
+                "rev_share": pc.divide(c2, float(total) or 1.0),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "part_revenue": pa.array([], pa.float64()),
+                    "rev_share": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(
+        lineitem_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

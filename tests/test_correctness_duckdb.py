@@ -141,6 +141,7 @@ QUERY_NAMES = [
     "page_rank",
     "min_cost_supplier",
     "nation_market_share",
+    "important_parts",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

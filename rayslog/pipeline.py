@@ -3049,3 +3049,27 @@ def q_important_parts(sf_dir: str):
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_extendedprice", "l_discount"])
     )
+
+
+def q_quantity_price_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs price per brand) from
+    exact integer moments; part dim auto-selects broadcast vs
+    hash_join."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import quantity_price_corr
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "part") <= thresh:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).to_pandas()
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    return quantity_price_corr(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        part,
+    )

@@ -1608,6 +1608,42 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    # corr from exact shifted-integer moments: every moment sum is
+    # HUGEINT-exact in DuckDB / Python-int-exact in the engine, and the
+    # final float64 ops (CAST, *, sqrt, /) are the identical sequence on
+    # both sides, so the comparison is hash-exact (embed_kmeans-style
+    # contract).
+    q["quantity_price_corr"] = """
+WITH m AS (
+  SELECT p.p_brand,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(l.l_quantity) AS BIGINT) - 25) AS BIGINT) AS sx,
+    CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) - 5000000)
+         AS BIGINT) AS sy,
+    CAST(sum((CAST(round(l.l_quantity) AS BIGINT) - 25)
+        * (CAST(round(l.l_extendedprice*100) AS BIGINT) - 5000000))
+         AS BIGINT) AS sxy,
+    CAST(sum((CAST(round(l.l_quantity) AS BIGINT) - 25)
+        * (CAST(round(l.l_quantity) AS BIGINT) - 25)) AS BIGINT) AS sxx,
+    CAST(sum((CAST(round(l.l_extendedprice*100) AS BIGINT) - 5000000)
+        * (CAST(round(l.l_extendedprice*100) AS BIGINT) - 5000000))
+         AS BIGINT) AS syy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand)
+SELECT p_brand, n,
+  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0 THEN
+    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+  ELSE NULL END AS corr_qty_price
+FROM m
+"""
     q["important_parts"] = """
 WITH s AS (
   SELECT l_partkey, sum(CAST(round(l_extendedprice*100) AS BIGINT)

@@ -2919,3 +2919,146 @@ def important_parts(lineitem_ds, num: int = 3, den: int = 4000):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def quantity_price_corr(lineitem_ds, part_side, buckets: int = 32):
+    """Grouped Pearson correlation of (quantity, price) per part brand,
+    from EXACT integer moments — the distributed-statistics shape.
+
+    Per-batch partials sum six shifted-integer moments (n, Σx, Σy,
+    Σxy, Σx², Σy²; x = qty-25, y = price_cents-5e6 — the shift buys
+    ~4x int64 headroom and corr is shift-invariant) per brand; the
+    <=|brands|-row partials collapse through the combiner tree, and
+    the final block computes ``corr = (nΣxy-ΣxΣy) /
+    sqrt((nΣx²-Σx²̂)(nΣy²-Σŷ²))`` in PYTHON ints (arbitrary
+    precision) before one float64 division — the identical operation
+    sequence as the oracle's HUGEINT arithmetic + CAST AS DOUBLE, so
+    the comparison is hash-exact.  ``part_side``: pandas frame =
+    broadcast leg, Dataset = distributed hash_join leg (callers
+    auto-select on row count).  Documented bound: per-brand Σy² <
+    2^63 holds to ~10^6 rows/brand; shift to decimal128 partials past
+    that.
+    """
+    import math
+
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "x": pc.subtract(
+                    pc.round(t.column("l_quantity")).cast(pa.int64()),
+                    pa.scalar(25, pa.int64()),
+                ),
+                "y": pc.subtract(
+                    pc.round(
+                        pc.multiply(
+                            t.column("l_extendedprice"), pa.scalar(100.0)
+                        )
+                    ).cast(pa.int64()),
+                    pa.scalar(5_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    li = lineitem_ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if isinstance(part_side, pd.DataFrame):
+        joined = broadcast_join(
+            li, part_side, key="p_partkey", columns={"p_brand": "p_brand"}
+        )
+    else:
+        joined = hash_join(
+            li,
+            part_side.map_batches(
+                lambda t: t.select(["p_partkey", "p_brand"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            key="p_partkey",
+            buckets=buckets,
+        )
+
+    moment_cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x, y = t.column("x"), t.column("y")
+        return (
+            pa.table(
+                {
+                    "p_brand": t.column("p_brand"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sx": x,
+                    "sy": y,
+                    "sxy": pc.multiply(x, y),
+                    "sxx": pc.multiply(x, x),
+                    "syy": pc.multiply(y, y),
+                }
+            )
+            .group_by(["p_brand"])
+            .aggregate([(c, "sum") for c in moment_cols])
+            .rename_columns(["p_brand"] + moment_cols)
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["p_brand"])
+            .aggregate([(c, "sum") for c in moment_cols])
+            .rename_columns(["p_brand"] + moment_cols)
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        # Final formula runs ENTIRELY in float64 from int64-exact
+        # moments, never through a >2^63 integer: DuckDB's HUGEINT →
+        # DOUBLE cast is 1-ulp off past 2^63 (measured: n*syy ≈ 6.7e19
+        # broke the hash), while BIGINT → DOUBLE and the subsequent
+        # IEEE mul/sub/sqrt/div are bit-identical on both sides.
+        n = t.column("n").to_pylist()
+        sx = t.column("sx").to_pylist()
+        sy = t.column("sy").to_pylist()
+        sxy = t.column("sxy").to_pylist()
+        sxx = t.column("sxx").to_pylist()
+        syy = t.column("syy").to_pylist()
+        corr = []
+        for i in range(t.num_rows):
+            num = float(n[i]) * float(sxy[i]) - float(sx[i]) * float(sy[i])
+            d1 = float(n[i]) * float(sxx[i]) - float(sx[i]) * float(sx[i])
+            d2 = float(n[i]) * float(syy[i]) - float(sy[i]) * float(sy[i])
+            corr.append(
+                num / math.sqrt(d1 * d2) if d1 > 0 and d2 > 0 else None
+            )
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "corr_qty_price": pa.array(corr, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "corr_qty_price": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    return tree_reduce(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -142,6 +142,7 @@ QUERY_NAMES = [
     "min_cost_supplier",
     "nation_market_share",
     "important_parts",
+    "quantity_price_corr",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

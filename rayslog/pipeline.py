@@ -3073,3 +3073,13 @@ def q_quantity_price_corr(sf_dir: str):
               ["l_partkey", "l_quantity", "l_extendedprice"]),
         part,
     )
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (LAG over each user's
+    timeline) — the Markov next-action matrix."""
+    from rayslog.stages.events import event_transitions
+
+    return event_transitions(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )

@@ -1608,6 +1608,16 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["event_transitions"] = """
+WITH w AS (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
     # corr from exact shifted-integer moments: every moment sum is
     # HUGEINT-exact in DuckDB / Python-int-exact in the engine, and the
     # final float64 ops (CAST, *, sqrt, /) are the identical sequence on

@@ -1235,3 +1235,99 @@ def rolling_time_stats(ds, window_sec: int = 300, parts: int = 64):
         parts,
         per_part,
     )
+
+
+def event_transitions(ds, parts: int = 64):
+    """Per-user event-type transition matrix (the Markov-chain /
+    next-action shape): counts of (prev_type -> event_type) pairs over
+    each user's timeline ordered by (ts, event_id).
+
+    Same plan as :func:`event_gap_stats`: one user-hash
+    ``task_exchange`` (a user's timeline resolves whole in one part),
+    one vectorized lexsort + shifted-compare pass per part, then a
+    <= |types|^2-key combiner tree — no sort-shuffle, no per-user
+    Python."""
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u = codes[order]
+        same = u[1:] == u[:-1]
+        cur = order[1:][same]
+        prv = order[:-1][same]
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return (
+            pa.table(
+                {
+                    "prev_type": et.take(pa.array(prv)),
+                    "event_type": et.take(pa.array(cur)),
+                }
+            )
+            .group_by(["prev_type", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["prev_type", "event_type", "n"])
+        )
+
+    partials = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["prev_type", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "event_type", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": t.column("prev_type"),
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

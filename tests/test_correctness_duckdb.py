@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "nation_market_share",
     "important_parts",
     "quantity_price_corr",
+    "event_transitions",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": p.q_important_parts,  # new r4 (Q11 threshold)
         "quantity_price_corr": p.q_quantity_price_corr,  # new r4 (grouped corr)
         "event_transitions": p.q_event_transitions,  # new r4 (Markov matrix)
+        "co_purchase_degree": p.q_co_purchase_degree,  # new r4 (graph summary)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

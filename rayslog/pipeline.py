@@ -3083,3 +3083,13 @@ def q_event_transitions(sf_dir: str):
     return event_transitions(
         _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     )
+
+
+def q_co_purchase_degree(sf_dir: str):
+    """Degree histogram of the distinct co-purchase graph (shared edge
+    build with page_rank/triangle_count)."""
+    from rayslog.stages.relational import co_purchase_degree
+
+    return co_purchase_degree(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    )

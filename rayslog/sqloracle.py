@@ -1608,6 +1608,16 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["co_purchase_degree"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+e AS (SELECT x AS v FROM e0 UNION ALL SELECT y AS v FROM e0),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY v)
+SELECT dg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY dg
+"""
     q["event_transitions"] = """
 WITH w AS (
   SELECT event_type,

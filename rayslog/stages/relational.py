@@ -3062,3 +3062,69 @@ def quantity_price_corr(lineitem_ds, part_side, buckets: int = 32):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def co_purchase_degree(lineitem_ds, parts: int = 64):
+    """Degree distribution of the co-purchase graph: how many parts
+    have k distinct co-purchase neighbors — the graph-summary shape.
+
+    Shares :func:`_copurchase_edge_refs` with page_rank /
+    triangle_count (two exchanges: order-hash pair expansion,
+    edge-hash global dedup); each distinct-edge block then stacks both
+    endpoints and pre-counts, per-node degrees collapse through the
+    combiner tree, and the final block group-counts degrees into the
+    histogram.  Partitioning assumption: one row per graph node fits
+    one tree task (the page_rank bound)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce_refs
+
+    edge_refs = _copurchase_edge_refs(lineitem_ds, parts)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if "x" in t.column_names:  # raw distinct-edge block(s)
+            v = pa.chunked_array(
+                [t.column("x").combine_chunks(),
+                 t.column("y").combine_chunks()]
+            )
+            t = pa.table(
+                {
+                    "v": v,
+                    "dg": pa.array(
+                        np.ones(len(v), np.int64)
+                    ),
+                }
+            )
+        return (
+            t.group_by(["v"])
+            .aggregate([("dg", "sum")])
+            .rename_columns(["v", "dg"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        h = (
+            t.group_by(["dg"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["degree", "n_nodes"])
+        )
+        return pa.table(
+            {
+                "degree": pc.cast(h.column("degree"), pa.int64()),
+                "n_nodes": pc.cast(h.column("n_nodes"), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    if not edge_refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "degree": pa.array([], pa.int64()),
+                    "n_nodes": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow(
+        tree_reduce_refs(edge_refs, reduce_fn, final_fn=final_fn)
+    )

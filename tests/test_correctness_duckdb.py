@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "important_parts",
     "quantity_price_corr",
     "event_transitions",
+    "co_purchase_degree",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_price_corr": p.q_quantity_price_corr,  # new r4 (grouped corr)
         "event_transitions": p.q_event_transitions,  # new r4 (Markov matrix)
         "co_purchase_degree": p.q_co_purchase_degree,  # new r4 (graph summary)
+        "customer_spend_pctile": p.q_customer_spend_pctile,  # new r4 (PERCENT_RANK)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

@@ -3093,3 +3093,26 @@ def q_co_purchase_degree(sf_dir: str):
     return co_purchase_degree(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     )
+
+
+def q_customer_spend_pctile(sf_dir: str):
+    """PERCENT_RANK of customer total spend within nation (distributed
+    window percentile; customer dim auto-selects broadcast vs
+    hash_join)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import customer_spend_pctile
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "customer") <= thresh:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).to_pandas()
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return customer_spend_pctile(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust
+    )

@@ -1608,6 +1608,18 @@ FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem GROUP BY l_suppkey
 """
+    q["customer_spend_pctile"] = """
+WITH s AS (
+  SELECT o_custkey AS c_custkey,
+    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT s.c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+  CAST(s.cents AS DOUBLE)/100.0 AS spend,
+  percent_rank() OVER (PARTITION BY c.c_nationkey
+                       ORDER BY s.cents) AS pctile
+FROM s JOIN customer c ON s.c_custkey = c.c_custkey
+"""
     q["co_purchase_degree"] = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y

@@ -3128,3 +3128,171 @@ def co_purchase_degree(lineitem_ds, parts: int = 64):
     return rd.from_arrow(
         tree_reduce_refs(edge_refs, reduce_fn, final_fn=final_fn)
     )
+
+
+def customer_spend_pctile(orders_ds, customer_side, parts: int = 64,
+                          nation_parts: int = 32, buckets: int = 32):
+    """PERCENT_RANK of each customer's total order spend within their
+    nation — the distributed window-percentile shape.
+
+    Two hash exchanges: (1) custkey-hash parts collapse per-batch
+    partial sums to one exact-cents row per customer; (2) nation
+    parts co-locate each nation's customers and compute
+    ``(min_rank-1)/(n-1)`` with one vectorized lexsort + run-detect
+    pass (ties share the min rank, matching SQL PERCENT_RANK).  The
+    nation dim attaches between the exchanges (broadcast frame below
+    the row threshold, distributed hash_join above).  Partitioning
+    assumption: one nation's customers fit one part (the sessionize
+    per-key bound) — salt by spend-band past ~10^8 customers/nation.
+
+    Output stays distributed (one row per customer) — never collected
+    driver-side.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rayslog.stages.aggregate import task_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        g = (
+            pa.table({"c_custkey": t.column("o_custkey"), "cents": cents})
+            .group_by(["c_custkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["c_custkey", "cents"])
+        )
+        u = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "cpart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty_s = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def finish_cust(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_s
+        return (
+            t.group_by(["c_custkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["c_custkey", "cents"])
+        )
+
+    spend = task_exchange(
+        orders_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "cpart",
+        parts,
+        finish_cust,
+    )
+
+    if isinstance(customer_side, pd.DataFrame):
+        cust_ref = ray.put(
+            (
+                customer_side["c_custkey"].to_numpy(),
+                customer_side["c_nationkey"].to_numpy(),
+            )
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, nks = _cached_lookup(cust_ref)
+            idx = pc.index_in(t.column("c_custkey"), value_set=keys)
+            out = t.append_column(
+                "c_nationkey", pc.cast(pc.take(nks, idx), pa.int64())
+            )
+            return out.filter(pc.is_valid(out.column("c_nationkey")))
+
+        attached = spend.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        attached = hash_join(
+            spend,
+            customer_side.map_batches(
+                lambda t: pa.table(
+                    {
+                        "c_custkey": pc.cast(
+                            t.column("c_custkey"), pa.int64()
+                        ),
+                        "c_nationkey": pc.cast(
+                            t.column("c_nationkey"), pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            key="c_custkey",
+            buckets=buckets,
+        )
+
+    def add_npart(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "npart",
+            pa.array(
+                (nk.astype(np.uint64) % np.uint64(nation_parts)).astype(
+                    np.int32
+                )
+            ),
+        )
+
+    _empty_out = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_nationkey": pa.array([], pa.int64()),
+            "spend": pa.array([], pa.float64()),
+            "pctile": pa.array([], pa.float64()),
+        }
+    )
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_out
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, cents, nk))
+        nk_s, c_s, ck_s = nk[order], cents[order], ck[order]
+        n = len(order)
+        idx = np.arange(n, dtype=np.int64)
+        new_n = np.r_[True, nk_s[1:] != nk_s[:-1]]
+        starts = np.nonzero(new_n)[0]
+        lens = np.diff(np.r_[starts, n])
+        grp_start = np.repeat(starts, lens)
+        sizes = np.repeat(lens, lens)
+        new_v = new_n | np.r_[True, c_s[1:] != c_s[:-1]]
+        val_start = np.maximum.accumulate(np.where(new_v, idx, -1))
+        rank = val_start - grp_start + 1
+        pct = np.where(
+            sizes > 1,
+            (rank - 1).astype(np.float64)
+            / np.maximum(sizes - 1, 1).astype(np.float64),
+            0.0,
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck_s),
+                "c_nationkey": pa.array(nk_s),
+                "spend": pa.array(c_s.astype(np.float64) / 100.0),
+                "pctile": pa.array(pct),
+            }
+        )
+
+    return task_exchange(
+        attached.map_batches(
+            add_npart, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "npart",
+        nation_parts,
+        rank_part,
+    )

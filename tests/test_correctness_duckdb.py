@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "quantity_price_corr",
     "event_transitions",
     "co_purchase_degree",
+    "customer_spend_pctile",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

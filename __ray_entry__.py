@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": p.q_event_transitions,  # new r4 (Markov matrix)
         "co_purchase_degree": p.q_co_purchase_degree,  # new r4 (graph summary)
         "customer_spend_pctile": p.q_customer_spend_pctile,  # new r4 (PERCENT_RANK)
+        "product_profit": p.q_product_profit,  # new r4 (Q9 profit)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

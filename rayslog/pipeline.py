@@ -3116,3 +3116,45 @@ def q_customer_spend_pctile(sf_dir: str):
     return customer_spend_pctile(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust
     )
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9-shaped profit by (nation, order year) for parts whose
+    name contains 'red' (retail price stands in for supply cost —
+    this corpus has no partsupp).  Part/supplier legs auto-select
+    broadcast vs hash_join on the row threshold."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import product_profit
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    def dim(table: str, cols: list[str]):
+        if _table_rows(sf_dir, table) <= thresh:
+            return pq.read_table(
+                f"{sf_dir}/{table}.parquet", columns=cols
+            ).to_pandas()
+        return _read(sf_dir, table, cols)
+
+    return product_profit(
+        _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        dim("part", ["p_partkey", "p_name", "p_retailprice"]),
+        dim("supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas(),
+    )

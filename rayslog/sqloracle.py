@@ -1762,6 +1762,28 @@ pr3 AS (SELECT g.v, CAST((15 * (SELECT b FROM base)) // 100
         FROM deg g LEFT JOIN s3 ON g.v = s3.v)
 SELECT v AS part_id, pr AS pr_score FROM pr3
 """
+    # Q9-shaped profit: retail price stands in for supply cost (no
+    # partsupp table in this corpus).  Profit per row is an exact
+    # 1e-4-dollar integer; the sum is CAST to BIGINT before the one
+    # float division (HUGEINT trap, CLAUDE.md invariant #4).
+    q["product_profit"] = """
+WITH pf AS (
+  SELECT s.s_nationkey, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+    - CAST(round(p.p_retailprice*100) AS BIGINT)
+      * CAST(round(l.l_quantity*100) AS BIGINT) AS profit_c4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE p.p_name LIKE '%red%'
+)
+SELECT n.n_name AS nation, pf.o_year,
+  CAST(CAST(sum(pf.profit_c4) AS BIGINT) AS DOUBLE)/10000.0 AS profit
+FROM pf JOIN nation n ON pf.s_nationkey = n.n_nationkey
+GROUP BY n.n_name, pf.o_year
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

@@ -3296,3 +3296,276 @@ def customer_spend_pctile(orders_ds, customer_side, parts: int = 64,
         nation_parts,
         rank_part,
     )
+
+
+def product_profit(
+    lineitem_ds,
+    orders_ds,
+    part_side,
+    supplier_side,
+    nation_df,
+    name_like: str = "red",
+    buckets: int = 32,
+):
+    """TPC-H Q9-shaped product profit: for parts whose name contains
+    ``name_like``, the per-(nation, order-year) profit
+    ``sum(extendedprice*(1-discount) - retailprice*quantity)`` —
+    retail price stands in for the reference schema's supply cost
+    (this corpus has no partsupp table).
+
+    Join plan: the part leg (filtered by the name substring, carrying
+    retail cents) and the supplier leg (nation key) attach to lineitem
+    first — broadcast lookups below the row threshold, distributed
+    ``hash_join`` legs above — then ONE large-large orderkey exchange
+    brings in the order year, and per-block grouped partials (<=
+    |nations|x|years| rows each) ride the combiner tree.  Profit is
+    EXACT integer 1e-4-dollar units per row (cents x cents-scale
+    quantity), so partial sums are order-independent (CLAUDE.md
+    invariant #3); the single float division happens once on the
+    final block, matching the oracle's spelling bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def _profit_c4(t: pa.Table, retail_c: pa.Array) -> pa.Array:
+        qty_c = pc.round(
+            pc.multiply(t.column("l_quantity"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pc.subtract(
+            _line_rev_c2(t), pc.multiply(pc.cast(retail_c, pa.int64()), qty_c)
+        )
+
+    # --- part leg: (l_partkey -> retail_c), filtered by name ---
+    if isinstance(part_side, pd.DataFrame):
+        kept = part_side[part_side["p_name"].str.contains(name_like)]
+        part_ref = ray.put(
+            (
+                kept["p_partkey"].to_numpy(),
+                np.round(kept["p_retailprice"].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+            )
+        )
+
+        def line_with_part(t: pa.Table) -> pa.Table:
+            keys, retc = _cached_lookup(part_ref)
+            idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+            rc = pc.take(retc, idx)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "profit_c4": _profit_c4(t, rc),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("profit_c4")))
+
+        line = lineitem_ds.map_batches(
+            line_with_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def part_proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.match_substring(t.column("p_name"), name_like))
+            return pa.table(
+                {
+                    "l_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                    "retail_c": pc.round(
+                        pc.multiply(
+                            t.column("p_retailprice"), pa.scalar(100.0)
+                        )
+                    ).cast(pa.int64()),
+                }
+            )
+
+        def line_proj(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "rev_c2": _line_rev_c2(t),
+                    "qty_c": pc.round(
+                        pc.multiply(t.column("l_quantity"), pa.scalar(100.0))
+                    ).cast(pa.int64()),
+                }
+            )
+
+        joined = hash_join(
+            lineitem_ds.map_batches(
+                line_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            part_side.map_batches(
+                part_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="l_partkey",
+            buckets=buckets,
+        )
+
+        def fold_profit(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "profit_c4": pc.subtract(
+                        t.column("rev_c2"),
+                        pc.multiply(t.column("retail_c"), t.column("qty_c")),
+                    ),
+                }
+            )
+
+        line = joined.map_batches(
+            fold_profit, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # --- supplier leg: s_suppkey -> s_nationkey ---
+    if isinstance(supplier_side, pd.DataFrame):
+        supp_ref = ray.put(
+            (
+                supplier_side["s_suppkey"].to_numpy(),
+                supplier_side["s_nationkey"].to_numpy(),
+            )
+        )
+
+        def attach_nation(t: pa.Table) -> pa.Table:
+            keys, nks = _cached_lookup(supp_ref)
+            idx = pc.index_in(t.column("l_suppkey"), value_set=keys)
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nationkey": pc.cast(pc.take(nks, idx), pa.int64()),
+                    "profit_c4": t.column("profit_c4"),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("s_nationkey")))
+
+        line = line.map_batches(
+            attach_nation, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def supp_proj(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                    "s_nationkey": pc.cast(
+                        t.column("s_nationkey"), pa.int64()
+                    ),
+                }
+            )
+
+        def line_key(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                    "l_orderkey": t.column("l_orderkey"),
+                    "profit_c4": t.column("profit_c4"),
+                }
+            )
+
+        line = hash_join(
+            line.map_batches(
+                line_key, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            supplier_side.map_batches(
+                supp_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="l_suppkey",
+            buckets=buckets,
+        )
+
+    # --- orders year side: one large-large orderkey exchange ---
+    def orders_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_year": pc.cast(
+                    pc.year(t.column("o_orderdate")), pa.int64()
+                ),
+            }
+        )
+
+    def line_ok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "s_nationkey": t.column("s_nationkey"),
+                "profit_c4": t.column("profit_c4"),
+            }
+        )
+
+    joined = hash_join(
+        line.map_batches(
+            line_ok, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        orders_ds.map_batches(
+            orders_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="l_orderkey",
+        buckets=buckets,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "s_nationkey": t.column("s_nationkey"),
+                    "o_year": t.column("o_year"),
+                    "profit_c4": t.column("profit_c4"),
+                }
+            )
+            .group_by(["s_nationkey", "o_year"])
+            .aggregate([("profit_c4", "sum")])
+            .rename_columns(["s_nationkey", "o_year", "profit_c4"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["s_nationkey", "o_year"])
+            .aggregate([("profit_c4", "sum")])
+            .rename_columns(["s_nationkey", "o_year", "profit_c4"])
+        )
+
+    n_keys = nation_df["n_nationkey"].to_numpy()
+    n_names = nation_df["n_name"].to_numpy()
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            value_set=pa.array(n_keys, pa.int64()),
+        )
+        name = pc.take(pa.array(n_names, pa.string()), idx)
+        return pa.table(
+            {
+                "nation": name,
+                "o_year": pc.cast(t.column("o_year"), pa.int64()),
+                "profit": pc.divide(
+                    pc.cast(t.column("profit_c4"), pa.float64()), 10_000.0
+                ),
+            }
+        ).sort_by([("nation", "ascending"), ("o_year", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    "o_year": pa.array([], pa.int64()),
+                    "profit": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

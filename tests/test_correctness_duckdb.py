@@ -146,6 +146,7 @@ QUERY_NAMES = [
     "event_transitions",
     "co_purchase_degree",
     "customer_spend_pctile",
+    "product_profit",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_purchase_degree": p.q_co_purchase_degree,  # new r4 (graph summary)
         "customer_spend_pctile": p.q_customer_spend_pctile,  # new r4 (PERCENT_RANK)
         "product_profit": p.q_product_profit,  # new r4 (Q9 profit)
+        "top_supplier": p.q_top_supplier,  # new r4 (Q15 global-max ties)
+        "small_qty_revenue": p.q_small_qty_revenue,  # new r4 (Q17 corr avg)
+        "monthly_growth": p.q_monthly_growth,  # new r4 (LAG on agg series)
+        "doc_length_zscore": p.q_doc_length_zscore,  # new r4 (grouped z)
+        "action_trigrams": p.q_action_trigrams,  # new r4 (sequence mining)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

@@ -3158,3 +3158,352 @@ def q_product_profit(sf_dir: str):
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
         ).to_pandas(),
     )
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped global-max supplier revenue over 1996Q1
+    shipments (tie-aware; names via k-key filtered read)."""
+    from rayslog.stages.relational import top_supplier
+
+    return top_supplier(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ),
+        supplier_path=f"{sf_dir}/supplier.parquet",
+    )
+
+
+def q_action_trigrams(sf_dir: str):
+    """Per-user ordered action trigram counts (sequence mining over
+    each user's timeline; one user-hash exchange + double shifted
+    compare)."""
+    from rayslog.stages.events import action_trigrams
+
+    return action_trigrams(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated filter: revenue from lineitems of
+    one brand whose quantity is below 0.2x that part's average
+    quantity.  One partkey-hash exchange resolves the correlation;
+    the 0.2x-avg compare is exact integer arithmetic
+    (``5*qty_c*n < sum_qty_c``) so no float threshold can drift vs
+    the oracle."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+    from rayslog.stages.relational import _cached_lookup, hash_join
+
+    brand = "Brand#13"
+    parts = 64
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        u = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "qc": pc.round(
+                    pc.multiply(t.column("l_quantity"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "rc": pc.round(
+                    pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "ppart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    if _table_rows(sf_dir, "part") <= thresh:
+        pk = pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand"],
+            filters=[("p_brand", "=", brand)],
+        )
+        pk_keys = pk.column("p_partkey").to_numpy()
+        pk_ref = ray.put((pk_keys, pk_keys))
+
+        def keep_brand(t: pa.Table) -> pa.Table:
+            keys, _ = _cached_lookup(pk_ref)
+            return t.filter(pc.is_in(t.column("l_partkey"), value_set=keys))
+
+        kept = line.map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            keep_brand, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        part_keys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": pc.cast(
+                        t.filter(
+                            pc.equal(t.column("p_brand"), brand)
+                        ).column("p_partkey"),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        kept = hash_join(
+            line.map_batches(
+                proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            part_keys,
+            key="l_partkey",
+            how="semi",
+        )
+
+    _empty = pa.table(
+        {
+            "n_small": pa.array([], pa.int64()),
+            "rc": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        qc = t.column("qc").to_numpy(zero_copy_only=False)
+        rc = t.column("rc").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, qs, rs = u[order], qc[order], rc[order]
+        starts = np.r_[0, np.nonzero(us[1:] != us[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(us)])
+        sums = np.add.reduceat(qs, starts)
+        n_r = np.repeat(lens, lens)
+        sum_r = np.repeat(sums, lens)
+        small = 5 * qs * n_r < sum_r  # exact: qty < 0.2*avg
+        return pa.table(
+            {
+                "n_small": pa.array([int(small.sum())], pa.int64()),
+                "rc": pa.array([int(rs[small].sum())], pa.int64()),
+            }
+        )
+
+    partials = task_exchange(kept, "ppart", parts, per_part)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_small": pa.array(
+                    [pc.sum(t.column("n_small")).as_py() or 0], pa.int64()
+                ),
+                "rc": pa.array(
+                    [pc.sum(t.column("rc")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("rc"), pa.float64()), 100.0)
+        return pa.table(
+            {
+                "n_small": t.column("n_small"),
+                "total_revenue": rev,
+                "avg_yearly": pc.divide(rev, 7.0),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(reduce_fn(_empty)))
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_monthly_growth(sf_dir: str):
+    """Monthly order revenue with the month-over-month growth ratio
+    (LAG over an aggregated series): per-block grouped partials ride
+    the combiner tree; the tiny month series sorts and shifts once on
+    the final block."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return (
+            pa.table(
+                {
+                    "month": pc.floor_temporal(
+                        t.column("o_orderdate"), unit="month"
+                    ),
+                    "c": cents,
+                }
+            )
+            .group_by(["month"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["month", "c"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["month"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["month", "c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("month", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = np.full(len(c), np.nan)
+        if len(c) > 1:
+            ratio[1:] = c[1:] / c[:-1]
+        import pandas as pd
+
+        return pa.table(
+            {
+                "month": t.column("month"),
+                "revenue": pc.divide(pc.cast(t.column("c"), pa.float64()),
+                                     100.0),
+                "mom_ratio": pa.Array.from_pandas(
+                    pd.Series(ratio), type=pa.float64()
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "month": pa.array([], pa.timestamp("us")),
+                    "revenue": pa.array([], pa.float64()),
+                    "mom_ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_doc_length_zscore(sf_dir: str):
+    """Per-document length z-score within its language — the grouped
+    standardization shape.  Pass 1 reduces exact integer moments
+    (n, sum, sum-of-squares) per language through the combiner tree
+    (<= |langs| rows, collected driver-side); pass 2 broadcasts the
+    tiny stats dict and computes z per row in one vectorized
+    map_batches.  Every float op is the same IEEE sequence the oracle
+    spells (double products of the BIGINT moments — never a >2^63
+    int-to-double cast, CLAUDE.md invariant #4), so the comparison
+    is hash-exact."""
+    import math
+
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars")
+        return (
+            pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "n": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                    "s": pc.cast(x, pa.int64()),
+                    "ss": pc.multiply(
+                        pc.cast(x, pa.int64()), pc.cast(x, pa.int64())
+                    ),
+                }
+            )
+            .group_by(["lang"])
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+            .rename_columns(["lang", "n", "s", "ss"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lang"])
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+            .rename_columns(["lang", "n", "s", "ss"])
+        )
+
+    stats = tree_reduce(
+        _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+    ).to_pandas()
+
+    # lang -> (n_f, s_f, denom_f) with the exact-int variance guard
+    lut: dict = {}
+    for _, row in stats.iterrows():
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        if n > 1 and n * ss - s * s > 0:  # exact Python-int compare
+            n_f, s_f, ss_f = float(n), float(s), float(ss)
+            denom = n_f * math.sqrt(
+                (n_f * ss_f - s_f * s_f) / (n_f * (n_f - 1.0))
+            )
+            lut[row["lang"]] = (n_f, s_f, denom)
+
+    langs = list(lut)
+    n_v = np.array([lut[lg][0] for lg in langs] + [np.nan])
+    s_v = np.array([lut[lg][1] for lg in langs] + [np.nan])
+    d_v = np.array([lut[lg][2] for lg in langs] + [np.nan])
+    lang_set = pa.array(langs, pa.string())
+
+    def zscore(t: pa.Table) -> pa.Table:
+        # vectorized lang lookup: index_in + take (missing lang -> NaN
+        # sentinel slot -> null z)
+        idx = (
+            pc.fill_null(
+                pc.index_in(t.column("lang"), value_set=lang_set),
+                len(langs),
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = (
+            t.column("n_chars")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        with np.errstate(invalid="ignore"):
+            z = (x * n_v[idx] - s_v[idx]) / d_v[idx]
+        import pandas as pd
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "z": pa.Array.from_pandas(pd.Series(z), type=pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        zscore, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1784,6 +1784,90 @@ SELECT n.n_name AS nation, pf.o_year,
 FROM pf JOIN nation n ON pf.s_nationkey = n.n_nationkey
 GROUP BY n.n_name, pf.o_year
 """
+    q["action_trigrams"] = """
+WITH w AS (
+  SELECT event_type,
+    lag(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS p2
+  FROM events
+)
+SELECT p2 AS t0, p1 AS t1, event_type AS t2,
+  CAST(count(*) AS BIGINT) AS n
+FROM w WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+"""
+    # Q17-shaped correlated filter: the 0.2x-avg compare is the exact
+    # integer inequality 5*qty_c*n < sum_qty_c on both sides.
+    q["small_qty_revenue"] = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+l AS (SELECT l_partkey,
+        CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        CAST(round(l_extendedprice*100) AS BIGINT) AS rc
+      FROM lineitem JOIN pk ON l_partkey = pk.p_partkey),
+st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(qc) AS BIGINT) AS sq FROM l GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+  CAST(CAST(coalesce(sum(l.rc), 0) AS BIGINT) AS DOUBLE)/100.0
+    AS total_revenue,
+  CAST(CAST(coalesce(sum(l.rc), 0) AS BIGINT) AS DOUBLE)/100.0/7.0
+    AS avg_yearly
+FROM l JOIN st ON l.l_partkey = st.l_partkey
+WHERE 5 * l.qc * st.n < st.sq
+"""
+    q["monthly_growth"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS TIMESTAMP) AS month,
+  CAST(c AS DOUBLE)/100.0 AS revenue,
+  CAST(c AS DOUBLE) / CAST(lag(c) OVER (ORDER BY month) AS DOUBLE)
+    AS mom_ratio
+FROM m
+"""
+    # Per-lang z-score from exact BIGINT moments; the variance guard is
+    # an exact HUGEINT compare, and every float op is a double product
+    # of the BIGINT moments (never a >2^63 int->double cast) in the
+    # identical sequence the engine runs — hash-exact.
+    q["doc_length_zscore"] = """
+WITH st AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+    CAST(sum(CAST(n_chars AS BIGINT)*CAST(n_chars AS BIGINT)) AS BIGINT)
+      AS ss
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+  CASE WHEN st.n > 1
+        AND CAST(st.n AS HUGEINT)*st.ss - CAST(st.s AS HUGEINT)*st.s > 0
+  THEN (CAST(d.n_chars AS DOUBLE)*CAST(st.n AS DOUBLE)
+          - CAST(st.s AS DOUBLE))
+       / (CAST(st.n AS DOUBLE)
+          * sqrt((CAST(st.n AS DOUBLE)*CAST(st.ss AS DOUBLE)
+                    - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE))
+                 / (CAST(st.n AS DOUBLE)*(CAST(st.n AS DOUBLE)-1.0))))
+  ELSE NULL END AS z
+FROM documents d JOIN st ON d.lang = st.lang
+"""
+    # Q15-shaped global-max supplier; the tie filter compares exact
+    # integer revenue (c2 CAST to BIGINT before anything floats).
+    q["top_supplier"] = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s.s_name,
+  CAST(r.c2 AS DOUBLE)/10000.0 AS total_revenue
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.c2 = (SELECT max(c2) FROM r)
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

@@ -1331,3 +1331,104 @@ def event_transitions(ds, parts: int = 64):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def action_trigrams(ds, parts: int = 64):
+    """Per-user ordered action TRIGRAM counts — the sequence-mining
+    sibling of :func:`event_transitions`: counts of
+    ``(type[i-2], type[i-1], type[i])`` triples over each user's
+    timeline ordered by (ts, event_id).
+
+    Same plan: one user-hash ``task_exchange`` (a user's timeline
+    resolves whole in one part), one lexsort + double shifted-compare
+    pass per part (a trigram is valid when positions i-2..i share a
+    user), then a <= |types|^3-key combiner tree."""
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_id", "event_type"])
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(epoch.to_numpy(zero_copy_only=False)),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "t0": pa.array([], pa.string()),
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 3:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u = codes[order]
+        same = u[1:] == u[:-1]
+        tri = same[1:] & same[:-1]
+        cur = order[2:][tri]
+        p1 = order[1:-1][tri]
+        p2 = order[:-2][tri]
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return (
+            pa.table(
+                {
+                    "t0": et.take(pa.array(p2)),
+                    "t1": et.take(pa.array(p1)),
+                    "t2": et.take(pa.array(cur)),
+                }
+            )
+            .group_by(["t0", "t1", "t2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["t0", "t1", "t2", "n"])
+        )
+
+    partials = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["t0", "t1", "t2"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["t0", "t1", "t2", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t0": t.column("t0"),
+                "t1": t.column("t1"),
+                "t2": t.column("t2"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

@@ -3569,3 +3569,100 @@ def product_profit(
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def top_supplier(
+    lineitem_ds,
+    supplier_path: str | None = None,
+    supplier_df=None,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+):
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose revenue over
+    one ship-date quarter equals the GLOBAL maximum (tie-aware — every
+    max row survives, like the reference query's ``= (SELECT max)``).
+
+    One corpus scan: the date filter and per-block grouped partials run
+    inside ``map_batches``; the combiner tree reduces to one exact-cents
+    row per supplier, and the max + tie filter runs on the final block
+    only.  Names attach to the surviving rows via a k-key filtered
+    parquet read (O(ties) driver memory, row-group pruned) — never a
+    whole-dim load.  Partitioning assumption: one row per supplier fits
+    the final tree task (important_parts discipline).
+    """
+    from rayslog.stages.aggregate import tree_reduce
+
+    lo = pa.scalar(date_lo).cast(pa.timestamp("us"))
+    hi = pa.scalar(date_hi).cast(pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate")
+        t = t.filter(
+            pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
+        )
+        return (
+            pa.table(
+                {"s_suppkey": t.column("l_suppkey"), "c2": _line_rev_c2(t)}
+            )
+            .group_by(["s_suppkey"])
+            .aggregate([("c2", "sum")])
+            .rename_columns(["s_suppkey", "c2"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["s_suppkey"])
+            .aggregate([("c2", "sum")])
+            .rename_columns(["s_suppkey", "c2"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        mx = pc.max(t.column("c2"))
+        t = t.filter(pc.equal(t.column("c2"), mx))
+        keys_l = t.column("s_suppkey").to_pylist()
+        if supplier_df is not None:
+            sub = supplier_df[supplier_df["s_suppkey"].isin(keys_l)]
+        else:
+            import pyarrow.parquet as pq
+
+            sub = pq.read_table(
+                supplier_path,
+                columns=["s_suppkey", "s_name"],
+                filters=[("s_suppkey", "in", keys_l)],
+            ).to_pandas()
+        sk = pa.array(sub["s_suppkey"].tolist(), pa.int64())
+        names = pa.array(sub["s_name"].tolist(), pa.string())
+        idx = pc.index_in(
+            pc.cast(t.column("s_suppkey"), pa.int64()), value_set=sk
+        )
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                "s_name": pc.take(names, idx),
+                "total_revenue": pc.divide(
+                    pc.cast(t.column("c2"), pa.float64()), 10_000.0
+                ),
+            }
+        ).sort_by([("s_suppkey", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        lineitem_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -147,6 +147,11 @@ QUERY_NAMES = [
     "co_purchase_degree",
     "customer_spend_pctile",
     "product_profit",
+    "top_supplier",
+    "small_qty_revenue",
+    "monthly_growth",
+    "doc_length_zscore",
+    "action_trigrams",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

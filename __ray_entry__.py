@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_growth": p.q_monthly_growth,  # new r4 (LAG on agg series)
         "doc_length_zscore": p.q_doc_length_zscore,  # new r4 (grouped z)
         "action_trigrams": p.q_action_trigrams,  # new r4 (sequence mining)
+        "customers_per_supplier": p.q_customers_per_supplier,  # new r4
+        "full_coverage_suppliers": p.q_full_coverage_suppliers,  # new r4 (division)
+        "part_skyline": p.q_part_skyline,  # new r4 (Pareto dominance)
+        "order_value_deciles": p.q_order_value_deciles,  # new r4 (global NTILE)
+        "repeat_order_share": p.q_repeat_order_share,  # new r4 (window+regroup)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

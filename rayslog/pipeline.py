@@ -3507,3 +3507,173 @@ def q_doc_length_zscore(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         zscore, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_customers_per_supplier(sf_dir: str):
+    """Distinct customers served per supplier (two-hop orderkey join +
+    exact distinct count)."""
+    from rayslog.stages.relational import customers_per_supplier
+
+    return customers_per_supplier(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+    )
+
+
+def q_full_coverage_suppliers(sf_dir: str):
+    """Relational division: suppliers reaching customers in ALL
+    regions (customer leg auto-selects broadcast vs hash_join)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.relational import full_coverage_suppliers
+
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+    if _table_rows(sf_dir, "customer") <= thresh:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).to_pandas()
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    n_regions = _table_rows(sf_dir, "region")
+    return full_coverage_suppliers(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        nation,
+        n_regions,
+    )
+
+
+def q_part_skyline(sf_dir: str):
+    """Per-brand Pareto frontier on (size, retail price) — the
+    multi-criteria dominance filter."""
+    from rayslog.stages.relational import part_skyline
+
+    return part_skyline(
+        _read(
+            sf_dir, "part",
+            ["p_partkey", "p_brand", "p_size", "p_retailprice"],
+        )
+    )
+
+
+def q_order_value_deciles(sf_dir: str):
+    """Global NTILE(10) over orders by total price — the distributed
+    global-window rank (shuffle_shards discipline: range bands,
+    ref-tree counts, driver offsets, one exchange)."""
+    from rayslog.stages.relational import order_value_deciles
+
+    return order_value_deciles(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    )
+
+
+def q_repeat_order_share(sf_dir: str):
+    """Share of orders placed by repeat customers per month: window
+    row_number per customer (one custkey-hash exchange resolves the
+    partition) regrouped by order month through the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ts = t.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "month": pc.floor_temporal(
+                    t.column("o_orderdate"), unit="month"
+                ),
+                "o_orderkey": t.column("o_orderkey"),
+                "cpart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "month": pa.array([], pa.timestamp("us")),
+            "n_orders": pa.array([], pa.int64()),
+            "n_repeat": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, ts, u))
+        us = u[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        repeat = np.empty(len(us), dtype=np.int64)
+        repeat[order] = (~first).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "month": t.column("month"),
+                    "n_orders": pa.array(np.ones(len(us), dtype=np.int64)),
+                    "n_repeat": pa.array(repeat),
+                }
+            )
+            .group_by(["month"])
+            .aggregate([("n_orders", "sum"), ("n_repeat", "sum")])
+            .rename_columns(["month", "n_orders", "n_repeat"])
+        )
+
+    partials = task_exchange(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cpart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["month"])
+            .aggregate([("n_orders", "sum"), ("n_repeat", "sum")])
+            .rename_columns(["month", "n_orders", "n_repeat"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("month", "ascending")])
+        return pa.table(
+            {
+                "month": t.column("month"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "n_repeat": pc.cast(t.column("n_repeat"), pa.int64()),
+                "repeat_share": pc.divide(
+                    pc.cast(t.column("n_repeat"), pa.float64()),
+                    pc.cast(t.column("n_orders"), pa.float64()),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

@@ -1851,6 +1851,68 @@ SELECT d.doc_id, d.lang,
   ELSE NULL END AS z
 FROM documents d JOIN st ON d.lang = st.lang
 """
+    q["customers_per_supplier"] = """
+SELECT l.l_suppkey AS s_suppkey,
+  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_suppkey
+"""
+    q["full_coverage_suppliers"] = """
+WITH sr AS (
+  SELECT DISTINCT l.l_suppkey, n.n_regionkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_regions
+FROM sr GROUP BY l_suppkey
+HAVING count(*) = (SELECT count(*) FROM region)
+"""
+    # Pareto dominance: B dominates A when both criteria <= and one
+    # strict; price compares in exact integer cents on both sides.
+    q["part_skyline"] = """
+SELECT a.p_partkey, a.p_brand, CAST(a.p_size AS BIGINT) AS p_size,
+  CAST(CAST(round(a.p_retailprice*100) AS BIGINT) AS DOUBLE)/100.0
+    AS p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_brand = a.p_brand AND b.p_partkey <> a.p_partkey
+    AND b.p_size <= a.p_size
+    AND CAST(round(b.p_retailprice*100) AS BIGINT)
+          <= CAST(round(a.p_retailprice*100) AS BIGINT)
+    AND (b.p_size < a.p_size
+         OR CAST(round(b.p_retailprice*100) AS BIGINT)
+              < CAST(round(a.p_retailprice*100) AS BIGINT))
+)
+"""
+    q["order_value_deciles"] = """
+WITH w AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c,
+    ntile(10) OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+                    o_orderkey) AS tile
+  FROM orders
+)
+SELECT CAST(tile AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/100.0 AS revenue
+FROM w GROUP BY tile
+"""
+    q["repeat_order_share"] = """
+WITH w AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(month AS TIMESTAMP) AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS repeat_share
+FROM w GROUP BY month
+"""
     # Q15-shaped global-max supplier; the tie filter compares exact
     # integer revenue (c2 CAST to BIGINT before anything floats).
     q["top_supplier"] = """

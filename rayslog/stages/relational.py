@@ -3666,3 +3666,421 @@ def top_supplier(
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def customers_per_supplier(lineitem_ds, orders_ds, buckets: int = 32):
+    """Distinct customers served per supplier — the two-hop
+    (lineitem -> orders) reach count.  One orderkey hash exchange
+    joins the two large sides, then :func:`distinct_count_by` dedupes
+    (supplier, customer) pairs per batch before anything global moves
+    (its combiner-tree final; switch final="shuffle" past ~10^8
+    distinct pairs)."""
+    from rayslog.stages.aggregate import distinct_count_by
+
+    joined = hash_join(
+        lineitem_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                    "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        orders_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                    "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key="l_orderkey",
+        buckets=buckets,
+    )
+    return distinct_count_by(
+        joined, "l_suppkey", "o_custkey", alias="n_customers"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "n_customers": pc.cast(t.column("n_customers"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def full_coverage_suppliers(
+    lineitem_ds, orders_ds, customer_side, nation_df, n_regions: int,
+    buckets: int = 32,
+):
+    """Relational-division shape (TPC-H has no direct analogue):
+    suppliers whose shipments reached customers in ALL ``n_regions``
+    regions.  lineitem joins orders on one orderkey exchange, the
+    customer leg auto-selects broadcast vs hash_join, nation->region
+    is a 25-row constant lookup, and the (supplier, region) distinct
+    count rides :func:`distinct_count_by`'s combiner tree; the
+    ``= n_regions`` division filter runs on the final tiny table.
+    """
+    import pandas as pd
+    import ray
+
+    from rayslog.stages.aggregate import distinct_count_by
+
+    joined = hash_join(
+        lineitem_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                    "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        orders_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                    "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key="l_orderkey",
+        buckets=buckets,
+    )
+
+    nk = nation_df["n_nationkey"].to_numpy()
+    nr = nation_df["n_regionkey"].to_numpy()
+
+    if isinstance(customer_side, pd.DataFrame):
+        # customer nation -> region folded driver-side: the broadcast
+        # carries (custkey -> regionkey) directly
+        cr = customer_side.merge(
+            pd.DataFrame({"c_nationkey": nk, "r_regionkey": nr}),
+            on="c_nationkey",
+        )
+        cust_ref = ray.put(
+            (cr["c_custkey"].to_numpy(), cr["r_regionkey"].to_numpy())
+        )
+
+        def attach_region(t: pa.Table) -> pa.Table:
+            keys, regs = _cached_lookup(cust_ref)
+            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+            out = pa.table(
+                {
+                    "l_suppkey": t.column("l_suppkey"),
+                    "r_regionkey": pc.cast(pc.take(regs, idx), pa.int64()),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("r_regionkey")))
+
+        pairs = joined.map_batches(
+            attach_region, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        nk_a = pa.array(nk.astype("int64"))
+        nr_a = pa.array(nr.astype("int64"))
+
+        def cust_proj(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(
+                pc.cast(t.column("c_nationkey"), pa.int64()), value_set=nk_a
+            )
+            return pa.table(
+                {
+                    "o_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                    "r_regionkey": pc.take(nr_a, idx),
+                }
+            )
+
+        pairs = hash_join(
+            joined,
+            customer_side.map_batches(
+                cust_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="o_custkey",
+            buckets=buckets,
+        ).map_batches(
+            lambda t: t.select(["l_suppkey", "r_regionkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    counted = distinct_count_by(
+        pairs, "l_suppkey", "r_regionkey", alias="n_regions"
+    )
+
+    def division(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(
+                pc.cast(t.column("n_regions"), pa.int64()),
+                pa.scalar(n_regions, pa.int64()),
+            )
+        )
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "n_regions": pc.cast(t.column("n_regions"), pa.int64()),
+            }
+        )
+
+    return counted.map_batches(
+        division, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def part_skyline(part_ds, parts: int = 32):
+    """Per-brand Pareto frontier (multi-criteria dominance filter): the
+    parts not dominated within their brand on (size, retail price) —
+    B dominates A when both criteria are <= and at least one is
+    strict.  One brand-hash exchange co-locates each brand, then a
+    vectorized sort + per-size-group min + strict prefix-min pass
+    finds survivors (equal (size, price) duplicates never dominate
+    each other, matching the oracle's NOT EXISTS).  Price compares in
+    exact integer cents."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.kernels.texthash import col_hash64
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = t.column("p_brand")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        h = col_hash64(b)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_brand": b,
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(t.column("p_retailprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "bpart": pa.array(
+                    (h % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "p_partkey": pa.array([], pa.int64()),
+            "p_brand": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "p_retailprice": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        import pandas as pd
+
+        bcodes = pd.factorize(t.column("p_brand").to_pandas())[0]
+        sz = t.column("p_size").to_numpy(zero_copy_only=False)
+        pr = t.column("price_c").to_numpy(zero_copy_only=False)
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, pr, sz, bcodes))
+        b_s, s_s, p_s = bcodes[order], sz[order], pr[order]
+        n = len(order)
+        new_brand = np.r_[True, b_s[1:] != b_s[:-1]]
+        new_size = new_brand | np.r_[True, s_s[1:] != s_s[:-1]]
+        # min price per (brand, size) group == first price in the sorted
+        # group; broadcast to rows
+        starts = np.nonzero(new_size)[0]
+        lens = np.diff(np.r_[starts, n])
+        minp = np.repeat(p_s[starts], lens)
+        # strict prefix min over SMALLER sizes within the brand: the
+        # group-min sequence cummin'd, shifted by one size-group
+        gmin = p_s[starts]  # one per size group (sorted asc by size)
+        g_brand_start = new_brand[starts]
+        prev = np.empty(len(starts), dtype=np.int64)
+        run_min = 0
+        BIG = np.iinfo(np.int64).max
+        for i in range(len(starts)):  # O(#size-groups) tiny loop
+            if g_brand_start[i]:
+                run_min = BIG
+            prev[i] = run_min
+            run_min = min(run_min, gmin[i])
+        prev_r = np.repeat(prev, lens)
+        survive = (p_s == minp) & (p_s < prev_r)
+        keep = order[survive]
+        kt = t.take(pa.array(keep))
+        out = pa.table(
+            {
+                "p_partkey": kt.column("p_partkey"),
+                "p_brand": kt.column("p_brand"),
+                "p_size": kt.column("p_size"),
+                "p_retailprice": pc.divide(
+                    pc.cast(kt.column("price_c"), pa.float64()), 100.0
+                ),
+            }
+        )
+        return out
+
+    return task_exchange(
+        part_ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "bpart",
+        parts,
+        per_part,
+    )
+
+
+def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
+                        price_upper_c: int = 50_000_000):
+    """Global NTILE(k) over orders by (total price, orderkey) — the
+    distributed global-window shape, built on the shuffle_shards
+    rank discipline: contiguous price-range parts (monotone band id,
+    so parts concatenate in global order), per-part counts through a
+    ref-level combiner tree, driver-side exclusive offsets (one int
+    per part, never per row), then one exchange pass assigns exact
+    global ranks and DuckDB's NTILE bucket sizes (first n%k buckets
+    get one extra row).  ``price_upper_c`` only balances the bands —
+    correctness needs monotonicity, not the bound (values above it
+    clamp into the last band).  Returns (decile, n_orders, revenue).
+    """
+    import numpy as np
+    import ray
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce,
+        tree_reduce_refs,
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        c = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        cn = c.to_numpy(zero_copy_only=False)
+        band = np.minimum(
+            cn * parts // price_upper_c, parts - 1
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "c": c,
+                "part": pa.array(band),
+            }
+        )
+
+    keys = orders_ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    refs = live_block_refs(keys)
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        if "n" in t.column_names:
+            g = t.group_by(["part"]).aggregate([("n", "sum")])
+        else:
+            g = t.select(["part", "c"]).group_by(["part"]).aggregate(
+                [("c", "count")]
+            )
+        return g.rename_columns(["part", "n"])
+
+    _empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "rev_c": pa.array([], pa.int64()),
+        }
+    )
+
+    if not refs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "decile": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    totals = tree_reduce_refs(refs, part_counts).to_pandas()
+    totals = totals.sort_values("part").reset_index(drop=True)
+    n_total = int(totals["n"].sum())
+    offs = dict(
+        zip(
+            totals["part"],
+            np.r_[0, np.cumsum(totals["n"].to_numpy())[:-1]],
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    base, rem = divmod(n_total, k)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        offs_l = ray.get(offs_ref)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        part0 = int(t.column("part")[0].as_py())
+        order = np.lexsort((ok, c))
+        start = int(offs_l[part0])
+        rank = np.empty(len(ok), dtype=np.int64)
+        rank[order] = start + np.arange(len(ok), dtype=np.int64)
+        if base == 0:
+            tile = rank + 1
+        else:
+            cut = rem * (base + 1)
+            tile = np.where(
+                rank < cut,
+                rank // (base + 1) + 1,
+                rem + (rank - cut) // base + 1,
+            )
+        return (
+            pa.table(
+                {
+                    "decile": pa.array(tile.astype(np.int64)),
+                    "n_orders": pa.array(np.ones(len(ok), dtype=np.int64)),
+                    "rev_c": pa.array(c),
+                }
+            )
+            .group_by(["decile"])
+            .aggregate([("n_orders", "sum"), ("rev_c", "sum")])
+            .rename_columns(["decile", "n_orders", "rev_c"])
+        )
+
+    partials = task_exchange(keys, "part", parts, assign,
+                             drop_part_col=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["decile"])
+            .aggregate([("n_orders", "sum"), ("rev_c", "sum")])
+            .rename_columns(["decile", "n_orders", "rev_c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("decile", "ascending")])
+        return pa.table(
+            {
+                "decile": pc.cast(t.column("decile"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

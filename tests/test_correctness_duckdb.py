@@ -152,6 +152,11 @@ QUERY_NAMES = [
     "monthly_growth",
     "doc_length_zscore",
     "action_trigrams",
+    "customers_per_supplier",
+    "full_coverage_suppliers",
+    "part_skyline",
+    "order_value_deciles",
+    "repeat_order_share",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

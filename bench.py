@@ -362,6 +362,50 @@ def _run_bench() -> dict:
             "page_rank",
             lambda: p.q_page_rank(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "product_profit",
+            lambda: p.q_product_profit(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "top_supplier",
+            lambda: p.q_top_supplier(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "small_qty_revenue",
+            lambda: p.q_small_qty_revenue(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "monthly_growth",
+            lambda: p.q_monthly_growth(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "doc_length_zscore",
+            lambda: p.q_doc_length_zscore(SF_DIR).count(),
+        )
+        timed_extra(
+            "action_trigrams",
+            lambda: p.q_action_trigrams(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "customers_per_supplier",
+            lambda: p.q_customers_per_supplier(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "full_coverage_suppliers",
+            lambda: p.q_full_coverage_suppliers(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "part_skyline",
+            lambda: p.q_part_skyline(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "order_value_deciles",
+            lambda: p.q_order_value_deciles(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "repeat_order_share",
+            lambda: p.q_repeat_order_share(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -1,0 +1,268 @@
+"""Edge-case behavior of the session-5 operators: dominance brute
+force for the skyline, DuckDB-NTILE parity on degenerate sizes and
+ties, trigram counts vs a pandas reference, tie-aware global max, and
+null z-scores for single-doc languages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _parts_table(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_brand": pa.array([r[1] for r in rows], pa.string()),
+                "p_size": pa.array([r[2] for r in rows], pa.int64()),
+                "p_retailprice": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+            }
+        )
+    ).repartition(2)
+
+
+def _skyline_brute(rows):
+    """NOT EXISTS dominance reference (exact cents compare)."""
+    out = []
+    for a in rows:
+        dominated = False
+        for b in rows:
+            if b[0] == a[0] or b[1] != a[1]:
+                continue
+            bc, ac = round(b[3] * 100), round(a[3] * 100)
+            if b[2] <= a[2] and bc <= ac and (b[2] < a[2] or bc < ac):
+                dominated = True
+                break
+        if not dominated:
+            out.append(a[0])
+    return sorted(out)
+
+
+def test_part_skyline_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            i,
+            f"Brand#{rng.integers(1, 4)}",
+            int(rng.integers(1, 6)),
+            float(rng.integers(9000, 9020)) / 10.0,
+        )
+        for i in range(60)
+    ]
+    from rayslog.stages.relational import part_skyline
+
+    df = part_skyline(_parts_table(rows), parts=4).to_pandas()
+    assert sorted(df["p_partkey"]) == _skyline_brute(rows)
+
+
+def test_part_skyline_equal_pairs_both_survive(ray_session):
+    """Equal (size, price) twins never dominate each other."""
+    rows = [(1, "B", 5, 10.0), (2, "B", 5, 10.0), (3, "B", 9, 20.0)]
+    from rayslog.stages.relational import part_skyline
+
+    df = part_skyline(_parts_table(rows), parts=2).to_pandas()
+    assert sorted(df["p_partkey"]) == [1, 2]  # 3 dominated by both
+
+
+def _orders_table(prices):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    list(range(len(prices))), pa.int64()
+                ),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        )
+    ).repartition(3)
+
+
+@pytest.mark.parametrize("n", [1, 7, 10, 23])
+def test_order_value_deciles_matches_duckdb(ray_session, n):
+    import duckdb
+
+    rng = np.random.default_rng(n)
+    # heavy ties: prices drawn from 4 distinct values
+    prices = [float(rng.choice([10.0, 20.0, 20.0, 30.0, 499999.0]))
+              for _ in range(n)]
+    from rayslog.stages.relational import order_value_deciles
+
+    df = (
+        order_value_deciles(_orders_table(prices), parts=8)
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """
+WITH o AS (SELECT unnest(range(%d)) AS o_orderkey, unnest(?) AS p),
+w AS (SELECT CAST(round(p*100) AS BIGINT) c,
+      ntile(10) OVER (ORDER BY CAST(round(p*100) AS BIGINT),
+                      o_orderkey) tile FROM o)
+SELECT CAST(tile AS BIGINT) decile, CAST(count(*) AS BIGINT) n_orders,
+  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/100.0 revenue
+FROM w GROUP BY tile ORDER BY decile
+"""
+        % n,
+        params=[prices],
+    ).df()
+    pd.testing.assert_frame_equal(df, ref)
+
+
+def _events_table(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_action_trigrams_vs_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    rows = [
+        (
+            int(rng.integers(0, 6)),
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+            str(rng.choice(["a", "b", "c"])),
+        )
+        for i in range(200)
+    ]
+    from rayslog.stages.events import action_trigrams
+
+    df = action_trigrams(_events_table(rows), parts=4).to_pandas()
+    ref = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_id": range(len(rows)),
+            "t2": [r[2] for r in rows],
+        }
+    ).sort_values(["user_id", "ts", "event_id"])
+    ref["t1"] = ref.groupby("user_id")["t2"].shift(1)
+    ref["t0"] = ref.groupby("user_id")["t2"].shift(2)
+    ref = (
+        ref.dropna(subset=["t0"])
+        .groupby(["t0", "t1", "t2"])
+        .size()
+        .reset_index(name="n")
+    )
+    merged = df.merge(ref, on=["t0", "t1", "t2"], how="outer",
+                      suffixes=("_ray", "_ref"))
+    assert len(df) == len(ref)
+    assert (merged["n_ray"] == merged["n_ref"]).all()
+
+
+def test_action_trigrams_short_users_empty(ray_session):
+    """Users with <3 events contribute no trigrams."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "a"),
+        (1, dt.datetime(2024, 1, 1, 1), "b"),
+        (2, dt.datetime(2024, 1, 1, 2), "c"),
+    ]
+    from rayslog.stages.events import action_trigrams
+
+    out = action_trigrams(_events_table(rows), parts=2)
+    assert len(out.to_pandas()) == 0
+    assert set(out.schema().names) == {"t0", "t1", "t2", "n"}
+
+
+def test_top_supplier_ties_all_survive(ray_session):
+    import ray.data as rd
+
+    from rayslog.stages.relational import top_supplier
+
+    t = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+            "l_shipdate": pa.array(
+                [dt.datetime(1996, 2, 1)] * 4, pa.timestamp("us")
+            ),
+            # suppliers 1 and 2 tie at 100.00 revenue (discount 0)
+            "l_extendedprice": pa.array(
+                [60.0, 100.0, 40.0, 40.0], pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+        }
+    )
+    sup = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["s1", "s2", "s3"]}
+    )
+    df = top_supplier(
+        rd.from_arrow(t).repartition(2), supplier_df=sup
+    ).to_pandas()
+    assert sorted(df["s_suppkey"]) == [1, 2]
+    assert (df["total_revenue"] == 100.0).all()
+
+
+def test_doc_length_zscore_single_doc_lang_null(ray_session):
+    """A lang with one doc (or zero variance) gets null z."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "lang": pa.array(["en", "en", "fr", "de"]),
+                    "n_chars": pa.array([10, 30, 50, 7], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        df = (
+            p.q_doc_length_zscore(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert df["z"].isna().tolist() == [False, False, True, True]
+    # en: mean 20, sample std sqrt(200); z = +-10/sqrt(200)
+    assert df["z"][0] == pytest.approx(-10 / np.sqrt(200))
+    assert df["z"][1] == pytest.approx(10 / np.sqrt(200))
+
+
+def test_repeat_order_share_all_first_orders(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([10, 20, 30], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [dt.datetime(1996, m, 1) for m in (1, 1, 2)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        df = p.q_repeat_order_share(d).to_pandas()
+    assert df["n_repeat"].tolist() == [0, 0]
+    assert df["repeat_share"].tolist() == [0.0, 0.0]

@@ -2544,7 +2544,8 @@ def page_rank_copurchase(
     )
 
 
-def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
+def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32,
+                   plan: str | None = None):
     """Triangles in the co-purchase graph (parts that share an order =
     an edge): the graph-analytics shape beyond connected components.
 
@@ -2555,13 +2556,27 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
     groups each node's (larger) neighbors and expands every
     neighbor pair into a WEDGE — because edges are stored x<y, wedges
     generate only from each triangle's MINIMUM vertex, so each
-    triangle is counted exactly once; (4) a distributed SEMI
-    ``hash_join`` of wedges against the edge set keeps the wedges
-    whose closing edge exists (left multiplicity preserved — one
-    matched wedge row per triangle), and the count fans in by ref.
+    triangle is counted exactly once; (4) the closing-edge membership
+    test auto-selects like a dim leg:
+
+    - **broadcast** (edge count <= RAYSLOG_TRIANGLE_BROADCAST_MAX_EDGES,
+      default 32M, and node ids < 2^31): the distinct edge set packs
+      to one sorted uint64 key array shipped once via ``ray.put``
+      (plasma-backed, read zero-copy by every wedge task), and each
+      wedge part counts its closures LOCALLY with one searchsorted —
+      the 49M-row wedge table never materializes or crosses an
+      exchange (measured 4.1 -> 2.3s at sf0.1).
+    - **semi** (bigger graphs, or ``plan="semi"`` /
+      ``RAYSLOG_TRIANGLE_PLAN=semi``): a distributed SEMI
+      ``hash_join`` of wedges against the edge set keeps the wedges
+      whose closing edge exists (left multiplicity preserved — one
+      matched wedge row per triangle), and the count fans in by ref.
+
     Partitioning assumptions: one node's adjacency fits a task
     (super-node wedges explode as d²/2 — salt or cap degree for
     power-law graphs), and one edge part fits a task."""
+    import os
+
     import numpy as np
     import ray
     import ray.data as rd
@@ -2570,23 +2585,100 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32):
 
     edge_refs = _copurchase_edge_refs(lineitem_ds, parts)
 
+    plan = plan or os.environ.get("RAYSLOG_TRIANGLE_PLAN") or "auto"
+    max_edges = int(
+        os.environ.get("RAYSLOG_TRIANGLE_BROADCAST_MAX_EDGES", 32_000_000)
+    )
+
+    @ray.remote
+    def _pack(t):
+        """(row count, max node id, packed (x<<32)|y keys or None)."""
+        if not t.num_rows:
+            return 0, 0, np.empty(0, dtype=np.uint64)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mx = int(max(x.max(), y.max()))
+        if mx >= 1 << 31:
+            return t.num_rows, mx, None
+        return (
+            t.num_rows,
+            mx,
+            (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64),
+        )
+
+    use_bcast = False
+    keys_ref = None
+    if plan in ("auto", "broadcast"):
+        packed = ray.get([_pack.remote(r) for r in edge_refs])
+        n_edges = sum(p[0] for p in packed)
+        if (
+            all(p[2] is not None for p in packed)
+            and (n_edges <= max_edges or plan == "broadcast")
+        ):
+            use_bcast = True
+            keys = np.sort(
+                np.concatenate([p[2] for p in packed])
+                if packed
+                else np.empty(0, dtype=np.uint64)
+            )
+            keys_ref = ray.put(keys)
+
     _empty_w = pa.table(
         {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
     )
+    _empty_n = pa.table({"n": pa.array([], pa.int64())})
 
-    def wedges(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return _empty_w
+    def _wedge_pairs(t: pa.Table):
         x = t.column("x").to_numpy(zero_copy_only=False)
         y = t.column("y").to_numpy(zero_copy_only=False)
         order = np.lexsort((y, x))
         xs, ys = x[order], y[order]
         li, ri = _comb2_runs(xs)
-        if not len(li):
-            return _empty_w
         # wedge (b, c) with b<c — both neighbors of the (minimum)
         # vertex xs; the closing edge is stored as x=b, y=c
-        return pa.table({"x": pa.array(ys[li]), "y": pa.array(ys[ri])})
+        return ys[li], ys[ri]
+
+    if use_bcast:
+
+        def count_closed(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return _empty_n
+            b, c = _wedge_pairs(t)
+            if not len(b):
+                return _empty_n
+            ks = ray.get(keys_ref)  # plasma-local after first touch
+            w = (b.astype(np.uint64) << np.uint64(32)) | c.astype(
+                np.uint64
+            )
+            pos = np.searchsorted(ks, w)
+            pos[pos == len(ks)] = 0 if len(ks) else 0
+            hit = len(ks) and np.count_nonzero(ks[pos] == w)
+            return pa.table({"n": pa.array([int(hit)], pa.int64())})
+
+        count_refs = task_exchange(
+            edge_refs, "xpart", parts, count_closed, return_refs=True
+        )
+
+        @ray.remote
+        def _nsum(t):
+            return (
+                int(pc.sum(t.column("n")).as_py() or 0)
+                if t.num_rows
+                else 0
+            )
+
+        n = int(sum(ray.get([_nsum.remote(r) for r in count_refs])))
+        return rd.from_arrow(
+            pa.table({"n_triangles": pa.array([n], pa.int64())})
+        )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_w
+        b, c = _wedge_pairs(t)
+        if not len(b):
+            return _empty_w
+        return pa.table({"x": pa.array(b), "y": pa.array(c)})
 
     wedge_refs = task_exchange(
         edge_refs, "xpart", parts, wedges, return_refs=True

@@ -266,3 +266,41 @@ def test_repeat_order_share_all_first_orders(ray_session):
         df = p.q_repeat_order_share(d).to_pandas()
     assert df["n_repeat"].tolist() == [0, 0]
     assert df["repeat_share"].tolist() == [0.0, 0.0]
+
+
+def test_triangle_count_plans_agree_and_match_brute(ray_session):
+    """Broadcast and semi-join closing-edge plans count the same
+    triangles as an itertools brute force."""
+    import itertools
+
+    import ray.data as rd
+
+    from rayslog.stages.relational import triangle_count
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for ok in range(30):
+        items = rng.choice(20, size=rng.integers(1, 6), replace=False)
+        rows += [(ok, int(i)) for i in items]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    edges = set()
+    by_order: dict = {}
+    for ok, pk in rows:
+        by_order.setdefault(ok, set()).add(pk)
+    for items in by_order.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            edges.add((a, b))
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(range(20), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    for plan in ("broadcast", "semi"):
+        ds = rd.from_arrow(t).repartition(3)
+        df = triangle_count(ds, parts=4, plan=plan).to_pandas()
+        assert df["n_triangles"].tolist() == [brute], plan

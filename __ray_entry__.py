@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": p.q_part_skyline,  # new r4 (Pareto dominance)
         "order_value_deciles": p.q_order_value_deciles,  # new r4 (global NTILE)
         "repeat_order_share": p.q_repeat_order_share,  # new r4 (window+regroup)
+        "value_mad_by_type": p.q_value_mad_by_type,  # new r4 (grouped MAD)
+        "cohort_revenue": p.q_cohort_revenue,  # new r4 (cohort LTV triangle)
+        "weekday_profile": p.q_weekday_profile,  # new r4 (dow profile)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

@@ -406,6 +406,18 @@ def _run_bench() -> dict:
             "repeat_order_share",
             lambda: p.q_repeat_order_share(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_mad_by_type",
+            lambda: p.q_value_mad_by_type(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "cohort_revenue",
+            lambda: p.q_cohort_revenue(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "weekday_profile",
+            lambda: p.q_weekday_profile(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -3677,3 +3677,183 @@ def q_repeat_order_share(sf_dir: str):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def q_value_mad_by_type(sf_dir: str):
+    """Grouped median absolute deviation of event value (exact
+    quantile_disc semantics in integer cents)."""
+    from rayslog.stages.events import value_mad_by_type
+
+    return value_mad_by_type(_read(sf_dir, "events", ["event_type", "value"]))
+
+
+def q_cohort_revenue(sf_dir: str):
+    """First-purchase cohort LTV triangle: revenue and order count by
+    (cohort month, order month).  One custkey-hash exchange resolves
+    each customer's cohort (min month) and emits grouped partials in
+    the same pass; the tiny triangle rides the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "month_us": pc.floor_temporal(
+                    t.column("o_orderdate"), unit="month"
+                ).cast(pa.int64()),
+                "c": pc.round(
+                    pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "cpart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "cohort_us": pa.array([], pa.int64()),
+            "month_us": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = t.column("month_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ms = u[order], m[order]
+        starts = np.r_[0, np.nonzero(us[1:] != us[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(us)])
+        cohort_per_group = np.minimum.reduceat(ms, starts)
+        cohort = np.empty(len(us), dtype=np.int64)
+        cohort[order] = np.repeat(cohort_per_group, lens)
+        return (
+            pa.table(
+                {
+                    "cohort_us": pa.array(cohort),
+                    "month_us": t.column("month_us"),
+                    "c": t.column("c"),
+                    "n_orders": pa.array(np.ones(len(us), dtype=np.int64)),
+                }
+            )
+            .group_by(["cohort_us", "month_us"])
+            .aggregate([("c", "sum"), ("n_orders", "sum")])
+            .rename_columns(["cohort_us", "month_us", "c", "n_orders"])
+        )
+
+    partials = task_exchange(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cpart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["cohort_us", "month_us"])
+            .aggregate([("c", "sum"), ("n_orders", "sum")])
+            .rename_columns(["cohort_us", "month_us", "c", "n_orders"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": pc.cast(t.column("cohort_us"), pa.timestamp("us")),
+                "month": pc.cast(t.column("month_us"), pa.timestamp("us")),
+                "revenue": pc.divide(
+                    pc.cast(t.column("c"), pa.float64()), 100.0
+                ),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        ).sort_by([("cohort", "ascending"), ("month", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_weekday_profile(sf_dir: str):
+    """Order count and revenue by day of week (DuckDB dayofweek
+    numbering: 0 = Sunday)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(
+            t.column("o_orderdate"), count_from_zero=True, week_start=7
+        ).cast(pa.int64())
+        return (
+            pa.table(
+                {
+                    "dow": dow,
+                    "n_orders": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                    "c": pc.round(
+                        pc.multiply(
+                            t.column("o_totalprice"), pa.scalar(100.0)
+                        )
+                    ).cast(pa.int64()),
+                }
+            )
+            .group_by(["dow"])
+            .aggregate([("n_orders", "sum"), ("c", "sum")])
+            .rename_columns(["dow", "n_orders", "c"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["dow"])
+            .aggregate([("n_orders", "sum"), ("c", "sum")])
+            .rename_columns(["dow", "n_orders", "c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dow": pc.cast(t.column("dow"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("c"), pa.float64()), 100.0
+                ),
+            }
+        ).sort_by([("dow", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "dow": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -1851,6 +1851,44 @@ SELECT d.doc_id, d.lang,
   ELSE NULL END AS z
 FROM documents d JOIN st ON d.lang = st.lang
 """
+    # Grouped MAD with DuckDB quantile_disc (element at
+    # floor((n-1)/2)) in exact integer cents on both sides.
+    q["value_mad_by_type"] = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, c,
+    quantile_disc(c, 0.5) OVER (PARTITION BY event_type) AS med
+  FROM c
+)
+SELECT event_type,
+  CAST(quantile_disc(c, 0.5) AS DOUBLE)/100.0 AS median_value,
+  CAST(quantile_disc(abs(c - med), 0.5) AS DOUBLE)/100.0 AS mad_value
+FROM m GROUP BY event_type
+"""
+    q["cohort_revenue"] = """
+WITH w AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    CAST(round(o_totalprice*100) AS BIGINT) AS c,
+    min(date_trunc('month', o_orderdate))
+      OVER (PARTITION BY o_custkey) AS cohort
+  FROM orders
+)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+  CAST(month AS TIMESTAMP) AS month,
+  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/100.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM w GROUP BY cohort, month
+"""
+    q["weekday_profile"] = """
+SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+       AS DOUBLE)/100.0 AS revenue
+FROM orders GROUP BY dow
+"""
     q["customers_per_supplier"] = """
 SELECT l.l_suppkey AS s_suppkey,
   CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers

@@ -1432,3 +1432,73 @@ def action_trigrams(ds, parts: int = 64):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def value_mad_by_type(ds, parts: int = 32):
+    """Grouped median absolute deviation of event value (exact cents,
+    DuckDB ``quantile_disc`` semantics: the element at index
+    floor((n-1)/2) of the sorted group).  One type-hash
+    ``task_exchange`` co-locates each type (bounded-groups caveat as
+    dominant_event_type: one type's rows fit a part — salt by value
+    band past ~10^9 rows/type), then ONE vectorized pass per part
+    computes both quantiles via sort + run offsets."""
+    from rayslog.kernels.texthash import col_hash64
+    from rayslog.stages.aggregate import task_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        h = col_hash64(et)
+        return pa.table(
+            {
+                "event_type": et,
+                "c": pc.round(
+                    pc.multiply(t.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "tpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "median_value": pa.array([], pa.float64()),
+            "mad_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        import pandas as pd
+
+        codes, uniques = pd.factorize(t.column("event_type").to_pandas())
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, codes))
+        g, cs = codes[order], c[order]
+        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(g)])
+        med = cs[starts + (lens - 1) // 2]
+        gkeys = g[starts]
+        # deviations re-sorted within the same group layout
+        dev = np.abs(cs - med[np.searchsorted(gkeys, g)])
+        order2 = np.lexsort((dev, g))
+        d_s = dev[order2]
+        mad = d_s[starts + (lens - 1) // 2]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [uniques[k] for k in gkeys], pa.string()
+                ),
+                "median_value": pa.array(med.astype(np.float64) / 100.0),
+                "mad_value": pa.array(mad.astype(np.float64) / 100.0),
+            }
+        )
+
+    return task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "tpart",
+        parts,
+        per_part,
+    )

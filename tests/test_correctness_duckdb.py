@@ -157,6 +157,9 @@ QUERY_NAMES = [
     "part_skyline",
     "order_value_deciles",
     "repeat_order_share",
+    "value_mad_by_type",
+    "cohort_revenue",
+    "weekday_profile",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

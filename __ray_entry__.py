@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": p.q_value_mad_by_type,  # new r4 (grouped MAD)
         "cohort_revenue": p.q_cohort_revenue,  # new r4 (cohort LTV triangle)
         "weekday_profile": p.q_weekday_profile,  # new r4 (dow profile)
+        "keyword_hits": p.q_keyword_hits,  # new r4 (multi-pattern scan)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

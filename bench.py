@@ -418,6 +418,10 @@ def _run_bench() -> dict:
             "weekday_profile",
             lambda: p.q_weekday_profile(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "keyword_hits",
+            lambda: p.q_keyword_hits(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -3857,3 +3857,69 @@ def q_weekday_profile(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_keyword_hits(sf_dir: str):
+    """Multi-keyword containment scan: for each keyword of a fixed
+    list, the number of documents whose text contains it (substring
+    semantics, one vectorized match_substring pass per keyword inside
+    a single corpus scan; partial counts ride the combiner tree)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    keywords = ["hash join", "window", "stream", "merge part", "spark"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        hits = [
+            int(
+                pc.sum(
+                    pc.cast(pc.match_substring(txt, kw), pa.int64())
+                ).as_py()
+                or 0
+            )
+            for kw in keywords
+        ]
+        return pa.table(
+            {
+                "keyword": pa.array(keywords, pa.string()),
+                "n_docs": pa.array(hits, pa.int64()),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["keyword"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["keyword", "n_docs"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keyword": t.column("keyword"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        ).sort_by([("keyword", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "keyword": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -1882,6 +1882,17 @@ SELECT CAST(cohort AS TIMESTAMP) AS cohort,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY cohort, month
 """
+    q["keyword_hits"] = """
+WITH kw AS (
+  SELECT unnest(['hash join', 'window', 'stream', 'merge part',
+                 'spark']) AS keyword
+)
+SELECT kw.keyword,
+  CAST(coalesce(sum(CASE WHEN contains(d.text, kw.keyword)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+FROM kw LEFT JOIN documents d ON TRUE
+GROUP BY kw.keyword
+"""
     q["weekday_profile"] = """
 SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
   CAST(count(*) AS BIGINT) AS n_orders,

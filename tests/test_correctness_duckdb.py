@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "value_mad_by_type",
     "cohort_revenue",
     "weekday_profile",
+    "keyword_hits",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -3923,3 +3923,107 @@ def q_keyword_hits(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_user_event_sets(sf_dir: str):
+    """Distinct-set algebra over user behavior (the INTERSECT/EXCEPT
+    shape): how many users purchased, errored, did both, or only one.
+    One user-hash exchange co-locates each user's (deduped) type
+    flags; per-part flag counts collapse to a single row through the
+    combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+    type_a, type_b = "purchase", "error"
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array([type_a, type_b]),
+        )
+        t = t.filter(keep)
+        # batch-local distinct (user, type) so only deduped pairs
+        # cross the exchange
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "n_purchase_users": pa.array([], pa.int64()),
+            "n_error_users": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+            "n_purchase_only": pa.array([], pa.int64()),
+            "n_error_only": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.group_by(["user_id", "event_type"]).aggregate([])
+        )  # global distinct within the user's home part
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        is_a = pc.equal(g.column("event_type"), type_a).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(u, kind="stable")
+        us, aa = u[order], is_a[order]
+        starts = np.r_[0, np.nonzero(us[1:] != us[:-1])[0] + 1]
+        has_a = np.logical_or.reduceat(aa, starts)
+        has_b = np.logical_or.reduceat(~aa, starts)
+        both = int(np.count_nonzero(has_a & has_b))
+        na, nb = int(np.count_nonzero(has_a)), int(np.count_nonzero(has_b))
+        return pa.table(
+            {
+                "n_purchase_users": pa.array([na], pa.int64()),
+                "n_error_users": pa.array([nb], pa.int64()),
+                "n_both": pa.array([both], pa.int64()),
+                "n_purchase_only": pa.array([na - both], pa.int64()),
+                "n_error_only": pa.array([nb - both], pa.int64()),
+            }
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    cols = [
+        "n_purchase_users",
+        "n_error_users",
+        "n_both",
+        "n_purchase_only",
+        "n_error_only",
+    ]
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [pc.sum(t.column(c)).as_py() or 0], pa.int64()
+                )
+                for c in cols
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(reduce_fn(_empty))
+
+    return tree_reduce(partials, reduce_fn, empty_fn=empty_fn)

@@ -1882,6 +1882,20 @@ SELECT CAST(cohort AS TIMESTAMP) AS cohort,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY cohort, month
 """
+    q["user_event_sets"] = """
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b),
+ea AS (SELECT user_id FROM a EXCEPT SELECT user_id FROM b),
+eb AS (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_purchase_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_error_users,
+  (SELECT CAST(count(*) AS BIGINT) FROM i) AS n_both,
+  (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_purchase_only,
+  (SELECT CAST(count(*) AS BIGINT) FROM eb) AS n_error_only
+"""
     q["keyword_hits"] = """
 WITH kw AS (
   SELECT unnest(['hash join', 'window', 'stream', 'merge part',

@@ -161,6 +161,7 @@ QUERY_NAMES = [
     "cohort_revenue",
     "weekday_profile",
     "keyword_hits",
+    "user_event_sets",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

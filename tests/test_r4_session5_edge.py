@@ -304,3 +304,119 @@ def test_triangle_count_plans_agree_and_match_brute(ray_session):
         ds = rd.from_arrow(t).repartition(3)
         df = triangle_count(ds, parts=4, plan=plan).to_pandas()
         assert df["n_triangles"].tolist() == [brute], plan
+
+
+def test_value_mad_by_type_vs_duckdb_random(ray_session):
+    """Grouped MAD matches DuckDB quantile_disc on random data with
+    heavy ties and odd/even group sizes."""
+    import duckdb
+    import ray.data as rd
+
+    from rayslog.stages.events import value_mad_by_type
+
+    rng = np.random.default_rng(23)
+    n = 500
+    types = [str(rng.choice(["a", "b", "c", "d"])) for _ in range(n)]
+    vals = [float(rng.integers(0, 40)) / 4.0 for _ in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(4)
+    df = (
+        value_mad_by_type(ds, parts=4)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """
+WITH c AS (SELECT t AS event_type, CAST(round(v*100) AS BIGINT) c
+           FROM (SELECT unnest(?) t, unnest(?) v)),
+m AS (SELECT event_type, c,
+      quantile_disc(c, 0.5) OVER (PARTITION BY event_type) med FROM c)
+SELECT event_type,
+  CAST(quantile_disc(c, 0.5) AS DOUBLE)/100.0 median_value,
+  CAST(quantile_disc(abs(c - med), 0.5) AS DOUBLE)/100.0 mad_value
+FROM m GROUP BY event_type ORDER BY event_type
+""",
+        params=[types, vals],
+    ).df()
+    pd.testing.assert_frame_equal(df, ref)
+
+
+def test_cohort_revenue_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    rng = np.random.default_rng(5)
+    n = 300
+    cust = rng.integers(0, 40, size=n)
+    dates = [
+        dt.datetime(1996, int(m), 1)
+        for m in rng.integers(1, 13, size=n)
+    ]
+    price = np.round(rng.uniform(10, 99, size=n), 2)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(cust, pa.int64()),
+                    "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                    "o_totalprice": pa.array(price, pa.float64()),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        df = p.q_cohort_revenue(d).to_pandas()
+    ref = pd.DataFrame(
+        {"cust": cust, "month": dates,
+         "c": np.round(price * 100).astype(np.int64)}
+    )
+    ref["cohort"] = ref.groupby("cust")["month"].transform("min")
+    ref = (
+        ref.groupby(["cohort", "month"])
+        .agg(revenue=("c", "sum"), n_orders=("c", "size"))
+        .reset_index()
+        .sort_values(["cohort", "month"], ignore_index=True)
+    )
+    ref["revenue"] = ref["revenue"].astype(np.float64) / 100.0
+    pd.testing.assert_frame_equal(
+        df.reset_index(drop=True),
+        ref[["cohort", "month", "revenue", "n_orders"]],
+        check_dtype=False,
+    )
+
+
+def test_user_event_sets_disjoint_and_overlap(ray_session):
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    rows = [  # u1: both; u2: purchase only; u3: error only; u4: other
+        (1, "purchase"), (1, "error"), (1, "purchase"),
+        (2, "purchase"), (3, "error"), (4, "view"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array(
+                        [r[1] for r in rows], pa.string()
+                    ),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        df = p.q_user_event_sets(d).to_pandas()
+    assert df.iloc[0].to_dict() == {
+        "n_purchase_users": 2, "n_error_users": 2, "n_both": 1,
+        "n_purchase_only": 1, "n_error_only": 1,
+    }

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_profile": p.q_weekday_profile,  # new r4 (dow profile)
         "keyword_hits": p.q_keyword_hits,  # new r4 (multi-pattern scan)
         "user_event_sets": p.q_user_event_sets,  # new r4 (INTERSECT/EXCEPT)
+        "rolling_dau": p.q_rolling_dau,  # new r4 (rolling COUNT DISTINCT)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

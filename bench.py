@@ -422,6 +422,14 @@ def _run_bench() -> dict:
             "keyword_hits",
             lambda: p.q_keyword_hits(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "user_event_sets",
+            lambda: p.q_user_event_sets(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "rolling_dau",
+            lambda: p.q_rolling_dau(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -4027,3 +4027,11 @@ def q_user_event_sets(sf_dir: str):
         return rd.from_arrow(reduce_fn(_empty))
 
     return tree_reduce(partials, reduce_fn, empty_fn=empty_fn)
+
+
+def q_rolling_dau(sf_dir: str):
+    """7-day rolling distinct active users per day (rolling COUNT
+    DISTINCT via per-user coverage-interval diffs)."""
+    from rayslog.stages.events import rolling_dau
+
+    return rolling_dau(_read(sf_dir, "events", ["user_id", "ts"]))

@@ -1882,6 +1882,17 @@ SELECT CAST(cohort AS TIMESTAMP) AS cohort,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY cohort, month
 """
+    q["rolling_dau"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT CAST(days.d AS TIMESTAMP) AS day,
+  CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+FROM days JOIN pairs p
+  ON p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+"""
     q["user_event_sets"] = """
 WITH a AS (SELECT DISTINCT user_id FROM events
            WHERE event_type = 'purchase'),

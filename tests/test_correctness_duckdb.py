@@ -162,6 +162,7 @@ QUERY_NAMES = [
     "weekday_profile",
     "keyword_hits",
     "user_event_sets",
+    "rolling_dau",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -420,3 +420,49 @@ def test_user_event_sets_disjoint_and_overlap(ray_session):
         "n_purchase_users": 2, "n_error_users": 2, "n_both": 1,
         "n_purchase_only": 1, "n_error_only": 1,
     }
+
+
+def test_rolling_dau_vs_brute_force(ray_session):
+    """Interval-diff rolling distinct == brute-force window sets,
+    including gap-exactly-7 interval splits."""
+    import ray.data as rd
+
+    from rayslog.stages.events import rolling_dau
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (
+            int(rng.integers(0, 8)),
+            dt.datetime(2024, 1, 1)
+            + dt.timedelta(days=int(rng.integers(0, 30)), hours=3),
+        )
+        for _ in range(120)
+    ]
+    # force a gap of exactly 7 days for one user (new interval edge)
+    rows += [(99, dt.datetime(2024, 2, 10)), (99, dt.datetime(2024, 2, 17))]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+    ).repartition(3)
+    df = (
+        rolling_dau(ds, window_days=7, parts=4)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = sorted({r[1].date() for r in rows})
+    ref = []
+    for d in days:
+        users = {
+            r[0]
+            for r in rows
+            if 0 <= (d - r[1].date()).days <= 6
+        }
+        ref.append((d, len(users)))
+    assert [
+        (r.day.date(), r.active_users) for r in df.itertuples()
+    ] == ref

@@ -4035,3 +4035,14 @@ def q_rolling_dau(sf_dir: str):
     from rayslog.stages.events import rolling_dau
 
     return rolling_dau(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_followed_within(sf_dir: str):
+    """Sequence-pattern count: errors followed by a purchase from the
+    same user within one hour (A-then-B-within-interval matching via
+    band-shifted searchsorted)."""
+    from rayslog.stages.events import followed_within
+
+    return followed_within(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )

@@ -1882,6 +1882,22 @@ SELECT CAST(cohort AS TIMESTAMP) AS cohort,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY cohort, month
 """
+    q["followed_within"] = """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT a.user_id,
+    EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+            AND b.ts > a.ts
+            AND b.ts <= a.ts + INTERVAL 1 HOUR) AS hit
+  FROM a
+)
+SELECT CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_events,
+  CAST(count(DISTINCT CASE WHEN hit THEN user_id END) AS BIGINT)
+         AS n_matched_users
+FROM m
+"""
     q["rolling_dau"] = """
 WITH pairs AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events

@@ -1644,3 +1644,109 @@ def rolling_dau(ds, window_days: int = 7, parts: int = 64):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def followed_within(ds, first_type: str = "error",
+                    then_type: str = "purchase",
+                    within_sec: int = 3600, parts: int = 64):
+    """Sequence-pattern match: occurrences of ``first_type`` followed
+    by ``then_type`` from the SAME user within ``within_sec`` —
+    the behavioral A-then-B-within-Δt shape (conversion-after-error,
+    retry-after-failure).  Counts both matching A events and distinct
+    users with >=1 match.
+
+    One user-hash exchange, then per part a vectorized sorted-merge:
+    B timestamps searchsorted into each A's (t, t+Δ] window, with
+    per-user bounds from run offsets — no joins, no per-row Python."""
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array([first_type, then_type]),
+        )
+        t = t.filter(keep)
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "is_a": pc.equal(t.column("event_type"), first_type),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "n_matched_events": pa.array([], pa.int64()),
+            "n_matched_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        isa = t.column("is_a").to_numpy(zero_copy_only=False)
+        w = np.int64(within_sec) * np.int64(1_000_000)
+        order = np.lexsort((ts, codes))
+        u, tt, aa = codes[order], ts[order], isa[order]
+        # band-shifted composite key (the rolling_time trick): shift
+        # each user's rebased times by user_index * R so ONE sorted
+        # array serves every user's window query.  R covers the part's
+        # time range + the window; int64-safe while users/part * R <
+        # 2^63 (~1e4 users x a century in us) — size `parts` up past
+        # that.
+        t0_, t1_ = int(tt.min()), int(tt.max())
+        R = np.int64(t1_ - t0_) + w + np.int64(2)
+        key = u.astype(np.int64) * R + (tt - np.int64(t0_))
+        b_key = key[~aa]
+        a_key = key[aa]
+        a_u = u[aa]
+        lo = np.searchsorted(b_key, a_key, side="right")
+        hi = np.searchsorted(b_key, a_key + w, side="right")
+        matched = hi > lo
+        n_ev = int(np.count_nonzero(matched))
+        n_us = int(len(np.unique(a_u[matched])))
+        return pa.table(
+            {
+                "n_matched_events": pa.array([n_ev], pa.int64()),
+                "n_matched_users": pa.array([n_us], pa.int64()),
+            }
+        )
+
+    partials = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_matched_events": pa.array(
+                    [pc.sum(t.column("n_matched_events")).as_py() or 0],
+                    pa.int64(),
+                ),
+                "n_matched_users": pa.array(
+                    [pc.sum(t.column("n_matched_users")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(reduce_fn(_empty))
+
+    return tree_reduce(partials, reduce_fn, empty_fn=empty_fn)

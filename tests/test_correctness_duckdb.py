@@ -163,6 +163,7 @@ QUERY_NAMES = [
     "keyword_hits",
     "user_event_sets",
     "rolling_dau",
+    "followed_within",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -466,3 +466,44 @@ def test_rolling_dau_vs_brute_force(ray_session):
     assert [
         (r.day.date(), r.active_users) for r in df.itertuples()
     ] == ref
+
+
+def test_followed_within_boundaries(ray_session):
+    """Window is (t, t+w]: same-timestamp B excluded, exactly-at-w B
+    included, cross-user B never matches."""
+    import ray.data as rd
+
+    from rayslog.stages.events import followed_within
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: A at 0, B at exactly +1h -> match (boundary inclusive)
+        (1, base, "error"),
+        (1, base + dt.timedelta(hours=1), "purchase"),
+        # u2: A and B at the SAME instant -> no match (strictly after)
+        (2, base, "error"),
+        (2, base, "purchase"),
+        # u3: A, B at +1h+1us -> no match
+        (3, base, "error"),
+        (3, base + dt.timedelta(hours=1, microseconds=1), "purchase"),
+        # u4: A only; u5: B only (cross-user must not match u4)
+        (4, base, "error"),
+        (5, base + dt.timedelta(minutes=5), "purchase"),
+        # u6: two As, one B within range of both -> 2 events, 1 user
+        (6, base, "error"),
+        (6, base + dt.timedelta(minutes=10), "error"),
+        (6, base + dt.timedelta(minutes=30), "purchase"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+    df = followed_within(ds, parts=4).to_pandas()
+    assert df.iloc[0].to_dict() == {
+        "n_matched_events": 3, "n_matched_users": 2,
+    }

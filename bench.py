@@ -430,6 +430,10 @@ def _run_bench() -> dict:
             "rolling_dau",
             lambda: p.q_rolling_dau(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "followed_within",
+            lambda: p.q_followed_within(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -507,3 +507,89 @@ def test_followed_within_boundaries(ray_session):
     assert df.iloc[0].to_dict() == {
         "n_matched_events": 3, "n_matched_users": 2,
     }
+
+
+def test_partition_invariance_of_exchange_ops(ray_session):
+    """Exchange-based session-5 operators give identical results at
+    parts=1 and parts=7 — the distributed plan must not depend on the
+    partitioning grain."""
+    import ray.data as rd
+
+    from rayslog.stages.events import (
+        action_trigrams,
+        followed_within,
+        rolling_dau,
+        value_mad_by_type,
+    )
+    from rayslog.stages.relational import order_value_deciles, part_skyline
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ev = pa.table(
+        {
+            "user_id": pa.array(
+                rng.integers(0, 12, size=n), pa.int64()
+            ),
+            "ts": pa.array(
+                [
+                    dt.datetime(2024, 1, 1)
+                    + dt.timedelta(minutes=int(m))
+                    for m in rng.integers(0, 20000, size=n)
+                ],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "event_type": pa.array(
+                [str(x) for x in rng.choice(
+                    ["error", "purchase", "view"], size=n)],
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 50, size=n), 2), pa.float64()
+            ),
+        }
+    )
+    parts_t = pa.table(
+        {
+            "p_partkey": pa.array(list(range(80)), pa.int64()),
+            "p_brand": pa.array(
+                [f"B{int(x)}" for x in rng.integers(0, 5, size=80)],
+                pa.string(),
+            ),
+            "p_size": pa.array(rng.integers(1, 9, size=80), pa.int64()),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900, 910, size=80), 2), pa.float64()
+            ),
+        }
+    )
+    orders_t = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(200)), pa.int64()),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 9000, size=200), 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+    def norm(df):
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    cases = [
+        lambda p: action_trigrams(
+            rd.from_arrow(ev).repartition(3), parts=p),
+        lambda p: value_mad_by_type(
+            rd.from_arrow(ev).repartition(3), parts=p),
+        lambda p: rolling_dau(
+            rd.from_arrow(ev).repartition(3), parts=p),
+        lambda p: followed_within(
+            rd.from_arrow(ev).repartition(3), parts=p),
+        lambda p: part_skyline(
+            rd.from_arrow(parts_t).repartition(3), parts=p),
+        lambda p: order_value_deciles(
+            rd.from_arrow(orders_t).repartition(3), parts=p),
+    ]
+    for fn in cases:
+        a = norm(fn(1).to_pandas())
+        b = norm(fn(7).to_pandas())
+        pd.testing.assert_frame_equal(a, b)

@@ -4046,3 +4046,32 @@ def q_followed_within(sf_dir: str):
     return followed_within(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-10 and the cosine top-10 for the probe query — the
+    lexical+vector fusion every RAG stack runs.  Both legs are the
+    existing oracle-checked distributed queries; fusion happens on
+    their tiny (<=10-row) rank lists, so the only driver-side work is
+    O(k).  The RRF score is the same two-term double sum the oracle
+    spells (coalesce(1/(60+rank), 0) per leg)."""
+    import pandas as pd
+
+    b = q_bm25_search(sf_dir).to_pandas()[["doc_id", "rank"]]
+    v = q_ann_topk(sf_dir).to_pandas()
+    v = v[v["query_id"] == 0][["vec_id", "rank"]].rename(
+        columns={"vec_id": "doc_id"}
+    )
+    f = b.merge(v, on="doc_id", how="outer", suffixes=("_b", "_v"))
+    t_b = (1.0 / (60.0 + f["rank_b"])).fillna(0.0)
+    t_v = (1.0 / (60.0 + f["rank_v"])).fillna(0.0)
+    f["rrf_score"] = t_b + t_v
+    f = f.sort_values(
+        ["rrf_score", "doc_id"], ascending=[False, True]
+    ).head(10)
+    f["rank"] = range(1, len(f) + 1)
+    out = f[["doc_id", "rrf_score", "rank"]].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1882,6 +1882,25 @@ SELECT CAST(cohort AS TIMESTAMP) AS cohort,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM w GROUP BY cohort, month
 """
+    # Reciprocal-rank fusion of the two oracle-checked retrieval legs,
+    # nested verbatim so any leg fix propagates; the RRF score is the
+    # same two-term double sum the engine computes.
+    q["hybrid_search"] = f"""
+WITH b AS (SELECT doc_id, rank FROM ({q["bm25_search"]})),
+v AS (SELECT vec_id AS doc_id, rank FROM ({q["ann_topk"]})
+      WHERE query_id = 0),
+f AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+    coalesce(1.0/(60 + b.rank), 0.0)
+      + coalesce(1.0/(60 + v.rank), 0.0) AS rrf_score
+  FROM b FULL JOIN v ON b.doc_id = v.doc_id
+),
+r AS (SELECT doc_id, rrf_score,
+        CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS BIGINT) AS rank
+      FROM f)
+SELECT doc_id, rrf_score, rank FROM r WHERE rank <= 10
+"""
     q["followed_within"] = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
 b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

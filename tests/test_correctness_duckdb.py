@@ -164,6 +164,7 @@ QUERY_NAMES = [
     "user_event_sets",
     "rolling_dau",
     "followed_within",
+    "hybrid_search",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_dau": p.q_rolling_dau,  # new r4 (rolling COUNT DISTINCT)
         "followed_within": p.q_followed_within,  # new r4 (A-then-B pattern)
         "hybrid_search": p.q_hybrid_search,  # new r4 (BM25+vector RRF)
+        "weighted_median_price": p.q_weighted_median_price,  # new r4
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

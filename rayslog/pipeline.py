@@ -4075,3 +4075,162 @@ def q_hybrid_search(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["rank"] = out["rank"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-WEIGHTED median lineitem price per brand — the grouped
+    weighted-quantile shape (plain medians ignore row mass).  The
+    crossing rule is exact integers (`2*cum_qty >= total_qty`, the
+    smallest price whose cumulative weight reaches half), which is
+    order-independent under price ties, so the oracle's window cumsum
+    and the engine's vectorized pass agree bit-for-bit.  Brand dim
+    auto-selects broadcast vs hash_join; one brand-hash exchange
+    co-locates each brand."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayslog.kernels.texthash import col_hash64
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.relational import _cached_lookup, hash_join
+
+    parts = 32
+    thresh = int(os.environ.get("RAYSLOG_BROADCAST_MAX_ROWS", 4_000_000))
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def cents_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "pc_": pc.round(
+                    pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "qc": pc.round(
+                    pc.multiply(t.column("l_quantity"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    if _table_rows(sf_dir, "part") <= thresh:
+        pk = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        pk_ref = ray.put(
+            (
+                pk.column("p_partkey").to_numpy(),
+                pk.column("p_brand").to_numpy(zero_copy_only=False),
+            )
+        )
+
+        def attach_brand(t: pa.Table) -> pa.Table:
+            keys, brands = _cached_lookup(pk_ref)
+            idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+            out = pa.table(
+                {
+                    "p_brand": pc.take(brands, idx),
+                    "pc_": t.column("pc_"),
+                    "qc": t.column("qc"),
+                }
+            )
+            return out.filter(pc.is_valid(out.column("p_brand")))
+
+        branded = line.map_batches(
+            cents_cols, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            attach_brand, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        branded = hash_join(
+            line.map_batches(
+                cents_cols, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+                lambda t: pa.table(
+                    {
+                        "l_partkey": pc.cast(t.column("p_partkey"),
+                                             pa.int64()),
+                        "p_brand": t.column("p_brand"),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            key="l_partkey",
+        ).map_batches(
+            lambda t: t.select(["p_brand", "pc_", "qc"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        b = t.column("p_brand")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        h = col_hash64(b)
+        # per-batch partial: collapse equal (brand, price) rows so only
+        # distinct pairs with summed weights cross the exchange
+        g = (
+            pa.table({"p_brand": b, "pc_": t.column("pc_"),
+                      "qc": t.column("qc")})
+            .group_by(["p_brand", "pc_"])
+            .aggregate([("qc", "sum")])
+            .rename_columns(["p_brand", "pc_", "qc"])
+        )
+        b2 = g.column("p_brand")
+        if isinstance(b2, pa.ChunkedArray):
+            b2 = b2.combine_chunks()
+        h2 = col_hash64(b2)
+        return g.append_column(
+            "bpart", pa.array((h2 % np.uint64(parts)).astype(np.int32))
+        )
+
+    _empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "w_median_price": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        import pandas as pd
+
+        codes, uniques = pd.factorize(t.column("p_brand").to_pandas())
+        p_ = t.column("pc_").to_numpy(zero_copy_only=False)
+        q_ = t.column("qc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p_, codes))
+        g, ps, qs = codes[order], p_[order], q_[order]
+        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(g)])
+        cum = np.cumsum(qs)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], lens)
+        cw = cum - base
+        tot = np.repeat(np.add.reduceat(qs, starts), lens)
+        crossing = 2 * cw >= tot
+        # first crossing row per group == min price with cum >= half
+        med = np.empty(len(starts), dtype=np.int64)
+        for i, s in enumerate(starts):  # O(#brands) tiny loop
+            e = s + lens[i]
+            med[i] = ps[s:e][crossing[s:e]][0]
+        return pa.table(
+            {
+                "p_brand": pa.array([uniques[g[s]] for s in starts],
+                                    pa.string()),
+                "w_median_price": pa.array(med.astype(np.float64) / 100.0),
+            }
+        )
+
+    return task_exchange(
+        branded.map_batches(
+            add_bpart, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "bpart",
+        parts,
+        per_part,
+    )

@@ -1901,6 +1901,26 @@ r AS (SELECT doc_id, rrf_score,
       FROM f)
 SELECT doc_id, rrf_score, rank FROM r WHERE rank <= 10
 """
+    # Weighted median: crossing rule 2*cum >= total in exact integers;
+    # order-independent under price ties (see q_weighted_median_price).
+    q["weighted_median_price"] = """
+WITH l AS (
+  SELECT p.p_brand,
+    CAST(round(l.l_extendedprice*100) AS BIGINT) AS pc_,
+    CAST(round(l.l_quantity*100) AS BIGINT) AS qc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+w AS (
+  SELECT p_brand, pc_,
+    sum(qc) OVER (PARTITION BY p_brand ORDER BY pc_
+                  ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(qc) OVER (PARTITION BY p_brand) AS tw
+  FROM l
+)
+SELECT p_brand,
+  CAST(min(pc_) AS DOUBLE)/100.0 AS w_median_price
+FROM w WHERE 2*cw >= tw GROUP BY p_brand
+"""
     q["followed_within"] = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
 b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

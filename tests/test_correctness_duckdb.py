@@ -165,6 +165,7 @@ QUERY_NAMES = [
     "rolling_dau",
     "followed_within",
     "hybrid_search",
+    "weighted_median_price",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

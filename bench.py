@@ -434,6 +434,14 @@ def _run_bench() -> dict:
             "followed_within",
             lambda: p.q_followed_within(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "hybrid_search",
+            lambda: p.q_hybrid_search(SF_DIR),
+        )
+        timed_extra(
+            "weighted_median_price",
+            lambda: p.q_weighted_median_price(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

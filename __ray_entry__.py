@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "followed_within": p.q_followed_within,  # new r4 (A-then-B pattern)
         "hybrid_search": p.q_hybrid_search,  # new r4 (BM25+vector RRF)
         "weighted_median_price": p.q_weighted_median_price,  # new r4
+        "conversion_delay": p.q_conversion_delay,  # new r4 (next-match delta)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

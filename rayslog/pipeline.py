@@ -4234,3 +4234,13 @@ def q_weighted_median_price(sf_dir: str):
         parts,
         per_part,
     )
+
+
+def q_conversion_delay(sf_dir: str):
+    """Exact time-to-conversion stats (error -> next purchase per
+    user): count, mean/min/max seconds from integer-µs sums."""
+    from rayslog.stages.events import conversion_delay
+
+    return conversion_delay(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )

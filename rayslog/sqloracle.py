@@ -1921,6 +1921,23 @@ SELECT p_brand,
   CAST(min(pc_) AS DOUBLE)/100.0 AS w_median_price
 FROM w WHERE 2*cw >= tw GROUP BY p_brand
 """
+    q["conversion_delay"] = """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT (SELECT min(b.ts) FROM b
+          WHERE b.user_id = a.user_id AND b.ts > a.ts) AS nts, a.ts
+  FROM a
+),
+e AS (SELECT CAST(epoch_us(nts) - epoch_us(ts) AS BIGINT) AS du
+      FROM d WHERE nts IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+  CAST(CAST(sum(du) AS BIGINT) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_delay_sec,
+  CAST(min(du) AS DOUBLE)/1000000.0 AS min_delay_sec,
+  CAST(max(du) AS DOUBLE)/1000000.0 AS max_delay_sec
+FROM e
+"""
     q["followed_within"] = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
 b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -1750,3 +1750,142 @@ def followed_within(ds, first_type: str = "error",
         return rd.from_arrow(reduce_fn(_empty))
 
     return tree_reduce(partials, reduce_fn, empty_fn=empty_fn)
+
+
+def conversion_delay(ds, first_type: str = "error",
+                     then_type: str = "purchase", parts: int = 64):
+    """Exact delay stats from each ``first_type`` event to the SAME
+    user's NEXT ``then_type`` event (time-to-conversion): count, mean,
+    min, max in seconds.  The per-A next-B resolves with one
+    band-shifted searchsorted per part (:func:`followed_within`'s
+    key trick, uncapped window); the stats are exact integer-µs sums
+    through the combiner tree, divided once in float64 exactly as the
+    oracle spells."""
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array([first_type, then_type]),
+        )
+        t = t.filter(keep)
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "is_a": pc.equal(t.column("event_type"), first_type),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "n": pa.array([], pa.int64()),
+            "s_us": pa.array([], pa.int64()),
+            "mn_us": pa.array([], pa.int64()),
+            "mx_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        isa = t.column("is_a").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, codes))
+        u, tt, aa = codes[order], ts[order], isa[order]
+        t0_, t1_ = int(tt.min()), int(tt.max())
+        R = np.int64(t1_ - t0_) + np.int64(2)
+        key = u.astype(np.int64) * R + (tt - np.int64(t0_))
+        b_key = key[~aa]
+        a_key = key[aa]
+        a_u = u[aa]
+        if not len(b_key) or not len(a_key):
+            return _empty
+        pos = np.searchsorted(b_key, a_key, side="right")
+        # next-B exists iff pos valid AND still in the same user's band
+        ok = pos < len(b_key)
+        nxt = np.where(ok, b_key[np.minimum(pos, max(len(b_key) - 1, 0))],
+                       np.int64(0))
+        same = ok & (nxt // R == a_u)
+        delta = (nxt - a_key)[same]
+        if not len(delta):
+            return _empty
+        return pa.table(
+            {
+                "n": pa.array([len(delta)], pa.int64()),
+                "s_us": pa.array([int(delta.sum())], pa.int64()),
+                "mn_us": pa.array([int(delta.min())], pa.int64()),
+                "mx_us": pa.array([int(delta.max())], pa.int64()),
+            }
+        )
+
+    partials = task_exchange(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        return pa.table(
+            {
+                "n": pa.array([pc.sum(t.column("n")).as_py() or 0],
+                              pa.int64()),
+                "s_us": pa.array([pc.sum(t.column("s_us")).as_py() or 0],
+                                 pa.int64()),
+                "mn_us": pa.array([pc.min(t.column("mn_us")).as_py()],
+                                  pa.int64()),
+                "mx_us": pa.array([pc.max(t.column("mx_us")).as_py()],
+                                  pa.int64()),
+            }
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        n = int(t.column("n")[0].as_py() or 0) if t.num_rows else 0
+        if not n:
+            return pa.table(
+                {
+                    "n_conversions": pa.array([0], pa.int64()),
+                    "mean_delay_sec": pa.array([None], pa.float64()),
+                    "min_delay_sec": pa.array([None], pa.float64()),
+                    "max_delay_sec": pa.array([None], pa.float64()),
+                }
+            )
+        s = float(t.column("s_us")[0].as_py())
+        return pa.table(
+            {
+                "n_conversions": pa.array([n], pa.int64()),
+                "mean_delay_sec": pa.array(
+                    [s / float(n) / 1_000_000.0], pa.float64()
+                ),
+                "min_delay_sec": pa.array(
+                    [float(t.column("mn_us")[0].as_py()) / 1_000_000.0],
+                    pa.float64(),
+                ),
+                "max_delay_sec": pa.array(
+                    [float(t.column("mx_us")[0].as_py()) / 1_000_000.0],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(final_fn(_empty))
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

@@ -166,6 +166,7 @@ QUERY_NAMES = [
     "followed_within",
     "hybrid_search",
     "weighted_median_price",
+    "conversion_delay",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -442,6 +442,10 @@ def _run_bench() -> dict:
             "weighted_median_price",
             lambda: p.q_weighted_median_price(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "conversion_delay",
+            lambda: p.q_conversion_delay(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

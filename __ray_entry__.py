@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": p.q_hybrid_search,  # new r4 (BM25+vector RRF)
         "weighted_median_price": p.q_weighted_median_price,  # new r4
         "conversion_delay": p.q_conversion_delay,  # new r4 (next-match delta)
+        "customer_spend_deciles": p.q_customer_spend_deciles,  # new r4
+        "order_linecount_hist": p.q_order_linecount_hist,  # new r4
+        "traffic_anomaly_days": p.q_traffic_anomaly_days,  # new r4
+        "lang_confusion": p.q_lang_confusion,  # new r4 (eval cross-tab)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

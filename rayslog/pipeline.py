@@ -4244,3 +4244,216 @@ def q_conversion_delay(sf_dir: str):
     return conversion_delay(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix (true lang x predicted lang doc
+    counts) — the model-eval cross-tab over the oracle-checked
+    lang_id heuristic."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    preds = q_lang_id(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["lang", "lang_pred"])
+            .group_by(["lang", "lang_pred"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "lang_pred", "n_docs"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lang", "lang_pred"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["lang", "lang_pred", "n_docs"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "lang_pred": t.column("lang_pred"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        ).sort_by([("lang", "ascending"), ("lang_pred", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        preds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_order_linecount_hist(sf_dir: str):
+    """Count-of-counts: how many orders have k lineitems.  One
+    orderkey-hash exchange resolves each order whole (keys only — 8
+    bytes/row through the shuffle); per-part bincounts ride the
+    combiner tree (output bounded by max lines/order)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64())
+        u = ok.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": ok,
+                "opart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "n_lines": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        _, counts = np.unique(u, return_counts=True)
+        k, n = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "n_lines": pa.array(k.astype(np.int64)),
+                "n_orders": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "opart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["n_lines"])
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["n_lines", "n_orders"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_lines": pc.cast(t.column("n_lines"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        ).sort_by([("n_lines", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_traffic_anomaly_days(sf_dir: str):
+    """Traffic-spike days: days whose event count exceeds 2x the mean
+    of the prior seven OBSERVED days (rows, not calendar — needs >= 1
+    prior day).  Per-block day-count partials ride the tree; the
+    tiny ordered day series flags spikes on the final block with the
+    EXACT integer compare ``n*cnt_prev > 2*sum_prev`` (no float
+    threshold)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["day"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["day", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["day"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["day", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        csum = np.r_[0, np.cumsum(n)]
+        idx = np.arange(len(n))
+        lo = np.maximum(idx - 7, 0)
+        sum_prev = csum[idx] - csum[lo]
+        cnt_prev = idx - lo
+        spike = (cnt_prev > 0) & (n * cnt_prev > 2 * sum_prev)
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "n_events": pa.array(n),
+                "is_spike": pa.array(spike),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "is_spike": pa.array([], pa.bool_()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_customer_spend_deciles(sf_dir: str):
+    """Revenue-concentration report: NTILE(10) of customers by total
+    spend with each decile's revenue share."""
+    from rayslog.stages.relational import customer_spend_deciles
+
+    return customer_spend_deciles(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    )

@@ -1921,6 +1921,54 @@ SELECT p_brand,
   CAST(min(pc_) AS DOUBLE)/100.0 AS w_median_price
 FROM w WHERE 2*cw >= tw GROUP BY p_brand
 """
+    q["lang_confusion"] = (
+        "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM (" + q["lang_id"] + ") GROUP BY lang, lang_pred"
+    )
+    q["customer_spend_deciles"] = """
+WITH s AS (
+  SELECT o_custkey AS c_custkey,
+    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+),
+w AS (
+  SELECT c, ntile(10) OVER (ORDER BY c, c_custkey) AS tile FROM s
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM s)
+SELECT CAST(tile AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(CAST(sum(w.c) AS BIGINT) AS DOUBLE)/100.0 AS revenue,
+  CAST(CAST(sum(w.c) AS BIGINT) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+    AS rev_share
+FROM w, t GROUP BY tile, t.tot
+"""
+    q["order_linecount_hist"] = """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_lines
+"""
+    # spike rule in exact integers: n * cnt_prev > 2 * sum_prev over
+    # the prior seven OBSERVED days (rows, not calendar)
+    q["traffic_anomaly_days"] = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n,
+    CAST(coalesce(sum(n) OVER (ORDER BY day
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sp,
+    CAST(count(n) OVER (ORDER BY day
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS cp
+  FROM d
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n AS n_events,
+  (cp > 0 AND n * cp > 2 * sp) AS is_spike
+FROM w
+"""
     q["conversion_delay"] = """
 WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
 b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -4040,14 +4040,6 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
     clamp into the last band).  Returns (decile, n_orders, revenue).
     """
     import numpy as np
-    import ray
-
-    from rayslog.stages.aggregate import (
-        live_block_refs,
-        task_exchange,
-        tree_reduce,
-        tree_reduce_refs,
-    )
 
     def keyed(t: pa.Table) -> pa.Table:
         c = pc.round(
@@ -4068,6 +4060,50 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
     keys = orders_ds.map_batches(
         keyed, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("decile", "ascending")])
+        return pa.table(
+            {
+                "decile": pc.cast(t.column("decile"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_rows"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("val_c"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }
+    )
+    return _global_ntile_tree(
+        keys, "o_orderkey", k, parts, final_fn, empty_out
+    )
+
+
+def _global_ntile_tree(keys, id_col: str, k: int, parts: int,
+                       final_fn, empty_out: pa.Table):
+    """Shared NTILE(k) machinery over a MATERIALIZED keys dataset with
+    columns (``id_col``, c, part): ref-tree per-part counts ->
+    driver-side exclusive offsets (one int per part) -> one exchange
+    assigning exact global ranks by (c, id) and DuckDB's bucket sizes
+    (first n%k buckets one row bigger) -> grouped (decile, n_rows,
+    val_c) partials through the combiner tree -> caller's final_fn."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce,
+        tree_reduce_refs,
+    )
+
     refs = live_block_refs(keys)
 
     def part_counts(t: pa.Table) -> pa.Table:
@@ -4082,23 +4118,13 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
     _empty = pa.table(
         {
             "decile": pa.array([], pa.int64()),
-            "n_orders": pa.array([], pa.int64()),
-            "rev_c": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "val_c": pa.array([], pa.int64()),
         }
     )
 
     if not refs:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "decile": pa.array([], pa.int64()),
-                    "n_orders": pa.array([], pa.int64()),
-                    "revenue": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return rd.from_arrow(empty_out)
 
     totals = tree_reduce_refs(refs, part_counts).to_pandas()
     totals = totals.sort_values("part").reset_index(drop=True)
@@ -4117,7 +4143,7 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
         if not t.num_rows:
             return _empty
         offs_l = ray.get(offs_ref)
-        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ok = t.column(id_col).to_numpy(zero_copy_only=False)
         c = t.column("c").to_numpy(zero_copy_only=False)
         part0 = int(t.column("part")[0].as_py())
         order = np.lexsort((ok, c))
@@ -4137,13 +4163,13 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
             pa.table(
                 {
                     "decile": pa.array(tile.astype(np.int64)),
-                    "n_orders": pa.array(np.ones(len(ok), dtype=np.int64)),
-                    "rev_c": pa.array(c),
+                    "n_rows": pa.array(np.ones(len(ok), dtype=np.int64)),
+                    "val_c": pa.array(c),
                 }
             )
             .group_by(["decile"])
-            .aggregate([("n_orders", "sum"), ("rev_c", "sum")])
-            .rename_columns(["decile", "n_orders", "rev_c"])
+            .aggregate([("n_rows", "sum"), ("val_c", "sum")])
+            .rename_columns(["decile", "n_rows", "val_c"])
         )
 
     partials = task_exchange(keys, "part", parts, assign,
@@ -4152,27 +4178,104 @@ def order_value_deciles(orders_ds, k: int = 10, parts: int = 64,
     def reduce_fn(t: pa.Table) -> pa.Table:
         return (
             t.group_by(["decile"])
-            .aggregate([("n_orders", "sum"), ("rev_c", "sum")])
-            .rename_columns(["decile", "n_orders", "rev_c"])
-        )
-
-    def final_fn(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("decile", "ascending")])
-        return pa.table(
-            {
-                "decile": pc.cast(t.column("decile"), pa.int64()),
-                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
-                "revenue": pc.divide(
-                    pc.cast(t.column("rev_c"), pa.float64()), 100.0
-                ),
-            }
+            .aggregate([("n_rows", "sum"), ("val_c", "sum")])
+            .rename_columns(["decile", "n_rows", "val_c"])
         )
 
     def empty_fn():
-        import ray.data as rd
-
         return rd.from_arrow(final_fn(_empty))
 
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def customer_spend_deciles(orders_ds, k: int = 10, cust_parts: int = 64,
+                           parts: int = 64,
+                           spend_upper_c: int = 2_000_000_000):
+    """NTILE(k) of customers by total spend, with each decile's revenue
+    SHARE — the Pareto/concentration report ("what fraction of revenue
+    do the top 10% of customers carry").  One custkey exchange reduces
+    orders to exact-cents per-customer rows; the shared
+    :func:`_global_ntile_tree` rank machinery assigns deciles; the
+    share divides each decile's exact cents by the grand total on the
+    final block only (same double division the oracle spells)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        g = (
+            pa.table({"c_custkey": t.column("o_custkey"), "c": cents})
+            .group_by(["c_custkey"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["c_custkey", "c"])
+        )
+        u = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "cpart",
+            pa.array((u.astype(np.uint64) % np.uint64(cust_parts)).astype(
+                np.int32
+            )),
+        )
+
+    _empty_s = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
+
+    def finish_cust(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_s
+        g = (
+            t.group_by(["c_custkey"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["c_custkey", "c"])
+        )
+        cn = g.column("c").to_numpy(zero_copy_only=False)
+        band = np.minimum(
+            cn * parts // spend_upper_c, parts - 1
+        ).astype(np.int64)
+        return g.append_column("part", pa.array(band))
+
+    keys = task_exchange(
+        orders_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "cpart",
+        cust_parts,
+        finish_cust,
+    ).materialize()
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("decile", "ascending")])
+        total = pc.sum(t.column("val_c")).as_py() or 0
+        rev = pc.cast(t.column("val_c"), pa.float64())
+        return pa.table(
+            {
+                "decile": pc.cast(t.column("decile"), pa.int64()),
+                "n_customers": pc.cast(t.column("n_rows"), pa.int64()),
+                "revenue": pc.divide(rev, 100.0),
+                "rev_share": pc.divide(
+                    rev, pa.scalar(float(total), pa.float64())
+                ),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "rev_share": pa.array([], pa.float64()),
+        }
+    )
+    return _global_ntile_tree(
+        keys, "c_custkey", k, parts, final_fn, empty_out
     )

@@ -167,6 +167,10 @@ QUERY_NAMES = [
     "hybrid_search",
     "weighted_median_price",
     "conversion_delay",
+    "customer_spend_deciles",
+    "order_linecount_hist",
+    "traffic_anomaly_days",
+    "lang_confusion",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

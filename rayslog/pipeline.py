@@ -4457,3 +4457,84 @@ def q_customer_spend_deciles(sf_dir: str):
     return customer_spend_deciles(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     )
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate: docs, distinct texts, and
+    ``1 - distinct/docs`` — the curation health metric.  Per-batch
+    distinct (source, h1, h2) triples (the 128-bit C text hash, the
+    dedup_exact key contract) ride the combiner tree; raw text never
+    crosses the exchange.  Partitioning assumption: the global
+    distinct-triple set fits the final tree task (distinct_count_by
+    discipline — switch to its shuffle final past ~10^8 distinct)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.text import add_text_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_text_hash(t)
+        return (
+            t.select(["source", "h1", "h2"])
+            .group_by(["source", "h1", "h2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "h1", "h2", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source", "h1", "h2"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "h1", "h2", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": t.column("n"),
+                    "one": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+            .group_by(["source"])
+            .aggregate([("n_docs", "sum"), ("one", "sum")])
+            .rename_columns(["source", "n_docs", "n_distinct"])
+        ).sort_by([("source", "ascending")])
+        nd = pc.cast(g.column("n_docs"), pa.float64())
+        nu = pc.cast(g.column("n_distinct"), pa.float64())
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_docs"), pa.int64()),
+                "n_distinct": pc.cast(g.column("n_distinct"), pa.int64()),
+                "dup_rate": pc.subtract(
+                    pa.scalar(1.0, pa.float64()), pc.divide(nu, nd)
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "dup_rate": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "documents", ["source", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

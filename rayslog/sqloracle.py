@@ -1925,6 +1925,17 @@ FROM w WHERE 2*cw >= tw GROUP BY p_brand
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM (" + q["lang_id"] + ") GROUP BY lang, lang_pred"
     )
+    q["dup_rate_by_source"] = """
+WITH g AS (
+  SELECT source, text, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, text
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  1.0 - CAST(count(*) AS BIGINT) / CAST(CAST(sum(n) AS BIGINT)
+                                        AS DOUBLE) AS dup_rate
+FROM g GROUP BY source
+"""
     q["customer_spend_deciles"] = """
 WITH s AS (
   SELECT o_custkey AS c_custkey,

@@ -171,6 +171,7 @@ QUERY_NAMES = [
     "order_linecount_hist",
     "traffic_anomaly_days",
     "lang_confusion",
+    "dup_rate_by_source",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

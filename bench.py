@@ -446,6 +446,26 @@ def _run_bench() -> dict:
             "conversion_delay",
             lambda: p.q_conversion_delay(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "customer_spend_deciles",
+            lambda: p.q_customer_spend_deciles(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "order_linecount_hist",
+            lambda: p.q_order_linecount_hist(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "traffic_anomaly_days",
+            lambda: p.q_traffic_anomaly_days(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "lang_confusion",
+            lambda: p.q_lang_confusion(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "dup_rate_by_source",
+            lambda: p.q_dup_rate_by_source(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -4538,3 +4538,105 @@ def q_dup_rate_by_source(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_order_gap_median_hist(sf_dir: str):
+    """Aggregate-of-aggregates: each customer's exact MEDIAN gap
+    between consecutive orders (quantile_disc semantics over the
+    (date, orderkey)-ordered timeline), histogrammed in whole days
+    over customers.  One custkey exchange computes gaps AND per-
+    customer medians in two vectorized lexsort passes; the bounded
+    day-bucket counts ride the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+    day_us = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "o_orderkey": t.column("o_orderkey"),
+                "cpart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "gap_days": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, ts, u))
+        us, tt = u[order], ts[order]
+        same = us[1:] == us[:-1]
+        gap = (tt[1:] - tt[:-1])[same]
+        gu = us[1:][same]
+        if not len(gap):
+            return _empty
+        order2 = np.lexsort((gap, gu))
+        g_s, v_s = gu[order2], gap[order2]
+        starts = np.r_[0, np.nonzero(g_s[1:] != g_s[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(g_s)])
+        med = v_s[starts + (lens - 1) // 2]
+        days = med // day_us
+        k, n = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "gap_days": pa.array(k.astype(np.int64)),
+                "n_customers": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cpart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["gap_days"])
+            .aggregate([("n_customers", "sum")])
+            .rename_columns(["gap_days", "n_customers"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gap_days": pc.cast(t.column("gap_days"), pa.int64()),
+                "n_customers": pc.cast(t.column("n_customers"), pa.int64()),
+            }
+        ).sort_by([("gap_days", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

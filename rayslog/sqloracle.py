@@ -1925,6 +1925,22 @@ FROM w WHERE 2*cw >= tw GROUP BY p_brand
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM (" + q["lang_id"] + ") GROUP BY lang, lang_pred"
     )
+    q["order_gap_median_hist"] = """
+WITH w AS (
+  SELECT o_custkey,
+    epoch_us(o_orderdate) - epoch_us(
+      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)) AS gap
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, quantile_disc(gap, 0.5) AS med
+  FROM w WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT CAST(med // 86400000000 AS BIGINT) AS gap_days,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM m GROUP BY 1
+"""
     q["dup_rate_by_source"] = """
 WITH g AS (
   SELECT source, text, CAST(count(*) AS BIGINT) AS n

@@ -172,6 +172,7 @@ QUERY_NAMES = [
     "traffic_anomaly_days",
     "lang_confusion",
     "dup_rate_by_source",
+    "order_gap_median_hist",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

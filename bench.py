@@ -466,6 +466,10 @@ def _run_bench() -> dict:
             "dup_rate_by_source",
             lambda: p.q_dup_rate_by_source(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "order_gap_median_hist",
+            lambda: p.q_order_gap_median_hist(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

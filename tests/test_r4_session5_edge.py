@@ -593,3 +593,135 @@ def test_partition_invariance_of_exchange_ops(ray_session):
         a = norm(fn(1).to_pandas())
         b = norm(fn(7).to_pandas())
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_median_crossing_ties(ray_session):
+    """Weighted median picks the smallest price whose cumulative
+    weight reaches half, including tie pileups at the boundary."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    # brand B: prices 1,1,2 with weights 1,1,10 -> total 12, half 6:
+    # cum at price 1 = 2 (<6), at 2 = 12 -> median 2.
+    # brand C: prices 5,7 weights 3,3 -> cum at 5 = 3, 2*3 >= 6 -> 5.
+    rows = [
+        ("B", 1.0, 1.0), ("B", 1.0, 1.0), ("B", 2.0, 10.0),
+        ("C", 5.0, 3.0), ("C", 7.0, 3.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(range(len(rows)), pa.int64()),
+                    "p_brand": pa.array([r[0] for r in rows]),
+                }
+            ),
+            os.path.join(d, "part.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array(range(len(rows)), pa.int64()),
+                    "l_extendedprice": pa.array(
+                        [r[1] for r in rows], pa.float64()
+                    ),
+                    "l_quantity": pa.array(
+                        [r[2] for r in rows], pa.float64()
+                    ),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        df = (
+            p.q_weighted_median_price(d)
+            .to_pandas()
+            .sort_values("p_brand")
+            .reset_index(drop=True)
+        )
+    assert df["w_median_price"].tolist() == [2.0, 5.0]
+
+
+def test_conversion_delay_excludes_same_instant(ray_session):
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "error"),
+        (1, base, "purchase"),  # same instant -> NOT a conversion
+        (1, base + dt.timedelta(seconds=30), "purchase"),
+        (2, base, "error"),     # no purchase -> no conversion
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows],
+                                   pa.timestamp("us")),
+                    "event_type": pa.array([r[2] for r in rows]),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        df = p.q_conversion_delay(d).to_pandas()
+    assert df["n_conversions"].tolist() == [1]
+    assert df["mean_delay_sec"].tolist() == [30.0]
+
+
+def test_order_gap_median_hist_two_orders(ray_session):
+    """Two orders 10 days apart -> one customer in the 10-day bucket;
+    single-order customers contribute nothing."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    rows = [
+        (1, 1, dt.datetime(1996, 1, 1)),
+        (1, 2, dt.datetime(1996, 1, 11)),
+        (2, 3, dt.datetime(1996, 3, 1)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [r[2] for r in rows], pa.timestamp("us")
+                    ),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        df = p.q_order_gap_median_hist(d).to_pandas()
+    assert df.values.tolist() == [[10, 1]]
+
+
+def test_dup_rate_by_source_with_real_dups(ray_session):
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from rayslog import pipeline as p
+
+    texts = ["aaa", "aaa", "bbb", "ccc", "ccc", "ccc"]
+    src = ["s1", "s1", "s1", "s2", "s2", "s2"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"source": pa.array(src), "text": pa.array(texts)}),
+            os.path.join(d, "documents.parquet"),
+        )
+        df = (
+            p.q_dup_rate_by_source(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+    assert df["n_docs"].tolist() == [3, 3]
+    assert df["n_distinct"].tolist() == [2, 1]
+    assert df["dup_rate"].tolist() == [1.0 - 2 / 3.0, 1.0 - 1 / 3.0]

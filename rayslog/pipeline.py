@@ -4640,3 +4640,97 @@ def q_order_gap_median_hist(sf_dir: str):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def q_session_length_hist(sf_dir: str):
+    """Histogram of session sizes (events per 30-minute-gap session)
+    — gap sessionization composed with count-of-counts.  One
+    user-hash exchange: session breaks, per-session sizes and the
+    bincount all resolve vectorized per part; the bounded histogram
+    rides the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    parts = 64
+    gap_us = np.int64(30 * 60) * np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t.column("event_id"),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "session_len": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, tt = codes[order], ts[order]
+        new_sess = np.r_[
+            True, (u[1:] != u[:-1]) | (tt[1:] - tt[:-1] > gap_us)
+        ]
+        starts = np.nonzero(new_sess)[0]
+        lens = np.diff(np.r_[starts, len(u)])
+        k, n = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "session_len": pa.array(k.astype(np.int64)),
+                "n_sessions": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["session_len"])
+            .aggregate([("n_sessions", "sum")])
+            .rename_columns(["session_len", "n_sessions"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "session_len": pc.cast(t.column("session_len"), pa.int64()),
+                "n_sessions": pc.cast(t.column("n_sessions"), pa.int64()),
+            }
+        ).sort_by([("session_len", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

@@ -1925,6 +1925,33 @@ FROM w WHERE 2*cw >= tw GROUP BY p_brand
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM (" + q["lang_id"] + ") GROUP BY lang, lang_pred"
     )
+    # gap sessionization (30 min) composed with count-of-counts; the
+    # session id is the window cumsum of gap-break flags, ordered by
+    # (ts, event_id) exactly as the engine's per-part lexsort.
+    q["session_length_hist"] = """
+WITH w AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - epoch_us(
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      > 1800000000 OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS brk,
+    ts, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM w
+),
+c AS (
+  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS session_len
+  FROM s GROUP BY user_id, sess
+)
+SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+FROM c GROUP BY session_len
+"""
     q["order_gap_median_hist"] = """
 WITH w AS (
   SELECT o_custkey,

@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "lang_confusion",
     "dup_rate_by_source",
     "order_gap_median_hist",
+    "session_length_hist",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

@@ -470,6 +470,10 @@ def _run_bench() -> dict:
             "order_gap_median_hist",
             lambda: p.q_order_gap_median_hist(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "session_length_hist",
+            lambda: p.q_session_length_hist(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

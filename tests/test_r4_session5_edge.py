@@ -725,3 +725,64 @@ def test_dup_rate_by_source_with_real_dups(ray_session):
     assert df["n_docs"].tolist() == [3, 3]
     assert df["n_distinct"].tolist() == [2, 1]
     assert df["dup_rate"].tolist() == [1.0 - 2 / 3.0, 1.0 - 1 / 3.0]
+
+
+@pytest.mark.parametrize("seed", [2, 9, 41])
+def test_weighted_median_vs_duckdb_random(ray_session, seed):
+    """Multi-seed differential fuzz: the engine's weighted median
+    matches DuckDB's window-cumsum spelling on random joins with
+    heavy price ties."""
+    import duckdb
+    import tempfile, os
+
+    import pyarrow.parquet as pq
+
+    from rayslog import pipeline as p
+
+    rng = np.random.default_rng(seed)
+    n_parts, n_lines = 30, 400
+    brands = [f"B{int(x)}" for x in rng.integers(0, 4, size=n_parts)]
+    lpk = rng.integers(0, n_parts, size=n_lines)
+    price = rng.choice([10.0, 10.0, 20.0, 35.5], size=n_lines)
+    qty = rng.integers(1, 9, size=n_lines).astype(float)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(range(n_parts), pa.int64()),
+                    "p_brand": pa.array(brands),
+                }
+            ),
+            os.path.join(d, "part.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array(lpk, pa.int64()),
+                    "l_extendedprice": pa.array(price, pa.float64()),
+                    "l_quantity": pa.array(qty, pa.float64()),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        df = (
+            p.q_weighted_median_price(d)
+            .to_pandas()
+            .sort_values("p_brand")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{d}/{t}.parquet')"
+            )
+        from rayslog.sqloracle import training_oracle_queries
+
+        ref = (
+            con.sql(training_oracle_queries()["weighted_median_price"])
+            .df()
+            .sort_values("p_brand")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(df, ref)

@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": p.q_dup_rate_by_source,  # new r4 (curation health)
         "order_gap_median_hist": p.q_order_gap_median_hist,  # new r4
         "session_length_hist": p.q_session_length_hist,  # new r4
+        "session_duration_hist": p.q_session_duration_hist,  # new r4
+        "turn_dup_stats": p.q_turn_dup_stats,  # new r4 (north-table dedup)
         "events_filtered": p.q_events_filtered,  # r2-green, demoted for r4-new
         "asof_attribution": p.q_asof_attribution,  # r2-green, demoted for r4-new
         "asof_attribution_partitioned": p.q_asof_attribution_partitioned,  # r2-green

@@ -4734,3 +4734,161 @@ def q_session_length_hist(sf_dir: str):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def q_session_duration_hist(sf_dir: str):
+    """Histogram of session durations in whole minutes (30-minute-gap
+    sessions; duration = last event - first event, single-event
+    sessions land in bucket 0)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    parts = 64
+    gap_us = np.int64(30 * 60) * np.int64(1_000_000)
+    min_us = np.int64(60) * np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "event_id": t.column("event_id"),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "duration_min": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        u, tt = codes[order], ts[order]
+        new_sess = np.r_[
+            True, (u[1:] != u[:-1]) | (tt[1:] - tt[:-1] > gap_us)
+        ]
+        starts = np.nonzero(new_sess)[0]
+        lens = np.diff(np.r_[starts, len(u)])
+        dur = tt[starts + lens - 1] - tt[starts]
+        k, n = np.unique(dur // min_us, return_counts=True)
+        return pa.table(
+            {
+                "duration_min": pa.array(k.astype(np.int64)),
+                "n_sessions": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "upart",
+        parts,
+        per_part,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["duration_min"])
+            .aggregate([("n_sessions", "sum")])
+            .rename_columns(["duration_min", "n_sessions"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "duration_min": pc.cast(t.column("duration_min"),
+                                        pa.int64()),
+                "n_sessions": pc.cast(t.column("n_sessions"), pa.int64()),
+            }
+        ).sort_by([("duration_min", "ascending")])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_turn_dup_stats(sf_dir: str):
+    """Corpus-wide exact-duplicate stats over the TRANSCRIPTS table's
+    turn texts (the dedup family applied to the north-rule input):
+    turns, distinct texts, dup rate.  Per-batch distinct 128-bit hash
+    triples through the combiner tree — raw text never moves."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.text import add_text_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_text_hash(t)
+        return (
+            t.select(["h1", "h2"])
+            .group_by(["h1", "h2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["h1", "h2", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["h1", "h2"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["h1", "h2", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        n_turns = int(pc.sum(t.column("n")).as_py() or 0)
+        n_distinct = t.num_rows
+        rate = (
+            1.0 - float(n_distinct) / float(n_turns) if n_turns else None
+        )
+        return pa.table(
+            {
+                "n_turns": pa.array([n_turns], pa.int64()),
+                "n_distinct": pa.array([n_distinct], pa.int64()),
+                "dup_rate": pa.array([rate], pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_turns": pa.array([0], pa.int64()),
+                    "n_distinct": pa.array([0], pa.int64()),
+                    "dup_rate": pa.array([None], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        read_transcripts(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -1928,6 +1928,31 @@ FROM w WHERE 2*cw >= tw GROUP BY p_brand
     # gap sessionization (30 min) composed with count-of-counts; the
     # session id is the window cumsum of gap-break flags, ordered by
     # (ts, event_id) exactly as the engine's per-part lexsort.
+    q["session_duration_hist"] = """
+WITH w AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - epoch_us(
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      > 1800000000 OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS brk,
+    ts, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM w
+),
+c AS (
+  SELECT CAST((max(tus) - min(tus)) // 60000000 AS BIGINT)
+    AS duration_min
+  FROM s GROUP BY user_id, sess
+)
+SELECT duration_min, CAST(count(*) AS BIGINT) AS n_sessions
+FROM c GROUP BY duration_min
+"""
     q["session_length_hist"] = """
 WITH w AS (
   SELECT user_id,
@@ -2205,6 +2230,17 @@ def oracle_queries(sf_dir: str) -> dict[str, str]:
         # order (transcripts text is never null by the generator
         # contract, so string_agg's null-skip never diverges from
         # binary_join)
+        "turn_dup_stats": f"""
+WITH g AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{path}/*.parquet') GROUP BY text
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_turns,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  1.0 - CAST(count(*) AS BIGINT)
+    / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS dup_rate
+FROM g
+""",
         "conv_assemble": f"""
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   string_agg(text, chr(10) ORDER BY turn_idx) AS doc

@@ -174,6 +174,8 @@ QUERY_NAMES = [
     "dup_rate_by_source",
     "order_gap_median_hist",
     "session_length_hist",
+    "session_duration_hist",
+    "turn_dup_stats",
 ]
 
 ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",

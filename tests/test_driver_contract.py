@@ -48,7 +48,7 @@ def test_queries_and_oracles_line_up(ray_session):
         "media_features", "media_decode", "approx_distinct",
         "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 152 and len(o) == 143
+    assert len(q) == 154 and len(o) == 145
     # the driver oracle-checks only the FIRST 50 entries: every window
     # slot must be oracle-backed (rows-only entries go to the tail)
     assert all(name in o for name in list(q)[:50])

@@ -474,6 +474,14 @@ def _run_bench() -> dict:
             "session_length_hist",
             lambda: p.q_session_length_hist(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "session_duration_hist",
+            lambda: p.q_session_duration_hist(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "turn_dup_stats",
+            lambda: p.q_turn_dup_stats(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -3,10 +3,15 @@
 
 Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1) under ``ray.init(address="local",
-num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints the headline JSON as the
+FINAL stdout line (compact, driver-parseable)::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+The informational extras map (100+ operator timings) is printed on its
+OWN line before the headline so the driver's tail capture never
+truncates the headline fields (the BENCH_r04 ``parsed: null`` lesson).
 
 ``--scaling``: runs the headline pipeline in two fresh processes at
 num_cpus=8 and num_cpus=32 on the same input and prints both
@@ -579,6 +584,15 @@ if __name__ == "__main__":
         _run_scaling()
     else:
         result = _run_bench()
+        # The driver captures only the TAIL of stdout and json-parses the
+        # last line.  The extras map is 100+ entries (~3 KB) — with it
+        # inline, the headline fields at the front of the line fall
+        # outside the tail capture and the round's bench signal is lost
+        # (BENCH_r04 "parsed": null).  So: extras on their own line
+        # FIRST, compact headline-only JSON as the FINAL line.
+        extras = result.pop("extras", None)
+        if extras:
+            print(json.dumps({"extras": extras}))
         print(json.dumps(result))
         import ray
 

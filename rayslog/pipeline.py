@@ -29,13 +29,19 @@ PARSE_5424_COLS = [
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
-    """Read the transcripts cache with one block per part file.
+    """Read the transcripts cache with row-targeted block sizing.
 
-    Ray's default targets ~200 read output blocks, inserting a
-    SplitBlocks that fragments each file into ~9k-row blocks; one block
-    per file (150k rows ≈ 15 MB) measured 1.5x faster end-to-end
-    (5.0M vs 3.3M rows/s at 32 CPUs on 9.6M rows).
-    """
+    Ray's default targets ~200 read output blocks regardless of table
+    size, inserting a SplitBlocks that fragments small tables into
+    ~9k-row blocks; one block per file (150k rows ≈ 15 MB) measured
+    1.5x faster end-to-end at sf0.1 (5.0M vs 3.3M rows/s at 32 CPUs on
+    9.6M rows).  Do NOT pass override_num_blocks above n_files to
+    smooth stragglers: it splits ReadParquet into its own operator and
+    the raw text column then crosses the object store between read and
+    parse (measured r5: 8.3s -> 10.4s at sf12.8/16cpu).  Task
+    granularity is controlled at the SOURCE instead — the generator
+    caps part files at ~400k rows (testgen PART_ROWS_MAX) so big
+    tables get more, smaller files and read->parse stays fused 1:1."""
     import glob
 
     import ray.data as rd
@@ -648,8 +654,15 @@ def q_doc_freq(sf_dir: str):
 def q_approx_quantiles_by_lang(sf_dir: str):
     """Approximate per-language token-count quantiles via one KLL
     sketch per group (sketch.grouped_approx_quantiles) — the
-    mergeable-sketch companion to the exact grouped inverse-CDF;
-    rows-only (accuracy pinned by the grouped rank-error pytest)."""
+    mergeable-sketch companion to the exact grouped inverse-CDF.
+
+    Oracle-checked since r5 (approx_top_ngrams trick): k=4096 exceeds
+    every per-group count at driver scale (sf0.01 documents = 500
+    rows), so the sketches never compact and the per-group quantile
+    rule is exactly "the rank-ceil(q*n_g) element" — spelled in SQL
+    (sqloracle ``approx_quantiles_by_lang``).  Past that corpus size
+    compaction engages; accuracy is pinned by the grouped rank-error
+    pytest."""
     from rayslog.stages.sketch import grouped_approx_quantiles
 
     ds = _read(sf_dir, "documents", ["text", "lang"])
@@ -667,7 +680,7 @@ def q_approx_quantiles_by_lang(sf_dir: str):
 
     feats = ds.map_batches(n_tok, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_approx_quantiles(
-        feats, "lang", "n_tokens", quantiles=(0.5, 0.95)
+        feats, "lang", "n_tokens", quantiles=(0.5, 0.95), k=4_096
     )
 
 
@@ -1401,7 +1414,10 @@ def q_embed_dedup_cc(sf_dir: str):
 
 def q_cosine_dups_lsh(sf_dir: str):
     """Random-hyperplane-LSH cosine near-dups (the bucketed scale path
-    of cosine_dups); rows-only (approximate by construction)."""
+    of cosine_dups).  Oracle-checked since r5: the seeded hyperplanes
+    are deterministic, so sqloracle._cosine_dups_lsh_sql exports them
+    as DOUBLE[] literals and spells the identical bucket/pair/verify
+    semantics (the cosine_dups_ivf frozen-literal contract)."""
     from rayslog.stages.ann import cosine_lsh_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1880,13 +1896,20 @@ def q_price_bands(sf_dir: str):
 def q_approx_quantiles(sf_dir: str):
     """Approximate p50/p95/p99 of events.value via the mergeable
     KLL-style sketch (stages/sketch.py) — the unbounded-float scale
-    path beside the exact cents histogram; rows-only (accuracy pinned
-    by the rank-error pytest)."""
+    path beside the exact cents histogram.
+
+    Oracle-checked since r5 via the approx_top_ngrams trick: k=16384
+    exceeds the driver corpus (sf0.01 events = 10k rows), so NO
+    compaction fires and the sketch's quantile rule is exactly "the
+    rank-ceil(q*n) element" — spelled verbatim in SQL
+    (sqloracle ``approx_quantiles``).  At bench scale (sf0.1 = 100k
+    rows) compaction engages and the result is approximate again;
+    accuracy there is pinned by the rank-error pytest."""
     from rayslog.stages.sketch import approx_quantiles
 
     return approx_quantiles(
         _read(sf_dir, "events", ["value"]), "value",
-        quantiles=(0.5, 0.95, 0.99),
+        quantiles=(0.5, 0.95, 0.99), k=16_384,
     )
 
 
@@ -3372,7 +3395,11 @@ def q_monthly_growth(sf_dir: str):
         c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
         ratio = np.full(len(c), np.nan)
         if len(c) > 1:
-            ratio[1:] = c[1:] / c[:-1]
+            # zero-revenue month: DuckDB's x/0 is NULL, not inf/NaN-warn
+            prev = c[:-1]
+            ratio[1:] = np.where(
+                prev == 0, np.nan, c[1:] / np.where(prev == 0, 1.0, prev)
+            )
         import pandas as pd
 
         return pa.table(
@@ -3904,13 +3931,16 @@ def q_keyword_hits(sf_dir: str):
         ).sort_by([("keyword", "ascending")])
 
     def empty_fn():
+        # empty corpus: match the oracle's LEFT JOIN — one row per
+        # keyword with n_docs=0 (Ray skips map fns on empty blocks, so
+        # `partial` never emits the keyword spine itself)
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table(
                 {
-                    "keyword": pa.array([], pa.string()),
-                    "n_docs": pa.array([], pa.int64()),
+                    "keyword": pa.array(sorted(keywords), pa.string()),
+                    "n_docs": pa.array([0] * len(keywords), pa.int64()),
                 }
             )
         )
@@ -4891,4 +4921,391 @@ def q_turn_dup_stats(sf_dir: str):
         reduce_fn,
         empty_fn=empty_fn,
         final_fn=final_fn,
+    )
+
+
+def q_severity_runs(sf_dir: str):
+    """Gaps-and-islands over the north-rule table: per conversation,
+    the number of maximal constant-severity runs across its cleanly
+    parsed turns (turn order) and the longest run's length.  One
+    conv-hash exchange co-locates each conversation; run boundaries,
+    per-conv run counts and max run length all resolve vectorized
+    (lexsort + boundary masks + ``np.maximum.reduceat``).  The SQL
+    oracle is the classic two-row_number islands construction."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import parsed_only, task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("parse_error")))
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "severity": t.column("severity"),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_runs": pa.array([], pa.int64()),
+            "max_run": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        sev = t.column("severity").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c, s = codes[order], sev[order]
+        new_conv = np.r_[True, c[1:] != c[:-1]]
+        new_run = new_conv | np.r_[True, s[1:] != s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_conv = c[new_run]  # conv code of each run, conv-sorted
+        conv_starts = np.r_[
+            0, np.nonzero(run_conv[1:] != run_conv[:-1])[0] + 1
+        ]
+        n_runs = np.diff(np.r_[conv_starts, len(run_conv)])
+        max_run = np.maximum.reduceat(run_len, conv_starts)
+        first_rows = order[new_run][conv_starts]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(first_rows)),
+                "n_runs": pa.array(n_runs.astype(np.int64)),
+                "max_run": pa.array(max_run.astype(np.int64)),
+            }
+        )
+
+    return task_exchange(
+        parse_dataset(read_transcripts(sf_dir,
+                                       ["conv_id", "turn_idx", "text"])),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_conv_first_error(sf_dir: str):
+    """Per conversation with at least one parsed error-or-worse turn
+    (severity <= 3): the first such turn_idx and how many cleanly
+    parsed turns preceded it — time-to-first-failure over the
+    north-rule table.  Two grouped partials (conditional min +
+    conditional count vs a co-located threshold) in ONE conv-hash
+    exchange."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("parse_error")))
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "severity": t.column("severity"),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "first_error_turn": pa.array([], pa.int64()),
+            "n_turns_before": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sev = t.column("severity").to_numpy(zero_copy_only=False)
+        err = sev <= 3
+        n_conv = int(codes.max()) + 1
+        first_err = np.full(n_conv, np.iinfo(np.int64).max)
+        if err.any():
+            np.minimum.at(first_err, codes[err], ti[err])
+        has = first_err != np.iinfo(np.int64).max
+        # parsed turns strictly before the first error turn
+        before = np.bincount(
+            codes[ti < first_err[codes]], minlength=n_conv
+        ).astype(np.int64)
+        keep = np.nonzero(has)[0]
+        if not len(keep):
+            return _empty
+        # one representative row index per kept conv for the id value
+        order = np.argsort(codes, kind="stable")
+        first_rows = order[
+            np.searchsorted(codes[order], keep)
+        ]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(first_rows)),
+                "first_error_turn": pa.array(first_err[keep]),
+                "n_turns_before": pa.array(before[keep]),
+            }
+        )
+
+    return task_exchange(
+        parse_dataset(read_transcripts(sf_dir,
+                                       ["conv_id", "turn_idx", "text"])),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_tag_top_hosts(sf_dir: str):
+    """Top-3 hosts per RFC3164 tag by parsed-turn count — the grouped
+    window rank applied to the north-rule table (tag/hostname are
+    parser outputs).  Pair counts ride the combiner tree, then the
+    re-applicable top-k tree ranks per tag; no sort-shuffle."""
+    from rayslog.stages.aggregate import counts_by, grouped_top_k
+
+    ds = parsed_dataset(sf_dir)
+
+    def ok3_tags(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(t.column("rfc"), 1),
+                pc.is_null(t.column("parse_error")),
+            ),
+            pc.is_valid(t.column("tag")),
+        )
+        return t.filter(keep).select(["tag", "hostname"])
+
+    pairs = ds.map_batches(
+        ok3_tags, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = counts_by(pairs, ["tag", "hostname"], alias="n", final="tree")
+    return grouped_top_k(counts, "tag", "n", "hostname", k=3)
+
+
+def q_daily_new_users(sf_dir: str):
+    """User acquisition curve: first-seen day per user -> new users per
+    day -> running cumulative total.  Grouped min rides the combiner
+    tree (one row per user per block after the per-batch partial); the
+    day bincount + cumsum run on the final reduced block only (bounded
+    by the date range)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    day_us = np.int64(86_400) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tbl = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "first_us": ts.cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+        return (
+            tbl.group_by(["user_id"])
+            .aggregate([("first_us", "min")])
+            .rename_columns(["user_id", "first_us"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["user_id"])
+            .aggregate([("first_us", "min")])
+            .rename_columns(["user_id", "first_us"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        f = t.column("first_us").to_numpy(zero_copy_only=False)
+        d = f - f % day_us
+        days, n_new = np.unique(d, return_counts=True)
+        n_new = n_new.astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+                "n_new": pa.array(n_new),
+                "cum_users": pa.array(np.cumsum(n_new).astype(np.int64)),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_new": pa.array([], pa.int64()),
+                    "cum_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21-shaped multi-EXISTS: suppliers who were the ONLY late
+    supplier (ship > orderdate + 90 days) on a finished multi-supplier
+    order, with the count of such orders.  The lineitem x orders inner
+    hash-exchange co-locates each order's lines in one bucket, so the
+    per-order distinct-supplier / sole-late analysis is vectorized per
+    joined block; per-supplier counts then ride the combiner tree and
+    the 100-row supplier dim attaches via broadcast lookup."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import tree_aggregate
+    from rayslog.stages.relational import hash_join
+
+    late_us = np.int64(90) * np.int64(86_400) * np.int64(1_000_000)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "o_us": pc.cast(
+                    pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(li, ords, key="l_orderkey")
+
+    _empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                       "numwait": pa.array([], pa.int64())})
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ship = (
+            t.column("l_shipdate")
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            if isinstance(t.column("l_shipdate"), pa.ChunkedArray)
+            else t.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        odate = t.column("o_us").to_numpy(zero_copy_only=False)
+        late = ship > odate + late_us
+        # distinct (order, supplier) pairs with any-late flag
+        order = np.lexsort((sk, ok))
+        ok_s, sk_s, late_s = ok[order], sk[order], late[order]
+        new_pair = np.r_[True, (ok_s[1:] != ok_s[:-1])
+                         | (sk_s[1:] != sk_s[:-1])]
+        pair_id = np.cumsum(new_pair) - 1
+        pair_late = np.zeros(pair_id[-1] + 1, dtype=bool)
+        np.maximum.at(pair_late, pair_id, late_s)
+        p_ok = ok_s[new_pair]
+        p_sk = sk_s[new_pair]
+        new_ord = np.r_[True, p_ok[1:] != p_ok[:-1]]
+        ord_id = np.cumsum(new_ord) - 1
+        n_supp = np.bincount(ord_id)
+        n_late = np.bincount(ord_id, weights=pair_late).astype(np.int64)
+        sole = (n_supp >= 2) & (n_late == 1)
+        win = sole[ord_id] & pair_late
+        if not win.any():
+            return _empty
+        return pa.table(
+            {
+                "s_suppkey": pa.array(p_sk[win].astype(np.int64)),
+                "numwait": pa.array(
+                    np.ones(int(win.sum()), dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = joined.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    counts = tree_aggregate(
+        partials, ["s_suppkey"], [("numwait", "sum")], ["numwait"],
+    )
+
+    supp_path = f"{sf_dir}/supplier.parquet"
+
+    def attach(t: pa.Table) -> pa.Table:
+        # k-key filtered read (top_customers pattern): only the result
+        # rows' suppliers leave the dim file, never the whole dim
+        keys_l = t.column("s_suppkey").to_pylist()
+        if keys_l:
+            sub = pq.read_table(
+                supp_path,
+                columns=["s_suppkey", "s_name"],
+                filters=[("s_suppkey", "in", keys_l)],
+            )
+            sk = pc.cast(sub.column("s_suppkey"), pa.int64())
+            nm = sub.column("s_name").combine_chunks()
+            if isinstance(nm, pa.ChunkedArray):
+                nm = nm.combine_chunks()
+        else:
+            sk = pa.array([], pa.int64())
+            nm = pa.array([], pa.string())
+        idx = pc.index_in(
+            pc.cast(t.column("s_suppkey"), pa.int64()), value_set=sk
+        )
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                "s_name": pc.take(nm, idx),
+                "numwait": pc.cast(t.column("numwait"), pa.int64()),
+            }
+        )
+
+    return counts.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
     )

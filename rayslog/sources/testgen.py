@@ -103,6 +103,8 @@ def rows_for(sf_dir: str) -> int:
 #: already up — the library never calls ray.init itself)
 PARALLEL_MIN_ROWS = 4_000_000
 _CHUNK_ROWS = 1_200_000
+#: max rows per written part file (read task granularity; see phase2)
+PART_ROWS_MAX = 400_000
 
 
 def transcripts_path(sf_dir: str) -> str:
@@ -237,9 +239,20 @@ def _parallel_generate_to(tmp, n_rows: int, seed: int = SEED) -> None:
         conv = rng.choice(n_convs, size=n, p=ray.get(w_ref))
         turn_idx = _dense_turns(conv) + off_vec[conv]
         tbl = _assemble(rng, conv, turn_idx, n_convs, row_start=row_start)
-        pq.write_table(
-            tbl, f"{tmp}/part-{i:05d}.parquet", row_group_size=32_768
-        )
+        # write each chunk as ~PART_ROWS_MAX-row part files: table
+        # CONTENT is untouched (same rows, same order — rng streams
+        # stay per-chunk), but read->parse tasks get ~0.6s granularity
+        # instead of ~2s, shrinking the straggler tail on scaling legs
+        # (64 x 1.2M-row tasks over 16 slots measured ~0.7s of tail)
+        n_sub = max(1, -(-len(tbl) // PART_ROWS_MAX))
+        per = -(-len(tbl) // n_sub)
+        for j in range(n_sub):
+            part = tbl.slice(j * per, per)
+            if len(part):
+                pq.write_table(
+                    part, f"{tmp}/part-{i:05d}-{j}.parquet",
+                    row_group_size=32_768,
+                )
         return n
 
     done = ray.get(

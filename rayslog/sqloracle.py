@@ -528,6 +528,71 @@ WHERE round(list_cosine_similarity(a1.v, a2.v), 6) >= {thr}
 """
 
 
+def _cosine_dups_lsh_sql(sf_dir: str, threshold: float = 0.4,
+                         n_bits: int = 12, n_tables: int = 6,
+                         seed: int = 42, max_bucket: int = 4_096) -> str:
+    """cosine_dups_lsh oracle (r5 promotion off the rows-only tail):
+    the random hyperplanes are DETERMINISTIC given (seed, dim, n_bits,
+    n_tables) — ``np.random.default_rng(42).normal`` exactly as
+    ``ann.cosine_lsh_pairs`` draws them — so they export as literal
+    DOUBLE[] VALUES and the full candidate semantics are spelled in
+    SQL: per-table sign-bit bucket, same-(table, bucket) pairs with
+    bucket size in [2, max_bucket], cross-table dedup, exact round-6
+    cosine >= threshold.  Sign parity holds because sign(v . p) is
+    scale-invariant (the Ray side projects NORMALIZED rows, the SQL
+    the raw vectors — identical in exact arithmetic, and random
+    projections never land within float noise of 0).  The max_bucket
+    arm is vacuous at driver scale (bucket <= corpus = 500 rows <<
+    4096) but kept for semantic fidelity.  No ray session needed —
+    only the embedding dim, read off the parquet file."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]
+    )
+    dim = len(tbl.column("embedding")[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, dim, n_bits))
+    vals = ",\n  ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (t, b, ",".join(repr(float(x)) for x in planes[t, :, b]))
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(tid, bit, p) AS (VALUES
+  {vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, pl.tid,
+    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+             THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tid
+),
+ok AS (
+  SELECT tid, bucket FROM sig GROUP BY tid, bucket
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a
+  JOIN sig b ON a.tid = b.tid AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id
+  JOIN ok ON ok.tid = a.tid AND ok.bucket = a.bucket
+)
+SELECT c.vec_a, c.vec_b,
+  round(list_cosine_similarity(ea.v, eb.v), 6) AS score
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+      >= CAST({threshold} AS DOUBLE)
+"""
+
+
 def _ann_ivf_sql(sf_dir: str, k: int = 10, nprobe: int = 4,
                  n_queries: int = 8, store: str = "plain") -> str:
     """ann_ivf / ann_ivf_incr oracle (embed_kmeans-style round-6
@@ -806,6 +871,48 @@ SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
         # per-language token-count quantiles: same inverse-CDF rule as
         # value_quantiles (smallest v with cum >= ceil(q*n)), windowed
         # per group
+        # approx_quantiles is LOSSLESS at this corpus size (pipeline
+        # k=16384 > 10k event rows -> the KLL sketch never compacts;
+        # the approx_top_ngrams trick), so its exact rule — the
+        # rank-ceil(q*n) element of the sorted values, numpy float64
+        # ceil — is spelled verbatim.  The DOUBLE casts mirror numpy's
+        # float arithmetic (DuckDB would otherwise use exact DECIMAL
+        # and disagree on ceil at integer boundaries).
+        "approx_quantiles": r"""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS c FROM v),
+s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v)
+SELECT qs.q, s.value
+FROM (VALUES ('p50', CAST(0.50 AS DOUBLE)),
+             ('p95', CAST(0.95 AS DOUBLE)),
+             ('p99', CAST(0.99 AS DOUBLE))) qs(q, qf)
+JOIN n ON TRUE
+JOIN s ON s.rn = greatest(
+    1, CAST(ceil(qs.qf * CAST(n.c AS DOUBLE)) AS BIGINT))
+""",
+        # same lossless-here contract per GROUP (pipeline k=4096 >
+        # every per-lang count at sf0.01); value is the float64 token
+        # count the Ray side sketches
+        "approx_quantiles_by_lang": r"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS v
+  FROM documents
+),
+n AS (SELECT lang, count(*) AS c FROM t GROUP BY lang),
+s AS (
+  SELECT lang, v,
+    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+  FROM t
+)
+SELECT s.lang, qs.q, s.v AS value
+FROM (VALUES ('p50', CAST(0.50 AS DOUBLE)),
+             ('p95', CAST(0.95 AS DOUBLE))) qs(q, qf)
+JOIN n ON TRUE
+JOIN s ON s.lang = n.lang
+      AND s.rn = greatest(
+          1, CAST(ceil(qs.qf * CAST(n.c AS DOUBLE)) AS BIGINT))
+""",
         "token_quantiles_by_lang": r"""
 WITH t AS (
   SELECT lang,
@@ -2203,10 +2310,48 @@ SELECT r.s_suppkey, s.s_name,
 FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
 WHERE r.c2 = (SELECT max(c2) FROM r)
 """
+    # user acquisition curve: first-seen day -> new users -> running
+    # cumulative (r5)
+    q["daily_new_users"] = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+           GROUP BY user_id),
+d AS (
+  SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM f GROUP BY 1
+)
+SELECT day, n_new,
+  CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+    # Q21-shaped sole-late-supplier (r5): late = ship > orderdate+90d,
+    # finished multi-supplier orders with exactly one late supplier
+    q["sole_late_supplier"] = """
+WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderstatus = 'F'),
+j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    CAST(l.l_shipdate > f.o_orderdate + INTERVAL 90 DAY AS INT) AS late
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+),
+p AS (SELECT l_orderkey, l_suppkey, max(late) AS late
+      FROM j GROUP BY l_orderkey, l_suppkey),
+o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM p GROUP BY l_orderkey),
+w AS (
+  SELECT p.l_suppkey
+  FROM p JOIN o USING (l_orderkey)
+  WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")
         q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)
+        q["cosine_dups_lsh"] = _cosine_dups_lsh_sql(sf_dir)
     return q
 
 
@@ -2245,6 +2390,48 @@ FROM g
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   string_agg(text, chr(10) ORDER BY turn_idx) AS doc
 FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
+""",
+        # gaps-and-islands: two-row_number islands over the parsed
+        # stream, per conversation (r5)
+        "severity_runs": base + """
+, isl AS (
+  SELECT conv_id, severity,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+    - row_number() OVER (PARTITION BY conv_id, severity
+                         ORDER BY turn_idx) AS grp
+  FROM allok
+),
+runs AS (
+  SELECT conv_id, count(*) AS run_len
+  FROM isl GROUP BY conv_id, severity, grp
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY conv_id
+""",
+        # time-to-first-failure per conversation (r5)
+        "conv_first_error": base + """
+, fe AS (
+  SELECT conv_id, CAST(min(turn_idx) AS BIGINT) AS first_error_turn
+  FROM allok WHERE severity <= 3 GROUP BY conv_id
+)
+SELECT a.conv_id, fe.first_error_turn,
+  CAST(count(*) FILTER (WHERE a.turn_idx < fe.first_error_turn)
+       AS BIGINT) AS n_turns_before
+FROM allok a JOIN fe ON fe.conv_id = a.conv_id
+GROUP BY a.conv_id, fe.first_error_turn
+""",
+        # grouped window rank over parser outputs (r5)
+        "tag_top_hosts": base + """
+, c AS (
+  SELECT tag, hostname, CAST(count(*) AS BIGINT) AS n
+  FROM ok3 WHERE tag IS NOT NULL GROUP BY tag, hostname
+)
+SELECT tag, hostname, n, rank FROM (
+  SELECT tag, hostname, n,
+    CAST(row_number() OVER
+      (PARTITION BY tag ORDER BY n DESC, hostname) AS BIGINT) AS rank
+  FROM c) WHERE rank <= 3
 """,
         "assistant_spans": f"""
 WITH o AS (

@@ -44,8 +44,10 @@ def counts_by(
       machinery at all.  The right plan when distinct keys << rows
       (conv counts: one key per ~1.2k turns) but the key domain is
       still too big for a driver pull; the combine stays on workers.
-      Partitioning assumption: the DISTINCT-KEY result fits one task
-      (documented in _tree_combine) — beyond that, use "shuffle".
+      Cardinality-safe since r5: the tree auto-splits by hash(key)
+      range when the first combine round proves the reduced output
+      exceeds ``split_threshold`` rows (see _tree_reduce_auto_split),
+      so no task ever concatenates the full key domain.
     - ``"driver"``: stream the partials (O(groups x blocks) rows, NOT
       raw rows) to the driver and reduce with one Arrow group_by —
       for known-small key domains (severity/rfc/hour/error-class) the
@@ -113,6 +115,9 @@ def _tree_combine(partial, ds, keys: list[str], alias: str,
         [alias],
         empty_fn=lambda: _empty_counts(ds, keys, alias),
         fanin=fanin,
+        # counts over unbounded key domains (conv_id, custkey, ...) stay
+        # tree-fast but auto-split by hash(key) range past the threshold
+        split_keys=keys,
     )
 
 
@@ -122,6 +127,8 @@ def tree_reduce(
     empty_fn=None,
     fanin: int = 16,
     final_fn=None,
+    split_keys: list[str] | None = None,
+    split_threshold: int = 2_000_000,
 ):
     """Fan-in tree over a dataset's BLOCKS with raw Ray tasks, for ANY
     re-applicable table reduce — ``reduce_fn(a ∪ b) ==
@@ -150,6 +157,18 @@ def tree_reduce(
     groupby, or split the tree by hash(key) range first).  This is a
     raw-task escape hatch in the sense of SURVEY §2.9(c): the Dataset
     API's groupby can express the semantics but not the cost shape.
+
+    ``split_keys`` arms the AUTO-SPLIT escape for unbounded key domains
+    (the mitigation the paragraph above names): the first combine round
+    reports its output row counts (cheap int ray.gets), and when their
+    sum — an upper bound on the final reduced size — exceeds
+    ``split_threshold`` the remaining rounds run as ``S`` independent
+    hash-range sub-trees over ``hash(split_keys) % S``, so no single
+    task ever concatenates the full key domain.  reduce_fn must be
+    key-partitionable (true for any grouped aggregate — every row of a
+    hash range reduces only with rows of the same range) and final_fn
+    per-key (renames/casts — NOT cross-key ranks).  Below the
+    threshold the plan is byte-identical to the plain tree.
     """
     import ray.data as rd
 
@@ -162,8 +181,104 @@ def tree_reduce(
         if empty_fn is not None:
             return empty_fn()
         raise ValueError("tree_reduce: empty input and no empty_fn")
+    if split_keys is not None:
+        return _tree_reduce_auto_split(
+            refs, reduce_fn, split_keys, fanin=fanin, final_fn=final_fn,
+            split_threshold=split_threshold,
+        )
     out = tree_reduce_refs(refs, reduce_fn, fanin=fanin, final_fn=final_fn)
     return rd.from_arrow(out)
+
+
+def _tree_reduce_auto_split(
+    refs,
+    reduce_fn,
+    key_cols: list[str],
+    fanin: int = 16,
+    final_fn=None,
+    split_threshold: int = 2_000_000,
+):
+    """Cardinality-adaptive combiner tree (see :func:`tree_reduce`).
+
+    Round 1 combines ``fanin`` raw blocks per task and returns
+    ``(reduced_table, n_rows)``; the driver sums the row counts (ints
+    only — the tables stay in plasma).  sum <= threshold proves the
+    full reduced output fits one task, so the plain tree finishes.
+    Past it, each round-1 block splits by ``hash(key_cols) % S`` and S
+    sub-trees reduce independently (disjoint key ranges — no final
+    cross-combine), yielding an S-block Dataset whose largest block is
+    ~distinct/S rows.  S is sized from the upper bound, so a false
+    positive (duplicated keys across blocks inflating the sum) only
+    costs extra small sub-trees, never correctness.
+    """
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_returns=2)
+    def combine_counted(*blocks):
+        ts = [
+            t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in blocks
+        ]
+        ts = [t for t in ts if t.num_rows] or [ts[0]]
+        merged = ts[0] if len(ts) == 1 else pa.concat_tables(
+            ts, promote_options="default"
+        )
+        out = reduce_fn(merged)
+        return out, out.num_rows
+
+    pairs = [
+        combine_counted.remote(*refs[i : i + fanin])
+        for i in range(0, len(refs), fanin)
+    ]
+    r1_refs = [p[0] for p in pairs]
+    counts = ray.get([p[1] for p in pairs])
+    total = int(sum(counts))
+    if total <= split_threshold:
+        out = tree_reduce_refs(r1_refs, reduce_fn, fanin=fanin,
+                               final_fn=final_fn)
+        return rd.from_arrow(out)
+
+    n_splits = min(256, -(-total // split_threshold))
+
+    @ray.remote(num_returns=n_splits)
+    def split(t: pa.Table):
+        from rayslog.kernels.texthash import col_hash64, combine_hash64
+
+        h = col_hash64(t.column(key_cols[0]))
+        for k in key_cols[1:]:
+            h = combine_hash64(h, col_hash64(t.column(k)))
+        part = (h % np.uint64(n_splits)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(n_splits + 1))
+        return tuple(
+            sorted_t.slice(bounds[s], bounds[s + 1] - bounds[s])
+            for s in range(n_splits)
+        )
+
+    @ray.remote
+    def combine_final(*blocks):
+        ts = [t for t in blocks if t.num_rows] or [blocks[0]]
+        merged = ts[0] if len(ts) == 1 else pa.concat_tables(
+            ts, promote_options="default"
+        )
+        out = reduce_fn(merged)
+        return out if final_fn is None else final_fn(out)
+
+    split_cols = [split.remote(r) for r in r1_refs]  # [block][s]
+    sub_finals = []
+    for s in range(n_splits):
+        sub = [row[s] for row in split_cols]
+        # reduce each sub-tree to ONE ref without pulling it down
+        while len(sub) > fanin:
+            sub = [
+                combine_counted.remote(*sub[i : i + fanin])[0]
+                for i in range(0, len(sub), fanin)
+            ]
+        sub_finals.append(combine_final.remote(*sub))
+    return rd.from_arrow_refs(sub_finals)
 
 
 def live_block_refs(mat):
@@ -363,6 +478,8 @@ def tree_aggregate(
     out_names: list[str],
     empty_fn=None,
     fanin: int = 16,
+    split_keys: list[str] | None = None,
+    split_threshold: int = 2_000_000,
 ):
     """Grouped Arrow aggregate (sum/min/max) over ``tree_reduce``.
 
@@ -403,6 +520,8 @@ def tree_aggregate(
         empty_fn=empty_fn or fallback_empty,
         fanin=fanin,
         final_fn=lambda t: t.rename_columns(keys + out_names),
+        split_keys=split_keys,
+        split_threshold=split_threshold,
     )
 
 

@@ -699,7 +699,13 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
     assumption: per-key bucket sizes stay small (true unless the corpus
     is one template).
     """
-    import pandas as pd
+    _empty_simhash_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
 
     sigs = simhash_dataset(ds).select_columns(["doc_id", "simhash"])
 
@@ -712,9 +718,11 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
             parts.append(
                 pa.table(
                     {
-                        "part": pa.array(np.full(len(ids), p, dtype=np.int32)),
-                        "kpart": pa.array(
-                            (key % key_parts).astype(np.int32)
+                        # fused (pigeonhole-table, key%parts) exchange id
+                        "xpart": pa.array(
+                            (p * key_parts + key % key_parts).astype(
+                                np.int32
+                            )
                         ),
                         "key": pa.array(key),
                         "doc_id": pa.array(ids.astype(np.int64)),
@@ -728,10 +736,14 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def part_verify(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        s = g["simhash"].to_numpy().view(np.uint64)
+    def part_verify(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        s = g.column("simhash").to_numpy(zero_copy_only=False).view(
+            np.uint64
+        )
+        if not len(key):
+            return _empty_simhash_pairs
         order = np.lexsort((ids, key))
         key, ids, s = key[order], ids[order], s[order]
         new = np.r_[True, key[1:] != key[:-1]]
@@ -756,21 +768,28 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
             out_b.append(u[b][keep])
             out_h.append(ham[keep])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
+            return _empty_simhash_pairs
+        return pa.table(
             {
-                "doc_a": np.concatenate(out_a).astype("int64"),
-                "doc_b": np.concatenate(out_b).astype("int64"),
-                "hamming": np.concatenate(out_h).astype("int64"),
+                "doc_a": pa.array(
+                    np.concatenate(out_a).astype("int64")
+                ),
+                "doc_b": pa.array(
+                    np.concatenate(out_b).astype("int64")
+                ),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype("int64")
+                ),
             }
         )
 
-    pairs = exploded.groupby(["part", "kpart"]).map_groups(
-        part_verify, batch_format="pandas"
+    from rayslog.stages.aggregate import task_exchange
+
+    # raw-task hash exchange over the fused (table, key%parts) id —
+    # same movement as the old sort-shuffle groupby without its ~1s
+    # fixed machinery (the last convertible map_groups site, r5)
+    pairs = task_exchange(
+        exploded, "xpart", 4 * key_parts, part_verify
     )
     # cross-band dedupe: a pair can surface in up to 4 pigeonhole
     # parts; min-hamming per (doc_a, doc_b).  The pair list is a few

@@ -54,6 +54,21 @@ def _user_codes(col) -> np.ndarray:
     return np.asarray(col.dictionary_encode().indices)
 
 
+def _check_band_key(n_users: int, band: int) -> None:
+    """Guard the band-shifted composite key (user_code * band + offset)
+    against silent int64 wraparound: numpy overflow wraps, producing
+    wrong (not crashed) match counts.  Trips only when users-per-part x
+    time-range exceeds 2^63 (~1e4 users x a century in us per part) —
+    the fix at scale is a larger ``parts`` so each part holds fewer
+    users."""
+    if n_users * band >= 2**63:
+        raise OverflowError(
+            f"band-shifted key would overflow int64 "
+            f"({n_users} users x band {band} per part); raise `parts` "
+            f"so each hash part holds fewer users"
+        )
+
+
 def tumbling_counts(ds, window_sec: int = 300):
     """Per-(event_type, window_start) count + value sum.
 
@@ -1707,6 +1722,7 @@ def followed_within(ds, first_type: str = "error",
         # that.
         t0_, t1_ = int(tt.min()), int(tt.max())
         R = np.int64(t1_ - t0_) + w + np.int64(2)
+        _check_band_key(int(u.max()) + 1, int(R))
         key = u.astype(np.int64) * R + (tt - np.int64(t0_))
         b_key = key[~aa]
         a_key = key[aa]
@@ -1805,6 +1821,7 @@ def conversion_delay(ds, first_type: str = "error",
         u, tt, aa = codes[order], ts[order], isa[order]
         t0_, t1_ = int(tt.min()), int(tt.max())
         R = np.int64(t1_ - t0_) + np.int64(2)
+        _check_band_key(int(u.max()) + 1, int(R))
         key = u.astype(np.int64) * R + (tt - np.int64(t0_))
         b_key = key[~aa]
         a_key = key[aa]

@@ -9,8 +9,9 @@ for the external KenLM this container cannot have).
 
 Two linear passes, no shuffle:
 
-1. **Count pass** — per batch: every doc's codepoint sequence (one
-   ``encode('utf-32-le')`` per doc, then pure numpy) emits packed
+1. **Count pass** — per batch: ONE utf-8 -> utf-32 decode of the whole
+   batch's string buffer (flat codepoints + per-row counts, no per-doc
+   Python loop) emits packed
    bigram keys ``(hi << 21) | lo`` plus NEGATIVE keys ``-(cp+1)`` for
    every character position (the vocab/unigram stream shares the
    bigram aggregation); ``np.unique`` collapses the batch to
@@ -45,7 +46,8 @@ def _codepoints(text: str) -> np.ndarray:
 
 
 def _doc_keys(text: str) -> np.ndarray:
-    """Packed bigram keys + negative unigram keys for one doc."""
+    """Packed bigram keys + negative unigram keys for one doc (the
+    scalar reference for :func:`_batch_keys`; kept for tests)."""
     cp = _codepoints(text)
     uni = -(cp + 1)
     if len(cp) < 2:
@@ -54,16 +56,52 @@ def _doc_keys(text: str) -> np.ndarray:
     return np.concatenate([bi, uni])
 
 
+def _flat_codepoints_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 codepoints of every row concatenated in row order,
+    per-row char counts): ONE utf-8 -> utf-32 decode for the whole
+    batch via the texthash raw-buffer view — replaces the per-doc
+    ``encode('utf-32-le')`` Python loop (round-4 verdict #4).  String
+    array offsets are contiguous (starts[i+1] == ends[i]), so the one
+    data-buffer slice IS the row concatenation."""
+    import pyarrow.compute as pc
+
+    from rayslog.kernels.texthash import _string_view
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    data, starts, ends = _string_view(col)
+    if len(starts) == 0 or ends[-1] == starts[0]:
+        return np.empty(0, np.int64), lens
+    blob = data[starts[0] : ends[-1]].tobytes().decode("utf-8")
+    flat = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    return flat, lens
+
+
+def _batch_bigrams(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Packed within-doc bigram keys over the flat layout: every
+    adjacent codepoint pair EXCEPT the pairs spanning a doc boundary
+    (each non-empty doc's last position is masked out)."""
+    if len(flat) < 2:
+        return np.empty(0, np.int64)
+    valid = np.ones(len(flat), dtype=bool)
+    ends = np.cumsum(lens)
+    valid[ends[lens > 0] - 1] = False
+    return ((flat[:-1] << _CP_BITS) | flat[1:])[valid[:-1]]
+
+
 def train_bigram_lm(ds, text_col: str = "text"):
     """Returns (bigram_keys sorted, bigram_counts, prefix_keys sorted,
     prefix_counts, V) — the broadcastable model arrays."""
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        keys = [_doc_keys(x or "") for x in texts]
-        allk = (
-            np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
-        )
+        flat, lens = _flat_codepoints_col(t.column(text_col))
+        allk = np.concatenate([_batch_bigrams(flat, lens), -(flat + 1)])
         u, c = np.unique(allk, return_counts=True)
         return pa.table(
             {"key": pa.array(u), "n": pa.array(c.astype(np.int64))}
@@ -114,16 +152,14 @@ def score_bigram_lm(ds, model, id_col: str = "doc_id",
 
     def score(t: pa.Table) -> pa.Table:
         bi_keys, bi_ns, pre_keys, pre_ns, vocab = ray.get(ref)
-        texts = t.column(text_col).to_pylist()
-        cps = [_codepoints(x or "") for x in texts]
-        lens = np.array([max(len(c) - 1, 0) for c in cps], dtype=np.int64)
+        flat, clens = _flat_codepoints_col(t.column(text_col))
+        lens = np.maximum(clens - 1, 0)  # transitions per doc
         nz = lens > 0
-        out = np.zeros(len(texts), dtype=np.float64)
+        out = np.zeros(len(lens), dtype=np.float64)
         if nz.any():
-            seqs = [c for c in cps if len(c) >= 2]
-            bi = np.concatenate(
-                [(c[:-1] << _CP_BITS) | c[1:] for c in seqs]
-            )
+            # _batch_bigrams emits keys in doc order, so reduceat
+            # bounds over the non-empty docs' transition counts line up
+            bi = _batch_bigrams(flat, clens)
             cxy = _lookup(bi_keys, bi_ns, bi).astype(np.float64)
             cx = _lookup(pre_keys, pre_ns, bi >> _CP_BITS).astype(
                 np.float64

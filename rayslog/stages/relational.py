@@ -1397,7 +1397,11 @@ def customer_order_distribution(customer_ds, orders_ds, buckets: int = 32):
             )
         )
 
-    per_cust = tree_reduce(partials, reduce_fn, empty_fn=empty_fn)
+    # split_keys: per-customer cardinality is unbounded (grows with the
+    # fleet) — past the threshold the tree hash-splits by custkey range
+    # so the final combine never holds every customer in one task
+    per_cust = tree_reduce(partials, reduce_fn, empty_fn=empty_fn,
+                           split_keys=["c_custkey"])
     joined = hash_join(cust_keys, per_cust, key="c_custkey",
                        buckets=buckets, how="left")
     filled = joined.map_batches(
@@ -2647,12 +2651,14 @@ def triangle_count(lineitem_ds, parts: int = 64, buckets: int = 32,
             if not len(b):
                 return _empty_n
             ks = ray.get(keys_ref)  # plasma-local after first touch
+            if not len(ks):
+                return _empty_n
             w = (b.astype(np.uint64) << np.uint64(32)) | c.astype(
                 np.uint64
             )
             pos = np.searchsorted(ks, w)
-            pos[pos == len(ks)] = 0 if len(ks) else 0
-            hit = len(ks) and np.count_nonzero(ks[pos] == w)
+            pos[pos == len(ks)] = 0
+            hit = np.count_nonzero(ks[pos] == w)
             return pa.table({"n": pa.array([int(hit)], pa.int64())})
 
         count_refs = task_exchange(

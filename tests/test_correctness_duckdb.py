@@ -66,6 +66,17 @@ QUERY_NAMES = [
     "pack_sequences",
     "pack_assemble",
     "token_quantiles_by_lang",
+    # r5 rows-only promotions (lossless-at-this-scale KLL rule /
+    # frozen-hyperplane LSH literals)
+    "approx_quantiles",
+    "approx_quantiles_by_lang",
+    "cosine_dups_lsh",
+    # r5 new operators
+    "severity_runs",
+    "conv_first_error",
+    "tag_top_hosts",
+    "daily_new_users",
+    "sole_late_supplier",
     "tf_idf",
     "inverted_index",
     "bm25_search",
@@ -178,8 +189,7 @@ QUERY_NAMES = [
     "turn_dup_stats",
 ]
 
-ROWS_ONLY = ["approx_quantiles", "approx_quantiles_by_lang",
-             "doc_fingerprint", "dedup_simhash",
+ROWS_ONLY = ["doc_fingerprint", "dedup_simhash",
              "media_features", "approx_distinct"]
 
 

@@ -44,11 +44,9 @@ def test_queries_and_oracles_line_up(ray_session):
     rows_only = set(q) - set(o)
     assert rows_only == {
         "doc_fingerprint", "dedup_simhash", "dedup_minhash_keep",
-        "cosine_dups_lsh",
         "media_features", "media_decode", "approx_distinct",
-        "approx_quantiles", "approx_quantiles_by_lang",
     }, rows_only
-    assert len(q) == 154 and len(o) == 145
+    assert len(q) == 159 and len(o) == 153
     # the driver oracle-checks only the FIRST 50 entries: every window
     # slot must be oracle-backed (rows-only entries go to the tail)
     assert all(name in o for name in list(q)[:50])

@@ -84,13 +84,13 @@ def test_parallel_generator_matches_invariants(ray_session):
         import hashlib
 
         h1 = hashlib.sha256(
-            (tmp / "part-00000.parquet").read_bytes()
+            (tmp / "part-00000-0.parquet").read_bytes()
         ).hexdigest()
         shutil.rmtree(tmp)
         tmp.mkdir()
         tg._parallel_generate_to(tmp, N, seed=42)
         h2 = hashlib.sha256(
-            (tmp / "part-00000.parquet").read_bytes()
+            (tmp / "part-00000-0.parquet").read_bytes()
         ).hexdigest()
         assert h1 == h2
     finally:

@@ -755,6 +755,73 @@ def test_tree_counts_match_shuffle_and_driver(ray_session):
     assert out.count() == 0
 
 
+def test_tree_auto_split_high_cardinality(ray_session):
+    """The cardinality-adaptive tree (split_keys + tiny threshold) must
+    hash-split into multiple sub-trees past the threshold and still
+    produce EXACTLY the plain tree / shuffle result — both for
+    counts_by-shaped grouped sums (string keys, nulls included) and for
+    the customer_order_distribution reduce (int keys)."""
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_aggregate, tree_reduce
+
+    rng = np.random.default_rng(11)
+    # 5k distinct string keys (every row nearly unique) + null keys:
+    # with split_threshold=500 the first round's output sum far exceeds
+    # the threshold, forcing the hash-range sub-tree path
+    ks = [f"conv-{int(v)}" for v in rng.integers(0, 5_000, 20_000)]
+    ks = [None if i % 997 == 0 else k for i, k in enumerate(ks)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(ks, pa.string()),
+            "n": pa.array(rng.integers(1, 5, 20_000), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+
+    def norm(d):
+        return (
+            d.to_pandas()
+            .sort_values("conv_id", na_position="first")
+            .reset_index(drop=True)
+        )
+
+    split = tree_aggregate(
+        ds, ["conv_id"], [("n", "sum")], ["total"],
+        split_keys=["conv_id"], split_threshold=500,
+    )
+    # the split plan really engaged: multiple disjoint hash-range blocks
+    assert split.materialize().num_blocks() > 1
+    plain = tree_aggregate(ds, ["conv_id"], [("n", "sum")], ["total"])
+    got, want = norm(split), norm(plain)
+    assert got.equals(want), (got.head(), want.head())
+
+    # int-key reduce_fn path (the customer_order_distribution shape)
+    def reduce_fn(t):
+        return (
+            t.group_by(["k"]).aggregate([("v", "sum")])
+            .rename_columns(["k", "v"])
+        )
+
+    tbl2 = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 3_000, 10_000), pa.int64()),
+            "v": pa.array(rng.integers(0, 10, 10_000), pa.int64()),
+        }
+    )
+    ds2 = rd.from_arrow(tbl2).repartition(8)
+    a = tree_reduce(ds2, reduce_fn, split_keys=["k"], split_threshold=300)
+    b = tree_reduce(ds2, reduce_fn)
+    an = a.to_pandas().sort_values("k").reset_index(drop=True)
+    bn = b.to_pandas().sort_values("k").reset_index(drop=True)
+    assert an.equals(bn)
+    # below-threshold input must NOT split (plain single-block tree)
+    small = tree_reduce(
+        ds2, reduce_fn, split_keys=["k"], split_threshold=10_000_000
+    )
+    assert small.materialize().num_blocks() == 1
+
+
 def test_repetition_features_vs_duckdb_on_multiline_docs(ray_session):
     """Line/paragraph dup fractions and top-bigram share match the SQL
     oracle on a corpus that actually HAS newlines, paragraphs, repeated

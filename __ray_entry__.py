@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tag_top_hosts": p.q_tag_top_hosts,
         "daily_new_users": p.q_daily_new_users,
         "sole_late_supplier": p.q_sole_late_supplier,
+        "role_alternation": p.q_role_alternation,
+        "weighted_sample": p.q_weighted_sample,
+        "levenshtein_pairs": p.q_levenshtein_pairs,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -487,6 +487,42 @@ def _run_bench() -> dict:
             "turn_dup_stats",
             lambda: p.q_turn_dup_stats(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "severity_runs",
+            lambda: p.q_severity_runs(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_first_error",
+            lambda: p.q_conv_first_error(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "tag_top_hosts",
+            lambda: p.q_tag_top_hosts(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "daily_new_users",
+            lambda: p.q_daily_new_users(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "sole_late_supplier",
+            lambda: p.q_sole_late_supplier(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "cosine_dups_lsh",
+            lambda: p.q_cosine_dups_lsh(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "role_alternation",
+            lambda: p.q_role_alternation(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "weighted_sample",
+            lambda: p.q_weighted_sample(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "levenshtein_pairs",
+            lambda: p.q_levenshtein_pairs(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -5309,3 +5309,273 @@ def q_sole_late_supplier(sf_dir: str):
     return counts.map_batches(
         attach, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_role_alternation(sf_dir: str):
+    """Dialogue-structure health check over the RAW transcripts table:
+    per conversation, the number of adjacent turn pairs and how many
+    violate role alternation (same role twice in a row).  One conv-hash
+    exchange; adjacency is a shifted-compare over the lexsorted
+    (conv, turn_idx) arrays.  Oracle: LAG over the same parquet."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "role": t.column("role"),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "n_same_role": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = t.column("role")
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        rcodes = np.asarray(role.dictionary_encode().indices)
+        order = np.lexsort((ti, codes))
+        c, r = codes[order], rcodes[order]
+        same_conv = c[1:] == c[:-1]
+        same_role = same_conv & (r[1:] == r[:-1])
+        n_conv = int(c.max()) + 1
+        pairs = np.bincount(c[1:][same_conv], minlength=n_conv)
+        viol = np.bincount(c[1:][same_role], minlength=n_conv)
+        # representative row per conv for the id value
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        conv_codes = c[starts]
+        first_rows = order[starts]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(first_rows)),
+                "n_pairs": pa.array(pairs[conv_codes].astype(np.int64)),
+                "n_same_role": pa.array(
+                    viol[conv_codes].astype(np.int64)
+                ),
+            }
+        )
+
+    return task_exchange(
+        read_transcripts(sf_dir, ["conv_id", "turn_idx", "role"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+#: A-ES weighted-sample parameters shared by the Ray query AND its oracle
+AES_K = 20
+AES_SEED = 7
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each doc draws u = splitmix64(doc_id, seed) mapped to (0,1)
+    and ranks by ln(u)/n_tokens descending — the top-k is a weighted
+    sample where P(selection) tracks token count.  Keys round to 6 dp
+    before ranking (the BM25 ln-parity discipline) so the DuckDB
+    oracle — same splitmix64 SQL, same ln expression — ranks
+    identically; ties break by doc_id.  Distributed as a per-batch
+    local top-k through the re-applicable combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.sample import splitmix64
+
+    k = AES_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = (
+            pc.count_substring_regex(t.column("text"), r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = ntok >= 1
+        ids, ntok = ids[keep], ntok[keep]
+        h = splitmix64(ids.astype(np.uint64), AES_SEED)
+        u = (h.astype(np.float64) + 0.5) / 2.0**64
+        skey = np.round(np.log(u) / ntok.astype(np.float64), 6)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_tokens": pa.array(ntok),
+                "skey": pa.array(skey, pa.float64()),
+            }
+        )
+        return _aes_topk(tbl, k)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return _aes_topk(t, k)
+
+    def _aes_topk(t: pa.Table, kk: int) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("skey", "descending"), ("doc_id", "ascending")],
+        )
+        return t.take(idx[:kk])
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = _aes_topk(t, k)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "skey": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_levenshtein_pairs(sf_dir: str):
+    """Fuzzy near-dup pairs by exact edit distance: docs sharing a
+    16-char prefix bucket are candidates; each candidate pair is
+    verified with the classic unit-cost Levenshtein DP (numpy row
+    sweep) and kept when distance <= 100.  The prefix bucket is the
+    deterministic candidate rule (template dups share openings) — the
+    same semantics the DuckDB oracle spells with substr + self-join +
+    levenshtein().  Buckets co-locate via one hash exchange; the DP
+    runs only on in-bucket pairs (documented candidate-recall trade,
+    like cosine_dups_ivf's bucket-local contract)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.kernels.texthash import hash_utf8
+
+    parts = 32
+    max_dist = 100
+
+    def prep(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, 16)
+        h = hash_utf8(
+            pref.combine_chunks()
+            if isinstance(pref, pa.ChunkedArray)
+            else pref,
+            seed=0,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "pref": pref,
+                "bpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def _lev(a: str, b: str) -> int:
+        # unit-cost Levenshtein, one numpy row sweep per char of `a`;
+        # the within-row insertion dependency resolves with the
+        # min-accumulate trick: cur[j] = min_k<=j (m[k] + (j-k)) where
+        # m[j] = min(substitute, delete) and m[0] = i
+        if a == b:
+            return 0
+        an = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        lb = len(bn)
+        j_idx = np.arange(lb + 1, dtype=np.int64)
+        prev = j_idx.copy()
+        m = np.empty(lb + 1, dtype=np.int64)
+        for i in range(1, len(an) + 1):
+            m[0] = i
+            np.minimum(
+                prev[:-1] + (bn != an[i - 1]), prev[1:] + 1, out=m[1:]
+            )
+            g = m - j_idx
+            np.minimum.accumulate(g, out=g)
+            prev = g + j_idx
+        return int(prev[lb])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        pref = t.column("pref")
+        if isinstance(pref, pa.ChunkedArray):
+            pref = pref.combine_chunks()
+        codes = np.asarray(pref.dictionary_encode().indices)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c = codes[order]
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        counts = np.diff(np.r_[starts, len(c)])
+        texts = t.column("text")
+        out_a, out_b, out_d = [], [], []
+        for s, n in zip(starts, counts):
+            if n < 2:
+                continue
+            rows = order[s : s + n]
+            docs = [texts[int(r)].as_py() for r in rows]
+            dids = ids[rows]
+            for x in range(n):
+                for y in range(x + 1, n):
+                    d = _lev(docs[x], docs[y])
+                    if d <= max_dist:
+                        out_a.append(int(dids[x]))
+                        out_b.append(int(dids[y]))
+                        out_d.append(d)
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "bpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

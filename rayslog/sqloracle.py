@@ -2310,6 +2310,43 @@ SELECT r.s_suppkey, s.s_name,
 FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
 WHERE r.c2 = (SELECT max(c2) FROM r)
 """
+    # A-ES weighted sample (r5): identical splitmix64 + u mapping +
+    # ln-key, keys rounded to 6 dp before ranking (BM25 ln discipline)
+    from rayslog.pipeline import AES_K, AES_SEED
+    from rayslog.stages.sample import sample_sql_hash_expr
+
+    _aes_h = sample_sql_hash_expr("doc_id", AES_SEED)
+    q["weighted_sample"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+    {_aes_h} AS h
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens,
+    round(ln((CAST(h AS DOUBLE) + 0.5) / 18446744073709551616.0)
+          / CAST(n_tokens AS DOUBLE), 6) AS skey
+  FROM t WHERE n_tokens >= 1
+)
+SELECT doc_id, n_tokens, skey, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT doc_id, n_tokens, skey,
+    row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
+  FROM w)
+WHERE rank <= {AES_K}
+"""
+    # prefix-bucket fuzzy dedup by exact edit distance (r5): the
+    # bucket-local candidate rule is part of the contract (like
+    # cosine_dups_ivf), levenshtein() verifies exactly on both sides
+    q["levenshtein_pairs"] = """
+WITH d AS (
+  SELECT doc_id, text, substr(text, 1, 16) AS p FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 100
+"""
     # user acquisition curve: first-seen day -> new users -> running
     # cumulative (r5)
     q["daily_new_users"] = """
@@ -2420,6 +2457,19 @@ SELECT a.conv_id, fe.first_error_turn,
        AS BIGINT) AS n_turns_before
 FROM allok a JOIN fe ON fe.conv_id = a.conv_id
 GROUP BY a.conv_id, fe.first_error_turn
+""",
+        # adjacent-pair role-alternation violations over the RAW
+        # transcripts (r5) — LAG mirror of the shifted-compare
+        "role_alternation": f"""
+WITH l AS (
+  SELECT conv_id, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT conv_id,
+  CAST(count(prev) AS BIGINT) AS n_pairs,
+  CAST(count(*) FILTER (WHERE role = prev) AS BIGINT) AS n_same_role
+FROM l GROUP BY conv_id
 """,
         # grouped window rank over parser outputs (r5)
         "tag_top_hosts": base + """

@@ -77,6 +77,9 @@ QUERY_NAMES = [
     "tag_top_hosts",
     "daily_new_users",
     "sole_late_supplier",
+    "role_alternation",
+    "weighted_sample",
+    "levenshtein_pairs",
     "tf_idf",
     "inverted_index",
     "bm25_search",

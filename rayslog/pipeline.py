@@ -292,6 +292,7 @@ def q_conv_error_rate(sf_dir: str):
         ["conv_id"],
         [("n_errors", "sum"), ("n_turns", "sum")],
         ["n_errors", "n_turns"],
+        split_keys=["conv_id"],  # unbounded key domain (r5 auto-split)
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -4865,10 +4866,16 @@ def q_turn_dup_stats(sf_dir: str):
     """Corpus-wide exact-duplicate stats over the TRANSCRIPTS table's
     turn texts (the dedup family applied to the north-rule input):
     turns, distinct texts, dup rate.  Per-batch distinct 128-bit hash
-    triples through the combiner tree — raw text never moves."""
+    triples through the combiner tree — raw text never moves.
+
+    Scale-safe since r5: the distinct-hash reduction (whose output is
+    O(distinct texts) — unbounded) runs through the cardinality-
+    adaptive tree (``split_keys`` hash-range sub-trees past the
+    threshold), and the cross-key totals collapse each sub-block to
+    ONE (sum, count) row before a second, trivially tiny tree."""
     import numpy as np
 
-    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.aggregate import tree_aggregate, tree_reduce
     from rayslog.stages.text import add_text_hash
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4880,25 +4887,48 @@ def q_turn_dup_stats(sf_dir: str):
             .rename_columns(["h1", "h2", "n"])
         )
 
+    distinct = tree_aggregate(
+        read_transcripts(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["h1", "h2"],
+        [("n", "sum")],
+        ["n"],
+        split_keys=["h1", "h2"],
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_turns": pa.array(
+                    [int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()
+                ),
+                "n_distinct": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
     def reduce_fn(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["h1", "h2"])
-            .aggregate([("n", "sum")])
-            .rename_columns(["h1", "h2", "n"])
+        return pa.table(
+            {
+                "n_turns": pa.array(
+                    [int(pc.sum(t.column("n_turns")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "n_distinct": pa.array(
+                    [int(pc.sum(t.column("n_distinct")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
         )
 
     def final_fn(t: pa.Table) -> pa.Table:
-        n_turns = int(pc.sum(t.column("n")).as_py() or 0)
-        n_distinct = t.num_rows
+        n_turns = int(t.column("n_turns")[0].as_py())
+        n_distinct = int(t.column("n_distinct")[0].as_py())
         rate = (
             1.0 - float(n_distinct) / float(n_turns) if n_turns else None
         )
-        return pa.table(
-            {
-                "n_turns": pa.array([n_turns], pa.int64()),
-                "n_distinct": pa.array([n_distinct], pa.int64()),
-                "dup_rate": pa.array([rate], pa.float64()),
-            }
+        return t.append_column(
+            "dup_rate", pa.array([rate], pa.float64())
         )
 
     def empty_fn():
@@ -4914,13 +4944,15 @@ def q_turn_dup_stats(sf_dir: str):
             )
         )
 
+    # collapse each distinct-hash block (possibly S disjoint hash-range
+    # sub-blocks) to ONE totals row BEFORE the second tree, so no task
+    # ever concatenates the O(distinct) rows back together
+    tot_partials = distinct.map_batches(
+        totals, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
     return tree_reduce(
-        read_transcripts(sf_dir, ["text"]).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        reduce_fn,
-        empty_fn=empty_fn,
-        final_fn=final_fn,
+        tot_partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
 
 
@@ -5274,6 +5306,7 @@ def q_sole_late_supplier(sf_dir: str):
     )
     counts = tree_aggregate(
         partials, ["s_suppkey"], [("numwait", "sum")], ["numwait"],
+        split_keys=["s_suppkey"],  # grows with the fleet (r5 auto-split)
     )
 
     supp_path = f"{sf_dir}/supplier.parquet"

@@ -587,9 +587,10 @@ def grouped_top_k(
     -> ``tree_reduce`` with the SAME top-k reducer (top-k is
     re-applicable) -> rank assignment on the final block only.  No
     sort-shuffle; the combine tree moves at most k x distinct-groups
-    rows per task.  Partitioning assumption: k x distinct groups fits
-    one task (tree_reduce docstring) — for unbounded group domains at
-    extreme k use groupby(group).map_groups instead.
+    rows per task.  Cardinality-safe since r5: the tree auto-splits by
+    hash(group) range when k x distinct groups outgrows the measured
+    threshold (split_keys below), so unbounded group domains never
+    concatenate into one task.
     """
     reduce_fn = _topk_reduce_fn(
         group_col, value_col, id_col, k, ascending=ascending
@@ -622,6 +623,10 @@ def grouped_top_k(
             group_col, value_col, id_col, k, with_rank=True,
             ascending=ascending,
         ),
+        # k x distinct-groups can outgrow one task on unbounded group
+        # domains; top-k reduces and ranks are per-group, so the
+        # hash-range auto-split applies cleanly (r5)
+        split_keys=[group_col],
     )
 
 

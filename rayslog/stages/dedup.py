@@ -813,6 +813,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, key_parts: int = 64):
         [("hamming", "min")],
         ["hamming"],
         empty_fn=empty,
+        split_keys=["doc_a", "doc_b"],  # pair domain is unbounded (r5)
     )
 
 

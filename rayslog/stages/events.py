@@ -113,6 +113,8 @@ def tumbling_counts(ds, window_sec: int = 300):
         ["event_type", "window_start"],
         [("n", "sum"), ("cents", "sum")],
         ["n_events", "cents"],
+        # window domain grows with the time range (r5 auto-split)
+        split_keys=["event_type", "window_start"],
     )
     return agg.map_batches(
         lambda t: t.append_column(
@@ -417,6 +419,7 @@ def sliding_counts(ds, window_sec: int = 600, slide_sec: int = 300):
     return tree_aggregate(
         partial, ["event_type", "window_start"], [("n", "sum")],
         ["n_events"],
+        split_keys=["event_type", "window_start"],  # r5 auto-split
     )
 
 

@@ -523,6 +523,18 @@ def _run_bench() -> dict:
             "levenshtein_pairs",
             lambda: p.q_levenshtein_pairs(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "supplier_balance_rank",
+            lambda: p.q_supplier_balance_rank(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "value_median_cont",
+            lambda: p.q_value_median_cont(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_severity_entropy",
+            lambda: p.q_conv_severity_entropy(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -5612,3 +5612,165 @@ def q_levenshtein_pairs(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_supplier_balance_rank(sf_dir: str):
+    """DENSE_RANK with shared ties: suppliers ranked by account
+    balance within their nation, equal balances sharing a rank with no
+    gaps (the tie semantics row_number/grouped_top_k does NOT have).
+    One nation-hash exchange; ranks resolve vectorized per part
+    (lexsort + boundary cumsum rebased per nation).  Balances compare
+    in exact integer cents on both sides."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_hash
+
+    parts = 16
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("s_nationkey"))
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_nationkey": pc.cast(t.column("s_nationkey"),
+                                       pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("s_acctbal"), 100.0)),
+                    pa.int64(),
+                ),
+                "npart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_nationkey": pa.array([], pa.int64()),
+            "s_acctbal": pa.array([], pa.float64()),
+            "bal_rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, -c, nk))
+        nks, cs = nk[order], c[order]
+        new_nation = np.r_[True, nks[1:] != nks[:-1]]
+        new_rank = new_nation | np.r_[True, cs[1:] != cs[:-1]]
+        # dense rank = #rank-starts since the nation started
+        g = np.cumsum(new_rank)
+        seg_base = np.where(new_nation, g - 1, 0)
+        np.maximum.accumulate(seg_base, out=seg_base)
+        rank = g - seg_base
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk[order].astype(np.int64)),
+                "s_nationkey": pa.array(nks.astype(np.int64)),
+                "s_acctbal": pa.array(cs.astype(np.float64) / 100.0),
+                "bal_rank": pa.array(rank.astype(np.int64)),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey", "s_acctbal"]),
+        "npart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_value_median_cont(sf_dir: str):
+    """PERCENTILE_CONT quantiles of events.value — the INTERPOLATED
+    inverse CDF (DuckDB quantile_cont rule: h = q*(n-1), linear
+    interpolation between the two straddling order statistics) over
+    the exact distributed cents histogram; companion to the discrete
+    value_quantiles."""
+    from rayslog.stages.aggregate import exact_quantiles_cont_cents
+
+    return exact_quantiles_cont_cents(
+        _read(sf_dir, "events", ["value"]), "value",
+        quantiles=(0.25, 0.5, 0.75, 0.9),
+    )
+
+
+def q_conv_severity_entropy(sf_dir: str):
+    """Per-conversation Shannon entropy (nats) of the parsed severity
+    distribution — a dialogue-health signal over the north-rule table
+    and a nonlinear grouped aggregate: counts per (conv, severity)
+    ride the cardinality-adaptive combiner tree, and the entropy
+    -sum(p ln p) resolves per conversation in the final block(s)
+    (per-key, so the hash-range auto-split applies; round-6 like every
+    ln-bearing oracle)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import parsed_only, tree_reduce
+
+    ds = parsed_only(parsed_dataset(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["conv_id", "severity"])
+            .group_by(["conv_id", "severity"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["conv_id", "severity", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["conv_id", "severity"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["conv_id", "severity", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = np.asarray(conv.dictionary_encode().indices)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, ns = codes[order], n[order]
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(c)]
+        tot = np.add.reduceat(ns, starts)
+        rep = np.repeat(tot, ends - starts)
+        p = ns.astype(np.float64) / rep.astype(np.float64)
+        terms = p * np.log(p)
+        ent = np.round(-np.add.reduceat(terms, starts), 6)
+        first_rows = order[starts]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(first_rows)),
+                "n_turns": pa.array(tot.astype(np.int64)),
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["conv_id"],
+    )

@@ -2347,6 +2347,32 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 100
 """
+    # DENSE_RANK with shared ties (r5): balances compare in exact
+    # integer cents; the double output is cents/100.0 on both sides
+    q["supplier_balance_rank"] = """
+WITH s AS (
+  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+    CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier
+)
+SELECT s_suppkey, s_nationkey,
+  CAST(cents AS DOUBLE) / 100.0 AS s_acctbal,
+  CAST(dense_rank() OVER
+    (PARTITION BY s_nationkey ORDER BY cents DESC) AS BIGINT)
+    AS bal_rank
+FROM s
+"""
+    # PERCENTILE_CONT (r5): DuckDB quantile_cont over the same values;
+    # the engine mirrors the h = q*(n-1) interpolation in float64
+    q["value_median_cont"] = """
+SELECT 'p25' AS q, quantile_cont(value, 0.25) AS value FROM events
+UNION ALL
+SELECT 'p50', quantile_cont(value, 0.50) FROM events
+UNION ALL
+SELECT 'p75', quantile_cont(value, 0.75) FROM events
+UNION ALL
+SELECT 'p90', quantile_cont(value, 0.90) FROM events
+"""
     # user acquisition curve: first-seen day -> new users -> running
     # cumulative (r5)
     q["daily_new_users"] = """
@@ -2470,6 +2496,22 @@ SELECT conv_id,
   CAST(count(prev) AS BIGINT) AS n_pairs,
   CAST(count(*) FILTER (WHERE role = prev) AS BIGINT) AS n_same_role
 FROM l GROUP BY conv_id
+""",
+        # per-conversation severity entropy (r5): nonlinear grouped
+        # aggregate; round-6 like every ln-bearing oracle
+        "conv_severity_entropy": base + """
+, sc AS (
+  SELECT conv_id, severity, CAST(count(*) AS BIGINT) AS n
+  FROM allok GROUP BY conv_id, severity
+),
+st AS (SELECT conv_id, CAST(sum(n) AS BIGINT) AS tot FROM sc
+       GROUP BY conv_id)
+SELECT sc.conv_id, st.tot AS n_turns,
+  round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+    AS entropy
+FROM sc JOIN st USING (conv_id)
+GROUP BY sc.conv_id, st.tot
 """,
         # grouped window rank over parser outputs (r5)
         "tag_top_hosts": base + """

@@ -1021,3 +1021,80 @@ def grouped_ntile(ds, group_col: str, order_cols: list[str], n: int = 4,
     )
     out = task_exchange(prepped, "__gpart", parts, per_part)
     return out
+
+
+def exact_quantiles_cont_cents(ds, value_col: str,
+                               quantiles=(0.25, 0.5, 0.75, 0.9)):
+    """PERCENTILE_CONT over a bounded-precision (2-decimal) column:
+    the same distributed cents histogram as
+    :func:`exact_quantiles_cents`, read with the INTERPOLATED inverse
+    CDF — ``h = q*(n-1); (1-frac)*v[floor(h)] + frac*v[floor(h)+1]``
+    in float64 — DuckDB's ``quantile_cont`` expression VERBATIM (the
+    algebraically-equal ``vlo + frac*(vhi-vlo)`` differs in the last
+    ULP; bit-checked at p90/sf0.001).  cents/100.0 reproduces the
+    stored double bit-for-bit (both are the nearest double to the
+    exact 2-dp value), so the interpolation matches the oracle's."""
+    import ray.data as rd
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column(value_col), 100.0)).cast(
+            pa.int64()
+        )
+        g = (
+            pa.table({"v": cents})
+            .group_by(["v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["v", "n"])
+
+    partial = ds.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partial.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)
+    ]
+    if tables:
+        merged = (
+            pa.concat_tables(tables)
+            .group_by(["v"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["v", "n"])
+            .sort_by("v")
+        )
+        v = merged.column("v").to_numpy(zero_copy_only=False)
+        n = merged.column("n").to_numpy(zero_copy_only=False)
+    else:
+        v = np.empty(0, np.int64)
+        n = np.empty(0, np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+
+    def value_at(rank: int) -> float:
+        # rank is 0-based over the sorted multiset
+        idx = int(np.searchsorted(cum, rank + 1))
+        return float(v[idx]) / 100.0
+
+    rows = []
+    for q in quantiles:
+        name = f"p{int(q * 100)}"
+        if total == 0:
+            rows.append({"q": name, "value": None})
+            continue
+        h = q * (total - 1)
+        lo = int(np.floor(h))
+        frac = h - lo
+        vlo = value_at(lo)
+        if frac == 0.0 or lo + 1 >= total:
+            val = vlo
+        else:
+            vhi = value_at(lo + 1)
+            val = (1.0 - frac) * vlo + frac * vhi
+        rows.append({"q": name, "value": val})
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("q", pa.string()), ("value", pa.float64())]),
+        )
+    )

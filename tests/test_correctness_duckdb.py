@@ -80,6 +80,9 @@ QUERY_NAMES = [
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",
+    "supplier_balance_rank",
+    "value_median_cont",
+    "conv_severity_entropy",
     "tf_idf",
     "inverted_index",
     "bm25_search",

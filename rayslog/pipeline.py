@@ -5552,8 +5552,10 @@ def q_levenshtein_pairs(sf_dir: str):
         # m[j] = min(substitute, delete) and m[0] = i
         if a == b:
             return 0
-        an = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-        bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        # BYTE-level distance: DuckDB's levenshtein() counts UTF-8
+        # bytes, not codepoints ('e-acute' vs 'a' = 2) — match it
+        an = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+        bn = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
         lb = len(bn)
         j_idx = np.arange(lb + 1, dtype=np.int64)
         prev = j_idx.copy()

@@ -535,6 +535,10 @@ def _run_bench() -> dict:
             "conv_severity_entropy",
             lambda: p.q_conv_severity_entropy(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_quartiles_by_type",
+            lambda: p.q_value_quartiles_by_type(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

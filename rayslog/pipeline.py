@@ -5776,3 +5776,98 @@ def q_conv_severity_entropy(sf_dir: str):
         final_fn=final_fn,
         split_keys=["conv_id"],
     )
+
+
+def q_value_quartiles_by_type(sf_dir: str):
+    """Grouped PERCENTILE_CONT: p25/p50/p75 of events.value per
+    event_type with DuckDB's interpolated rule ((1-frac)*lo + frac*hi
+    over h = q*(n-1)).  Per-(type, cents) histogram partials ride the
+    cardinality-adaptive tree; each final block holds complete types
+    (split by hash(event_type)), so the per-type interpolation is a
+    per-key final."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    quantiles = (0.25, 0.5, 0.75)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(
+            pa.int64()
+        )
+        g = (
+            pa.table({"event_type": t.column("event_type"), "v": cents})
+            .group_by(["event_type", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "v", "n"])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "v"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "v", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = np.asarray(et.dictionary_encode().indices)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, codes))
+        c, vs, ns = codes[order], v[order], n[order]
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(c)]
+        out_t, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(ns[s:e])
+            tot = int(cum[-1])
+            name = et[int(order[s])].as_py()
+            for q in quantiles:
+                h = q * (tot - 1)
+                lo = int(np.floor(h))
+                frac = h - lo
+                vlo = float(vs[s + int(np.searchsorted(cum, lo + 1))]) / 100.0
+                if frac == 0.0 or lo + 1 >= tot:
+                    val = vlo
+                else:
+                    vhi = (
+                        float(vs[s + int(np.searchsorted(cum, lo + 2))])
+                        / 100.0
+                    )
+                    val = (1.0 - frac) * vlo + frac * vhi
+                out_t.append(name)
+                out_q.append(f"p{int(q * 100)}")
+                out_v.append(val)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "q": pa.array(out_q, pa.string()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "q": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["event_type"],
+    )

@@ -2373,6 +2373,18 @@ SELECT 'p75', quantile_cont(value, 0.75) FROM events
 UNION ALL
 SELECT 'p90', quantile_cont(value, 0.90) FROM events
 """
+    # grouped PERCENTILE_CONT (r5): same interpolation expression as
+    # value_median_cont, per event_type
+    q["value_quartiles_by_type"] = """
+SELECT event_type, 'p25' AS q, quantile_cont(value, 0.25) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 'p50', quantile_cont(value, 0.50)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 'p75', quantile_cont(value, 0.75)
+FROM events GROUP BY event_type
+"""
     # user acquisition curve: first-seen day -> new users -> running
     # cumulative (r5)
     q["daily_new_users"] = """

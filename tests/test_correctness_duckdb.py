@@ -83,6 +83,7 @@ QUERY_NAMES = [
     "supplier_balance_rank",
     "value_median_cont",
     "conv_severity_entropy",
+    "value_quartiles_by_type",
     "tf_idf",
     "inverted_index",
     "bm25_search",

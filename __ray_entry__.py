@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_median_cont": p.q_value_median_cont,
         "conv_severity_entropy": p.q_conv_severity_entropy,
         "value_quartiles_by_type": p.q_value_quartiles_by_type,
+        "event_throttle": p.q_event_throttle,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

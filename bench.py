@@ -539,6 +539,10 @@ def _run_bench() -> dict:
             "value_quartiles_by_type",
             lambda: p.q_value_quartiles_by_type(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "event_throttle",
+            lambda: p.q_event_throttle(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

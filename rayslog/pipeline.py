@@ -5871,3 +5871,84 @@ def q_value_quartiles_by_type(sf_dir: str):
         final_fn=final_fn,
         split_keys=["event_type"],
     )
+
+
+def q_event_throttle(sf_dir: str):
+    """Telemetry throttle-dedup RETURNING ROWS: keep an event iff it is
+    the first of its (user, event_type) stream or arrived more than
+    one hour after the previous event of that stream (the LAG-gap
+    de-bounce rule every ingestion pipeline runs).  One user-hash
+    exchange; the per-stream previous-timestamp resolves as a shifted
+    compare over the lexsorted arrays, and survivors are emitted as
+    rows (filter-by-window-predicate, not an aggregate).  The 1-hour
+    window matches this corpus's stream rate (~6.5 h mean gap; a 5 s
+    telemetry window would be vacuous here — 184 of 10k rows drop at
+    1 h, sf0.01).  Determinism: (user, type, ts, event_id) gives a
+    total LAG order on both sides."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    parts = 64
+    gap_us = np.int64(3_600) * np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = _user_codes(t.column("user_id"))
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        e = np.asarray(et.dictionary_encode().indices)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, e, u))
+        us, es, tss = u[order], e[order], ts[order]
+        same = np.r_[False, (us[1:] == us[:-1]) & (es[1:] == es[:-1])]
+        gap_ok = np.r_[True, (tss[1:] - tss[:-1]) > gap_us]
+        keep = ~same | gap_ok
+        rows = order[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(ev[rows].astype(np.int64)),
+                "user_id": t.column("user_id").take(pa.array(rows)),
+                "event_type": et.take(pa.array(rows)),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

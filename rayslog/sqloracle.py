@@ -2373,6 +2373,18 @@ SELECT 'p75', quantile_cont(value, 0.75) FROM events
 UNION ALL
 SELECT 'p90', quantile_cont(value, 0.90) FROM events
 """
+    # LAG-gap throttle dedup returning rows (r5): keep first-of-stream
+    # or gap > 1h; (user, type, ts, event_id) order is total
+    q["event_throttle"] = """
+WITH l AS (
+  SELECT event_id, user_id, event_type,
+    ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type FROM l
+WHERE gap IS NULL OR gap > INTERVAL 1 HOUR
+"""
     # grouped PERCENTILE_CONT (r5): same interpolation expression as
     # value_median_cont, per event_type
     q["value_quartiles_by_type"] = """

@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "value_median_cont",
     "conv_severity_entropy",
     "value_quartiles_by_type",
+    "event_throttle",
     "tf_idf",
     "inverted_index",
     "bm25_search",

@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_severity_entropy": p.q_conv_severity_entropy,
         "value_quartiles_by_type": p.q_value_quartiles_by_type,
         "event_throttle": p.q_event_throttle,
+        "dataset_split": p.q_dataset_split,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

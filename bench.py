@@ -543,6 +543,10 @@ def _run_bench() -> dict:
             "event_throttle",
             lambda: p.q_event_throttle(SF_DIR).count(),
         )
+        timed_extra(
+            "dataset_split",
+            lambda: p.q_dataset_split(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -5952,3 +5952,61 @@ def q_event_throttle(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+#: train/val/test thresholds shared by the Ray query AND its oracle
+SPLIT_SEED = 13
+SPLIT_RATES = (0.05, 0.10)  # test < 5%, val < 10%, train otherwise
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment — the standard
+    training-prep split: ``splitmix64(doc_id, seed)`` against integer
+    thresholds (bit-identical in SQL via ``sample_sql_hash_expr``, the
+    stratified_sample contract) buckets every doc 90/5/5, and the
+    report aggregates (split, lang) -> docs + tokens.  Assignment is a
+    pure per-row hash — reshardable, resumable, no shuffle; the tiny
+    (3 x langs) report rides the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_aggregate
+    from rayslog.stages.sample import rate_threshold, splitmix64
+
+    t_test = rate_threshold(SPLIT_RATES[0])
+    t_val = rate_threshold(SPLIT_RATES[1])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64), SPLIT_SEED)
+        split = np.where(
+            h < np.uint64(t_test),
+            "test",
+            np.where(h < np.uint64(t_val), "val", "train"),
+        )
+        ntok = (
+            pc.count_substring_regex(t.column("text"), r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tbl = pa.table(
+            {
+                "split": pa.array(split.astype(object), pa.string()),
+                "lang": t.column("lang"),
+                "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                "n_tokens": pa.array(ntok),
+            }
+        )
+        return (
+            tbl.group_by(["split", "lang"])
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+            .rename_columns(["split", "lang", "n_docs", "n_tokens"])
+        )
+
+    return tree_aggregate(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["split", "lang"],
+        [("n_docs", "sum"), ("n_tokens", "sum")],
+        ["n_docs", "n_tokens"],
+    )

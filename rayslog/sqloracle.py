@@ -2373,6 +2373,26 @@ SELECT 'p75', quantile_cont(value, 0.75) FROM events
 UNION ALL
 SELECT 'p90', quantile_cont(value, 0.90) FROM events
 """
+    # train/val/test hash split report (r5): the same splitmix64 SQL +
+    # integer thresholds as the stratified sampler
+    from rayslog.pipeline import SPLIT_RATES, SPLIT_SEED
+    from rayslog.stages.sample import rate_threshold as _rt
+
+    _split_h = sample_sql_hash_expr("doc_id", SPLIT_SEED)
+    q["dataset_split"] = f"""
+WITH a AS (
+  SELECT
+    CASE WHEN {_split_h} < {_rt(SPLIT_RATES[0])} THEN 'test'
+         WHEN {_split_h} < {_rt(SPLIT_RATES[1])} THEN 'val'
+         ELSE 'train' END AS split,
+    lang,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM a GROUP BY split, lang
+"""
     # LAG-gap throttle dedup returning rows (r5): keep first-of-stream
     # or gap > 1h; (user, type, ts, event_id) order is total
     q["event_throttle"] = """

@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "conv_severity_entropy",
     "value_quartiles_by_type",
     "event_throttle",
+    "dataset_split",
     "tf_idf",
     "inverted_index",
     "bm25_search",

@@ -112,6 +112,59 @@ def test_dense_rank_ties_match_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_tree_auto_split_hypothesis_fuzz(ray_session):
+    """Property fuzz for the cardinality-adaptive tree: on random
+    tables (random key cardinality, skew, block counts, thresholds)
+    the split plan's grouped sums == pure-pandas groundtruth."""
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayslog.stages.aggregate import tree_aggregate
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_keys=st.integers(1, 200),
+        n_rows=st.integers(1, 3_000),
+        blocks=st.integers(1, 12),
+        threshold=st.integers(1, 500),
+        fanin=st.sampled_from([2, 4, 16]),
+    )
+    def run(seed, n_keys, n_rows, blocks, threshold, fanin):
+        rng = np.random.default_rng(seed)
+        keys = rng.zipf(1.3, n_rows) % n_keys
+        vals = rng.integers(-5, 100, n_rows)
+        tbl = pa.table(
+            {
+                "k": pa.array([f"key-{k}" for k in keys], pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        got = (
+            tree_aggregate(
+                ds, ["k"], [("v", "sum")], ["total"],
+                split_keys=["k"], split_threshold=threshold,
+                fanin=fanin,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame({"k": [f"key-{k}" for k in keys], "total": vals})
+            .groupby("k", as_index=False)["total"]
+            .sum()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    run()
+
+
 def test_quantile_cont_expression_parity():
     """(1-frac)*lo + frac*hi is DuckDB's quantile_cont expression —
     the algebraically-equal vlo + frac*(vhi-vlo) differs in the last

@@ -933,7 +933,10 @@ def q_dedup_minhash_keep(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (Hamming <= 3); rows-only."""
+    """SimHash near-dup pairs (Hamming <= 3).  Oracle-checked since
+    r5: the corpus signatures export as UBIGINT literals and the SQL
+    spells the identical pigeonhole + bit_count(xor) semantics
+    (sqloracle._dedup_simhash_sql, the frozen-literal contract)."""
     from rayslog.stages.dedup import simhash_near_dups, tuned_bucket_parts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -528,6 +528,54 @@ WHERE round(list_cosine_similarity(a1.v, a2.v), 6) >= {thr}
 """
 
 
+def _dedup_simhash_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """dedup_simhash oracle (r5 promotion, the frozen-literal contract
+    of ann_ivf / cosine_dups_lsh): the corpus's 64-bit SimHash
+    signatures are computed ray-free with the SAME kernel the pipeline
+    runs (`SimHasher.__call__` — C/numpy parity enforced by
+    test_texthash/test_vectorized) and exported as UBIGINT literals;
+    the SQL then spells the full pigeonhole semantics — 4 x 16-bit
+    keys, same-key candidate pairs, cross-table dedup, Hamming via
+    bit_count(xor) <= {max_hamming}.  What the oracle checks is the
+    candidate-generation + verification machinery, not the signature
+    arithmetic (which has its own naive-reference pytest)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.dedup import SimHasher
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = SimHasher()(t)
+    ids = out.column("doc_id").to_pylist()
+    sigs = (
+        out.column("simhash")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+    )
+    vals = ",\n  ".join(
+        f"({int(i)}, {int(s)}::UBIGINT)" for i, s in zip(ids, sigs)
+    )
+    return f"""
+WITH sig(doc_id, sh) AS (VALUES
+  {vals}),
+k AS (
+  SELECT doc_id, sh, p, (sh >> (16 * p)) & 65535 AS key
+  FROM sig, (SELECT unnest([0,1,2,3]) AS p) parts
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.sh AS sa, b.sh AS sb
+  FROM k a JOIN k b ON a.p = b.p AND a.key = b.key
+    AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def _cosine_dups_lsh_sql(sf_dir: str, threshold: float = 0.4,
                          n_bits: int = 12, n_tables: int = 6,
                          seed: int = 42, max_bucket: int = 4_096) -> str:
@@ -2459,6 +2507,7 @@ GROUP BY s.s_suppkey, s.s_name
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")
         q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)
         q["cosine_dups_lsh"] = _cosine_dups_lsh_sql(sf_dir)
+        q["dedup_simhash"] = _dedup_simhash_sql(sf_dir)
     return q
 
 

@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "value_quartiles_by_type",
     "event_throttle",
     "dataset_split",
+    "dedup_simhash",
     "tf_idf",
     "inverted_index",
     "bm25_search",
@@ -198,7 +199,7 @@ QUERY_NAMES = [
     "turn_dup_stats",
 ]
 
-ROWS_ONLY = ["doc_fingerprint", "dedup_simhash",
+ROWS_ONLY = ["doc_fingerprint",
              "media_features", "approx_distinct"]
 
 

@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_throttle": p.q_event_throttle,
         "dataset_split": p.q_dataset_split,
         "dedup_simhash": p.q_dedup_simhash,  # promoted r5: frozen-signature oracle
+        "dedup_minhash_keep": p.q_dedup_minhash_keep,  # promoted r5: frozen band-hash oracle
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,
@@ -217,7 +218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups_lsh": p.q_cosine_dups_lsh,
         # --- rows-only (no SQL oracle possible) — always the tail ---
         "doc_fingerprint": p.q_doc_fingerprint,
-        "dedup_minhash_keep": p.q_dedup_minhash_keep,
         "media_features": p.q_media_features,
         "media_decode": p.q_media_decode,
         "approx_distinct": p.q_approx_distinct,

@@ -923,7 +923,10 @@ def q_dedup_survivors_cc(sf_dir: str):
 
 def q_dedup_minhash_keep(sf_dir: str):
     """One-pass LSH survivor selection (near-dup dedup without pair
-    enumeration — the template-heavy-corpus scale shape); rows-only."""
+    enumeration — the template-heavy-corpus scale shape).
+    Oracle-checked since r5: the (doc_id, band, band_hash) rows export
+    as literals and the min-in-every-bucket survivor rule is pure SQL
+    (sqloracle._dedup_minhash_keep_sql, frozen-literal contract)."""
     from rayslog.stages.dedup import minhash_dedup_survivors, tuned_bucket_parts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

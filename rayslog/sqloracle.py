@@ -576,6 +576,47 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _dedup_minhash_keep_sql(sf_dir: str, bands: int = 32,
+                            rows_per_band: int = 4) -> str:
+    """dedup_minhash_keep oracle (r5 promotion, frozen-literal
+    contract): the corpus's (doc_id, band, band_hash) LSH rows are
+    computed ray-free with the pipeline's own kernels and exported as
+    literals; the one-pass survivor rule — a doc survives iff it is
+    the MINIMUM doc_id in EVERY band bucket it occupies — is pure SQL
+    over them (min(bucket_min) == doc_id, since bucket_min <= doc_id
+    always).  Checks the survivor-selection machinery; signature
+    arithmetic has its own naive-reference pytest."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.dedup import _band_rows, _minhash_batch
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    b = _band_rows(_minhash_batch(t), bands, rows_per_band)
+    ids = b.column("doc_id").to_pylist()
+    band = b.column("band").to_pylist()
+    bh = (
+        b.column("band_hash")
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+    )
+    vals = ",\n  ".join(
+        f"({int(i)}, {int(bd)}, {int(h)}::UBIGINT)"
+        for i, bd, h in zip(ids, band, bh)
+    )
+    return f"""
+WITH bh(doc_id, band, h) AS (VALUES
+  {vals}),
+m AS (SELECT band, h, min(doc_id) AS mn FROM bh GROUP BY band, h)
+SELECT b.doc_id
+FROM bh b JOIN m ON m.band = b.band AND m.h = b.h
+GROUP BY b.doc_id
+HAVING min(m.mn) = b.doc_id
+"""
+
+
 def _cosine_dups_lsh_sql(sf_dir: str, threshold: float = 0.4,
                          n_bits: int = 12, n_tables: int = 6,
                          seed: int = 42, max_bucket: int = 4_096) -> str:
@@ -2508,6 +2549,7 @@ GROUP BY s.s_suppkey, s.s_name
         q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)
         q["cosine_dups_lsh"] = _cosine_dups_lsh_sql(sf_dir)
         q["dedup_simhash"] = _dedup_simhash_sql(sf_dir)
+        q["dedup_minhash_keep"] = _dedup_minhash_keep_sql(sf_dir)
     return q
 
 

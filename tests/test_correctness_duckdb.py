@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "event_throttle",
     "dataset_split",
     "dedup_simhash",
+    "dedup_minhash_keep",
     "tf_idf",
     "inverted_index",
     "bm25_search",

@@ -43,10 +43,10 @@ def test_queries_and_oracles_line_up(ray_session):
     assert set(o) <= set(q), set(o) - set(q)
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "doc_fingerprint", "dedup_minhash_keep",
+        "doc_fingerprint",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 168 and len(o) == 163
+    assert len(q) == 168 and len(o) == 164
     # the driver oracle-checks only the FIRST 50 entries: every window
     # slot must be oracle-backed (rows-only entries go to the tail)
     assert all(name in o for name in list(q)[:50])

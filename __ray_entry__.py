@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": p.q_dataset_split,
         "dedup_simhash": p.q_dedup_simhash,  # promoted r5: frozen-signature oracle
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # promoted r5: frozen band-hash oracle
+        "event_inversions": p.q_event_inversions,  # r5: vectorized mergesort counter
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

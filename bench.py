@@ -547,6 +547,10 @@ def _run_bench() -> dict:
             "dataset_split",
             lambda: p.q_dataset_split(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "event_inversions",
+            lambda: p.q_event_inversions(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -6016,3 +6016,80 @@ def q_dataset_split(sf_dir: str):
         [("n_docs", "sum"), ("n_tokens", "sum")],
         ["n_docs", "n_tokens"],
     )
+
+
+def q_event_inversions(sf_dir: str):
+    """Out-of-order (lateness) audit per user: the number of event
+    pairs whose event_id order disagrees with their timestamp order —
+    exact per-user inversion counts via the fully-vectorized
+    mergesort counter (events.segmented_inversions, O(n log^2 n), no
+    per-user Python loop), one user-hash exchange.  Zero-inversion
+    users emit rows too (the oracle LEFT-joins the user spine)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import (
+        _user_codes,
+        _user_hash,
+        segmented_inversions,
+    )
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        h = _user_hash(t.column("user_id"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pa.array(
+                    ts.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                ),
+                "upart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_inversions": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        uid = t.column("user_id")
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = _user_codes(uid)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        inv = segmented_inversions(codes, eid, ts)
+        n_ev = np.bincount(codes, minlength=len(inv)).astype(np.int64)
+        # one representative row index per user code for the id value
+        order = np.argsort(codes, kind="stable")
+        firsts = order[
+            np.searchsorted(codes[order], np.arange(len(inv)))
+        ]
+        return pa.table(
+            {
+                "user_id": uid.take(pa.array(firsts)),
+                "n_events": pa.array(n_ev),
+                "n_inversions": pa.array(inv),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2482,6 +2482,22 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM a GROUP BY split, lang
 """
+    # per-user out-of-order audit (r5): exact inversion counts — the
+    # strict self-join pair count the mergesort kernel computes
+    q["event_inversions"] = """
+WITH inv AS (
+  SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_inversions
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.ts > b.ts
+  GROUP BY a.user_id
+),
+u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+SELECT u.user_id, u.n_events,
+  COALESCE(inv.n_inversions, 0) AS n_inversions
+FROM u LEFT JOIN inv USING (user_id)
+"""
     # LAG-gap throttle dedup returning rows (r5): keep first-of-stream
     # or gap > 1h; (user, type, ts, event_id) order is total
     q["event_throttle"] = """

@@ -1909,3 +1909,67 @@ def conversion_delay(ds, first_type: str = "error",
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def segmented_inversions(ucode: np.ndarray, eid: np.ndarray,
+                         ts: np.ndarray) -> np.ndarray:
+    """Per-user inversion counts — pairs ``(i, j)`` with ``event_id_i
+    < event_id_j`` but ``ts_i > ts_j`` within a user (the
+    out-of-order/lateness audit of a telemetry stream).
+
+    Fully vectorized bottom-up mergesort counting, O(n log^2 n) with
+    NO per-user / per-run Python loop: values compress to user-major
+    dense ranks (equal ts share a rank, so ties never count, and
+    cross-user pairs can never invert), the array pads to a power of
+    two with a +inf sentinel, and each merge level runs ONE
+    ``np.sort(axis=1)`` over the (runs, 2w) view plus ONE global
+    ``searchsorted`` — per-run lookups fuse via block-banded keys
+    (run_id * (n+1) + rank; fits int64 while n^2 < 2^63, i.e. any
+    realistic per-part slice).  Per-element greater-than counts
+    attribute to the element's user through the rank -> user table,
+    so the one global pass yields exact PER-USER totals.  Returns
+    int64[n_users] indexed by the dense user code."""
+    n = len(ucode)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    n_users = int(ucode.max()) + 1
+    order_ut = np.lexsort((ts, ucode))
+    u_s, t_s = ucode[order_ut], ts[order_ut]
+    new = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1])]
+    dense = np.cumsum(new) - 1
+    rank = np.empty(n, np.int64)
+    rank[order_ut] = dense
+    rank_user = np.empty(n, np.int64)
+    rank_user[dense] = u_s
+
+    order_seq = np.lexsort((eid, ucode))
+    a = rank[order_seq]
+
+    P = 1 << int(np.ceil(np.log2(max(n, 2))))
+    SENT = n  # > every dense rank
+    arr = np.full(P, SENT, np.int64)
+    arr[:n] = a
+
+    per_user = np.zeros(n_users, np.int64)
+    w = 1
+    while w < P:
+        m = P // (2 * w)
+        blocks = arr.reshape(m, 2 * w)
+        left = blocks[:, :w]
+        right = blocks[:, w:]
+        band = (np.arange(m, dtype=np.int64) * (SENT + 1))[:, None]
+        left_keys = (left + band).ravel()
+        right_keys = (right + band).ravel()
+        pos = np.searchsorted(left_keys, right_keys, side="right")
+        le = pos - np.repeat(np.arange(m, dtype=np.int64) * w, w)
+        cnt = w - le
+        rv = right.ravel()
+        real = rv < SENT
+        if real.any():
+            per_user += np.bincount(
+                rank_user[rv[real]], weights=cnt[real],
+                minlength=n_users,
+            ).astype(np.int64)
+        arr = np.sort(blocks, axis=1).ravel()
+        w *= 2
+    return per_user

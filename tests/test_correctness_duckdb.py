@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "dataset_split",
     "dedup_simhash",
     "dedup_minhash_keep",
+    "event_inversions",
     "tf_idf",
     "inverted_index",
     "bm25_search",

@@ -188,3 +188,25 @@ def test_quantile_cont_expression_parity():
             else (1.0 - frac) * s[lo] + frac * s[lo + 1]
         )
         assert got == want, (q, got, want)
+
+
+def test_segmented_inversions_fuzz():
+    """The vectorized mergesort inversion counter == the O(n^2) brute
+    count on random streams with heavy timestamp ties."""
+    from rayslog.stages.events import segmented_inversions
+
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        n = int(rng.integers(1, 300))
+        nu = int(rng.integers(1, 8))
+        ucode = rng.integers(0, nu, n).astype(np.int64)
+        eid = rng.permutation(n).astype(np.int64)
+        ts = rng.integers(0, max(2, n // 3), n).astype(np.int64)
+        got = segmented_inversions(ucode, eid, ts)
+        want = np.zeros(int(ucode.max()) + 1, np.int64)
+        for u in range(len(want)):
+            m = ucode == u
+            t = ts[m][np.argsort(eid[m])]
+            for j in range(len(t)):
+                want[u] += int((t[:j] > t[j]).sum())
+        assert (got == want).all()

@@ -5150,13 +5150,17 @@ def q_tag_top_hosts(sf_dir: str):
 
 def q_daily_new_users(sf_dir: str):
     """User acquisition curve: first-seen day per user -> new users per
-    day -> running cumulative total.  Grouped min rides the combiner
-    tree (one row per user per block after the per-batch partial); the
-    day bincount + cumsum run on the final reduced block only (bounded
-    by the date range)."""
+    day -> running cumulative total.
+
+    Scale shape (the turn_dup_stats discipline): the per-user grouped
+    min — whose reduced output is O(users), unbounded — runs through
+    the cardinality-adaptive tree (split_keys), each resulting block
+    collapses to bounded per-DAY counts via a whole-block map, and a
+    trivially tiny second tree sums the day counts; the cumsum runs
+    once on the final day table (bounded by the date range)."""
     import numpy as np
 
-    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.aggregate import tree_aggregate, tree_reduce
 
     day_us = np.int64(86_400) * np.int64(1_000_000)
 
@@ -5176,21 +5180,42 @@ def q_daily_new_users(sf_dir: str):
             .rename_columns(["user_id", "first_us"])
         )
 
-    def reduce_fn(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["user_id"])
-            .aggregate([("first_us", "min")])
-            .rename_columns(["user_id", "first_us"])
-        )
+    per_user = tree_aggregate(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["user_id"],
+        [("first_us", "min")],
+        ["first_us"],
+        split_keys=["user_id"],  # unbounded key domain (r5 auto-split)
+    )
 
-    def final_fn(t: pa.Table) -> pa.Table:
+    def day_counts(t: pa.Table) -> pa.Table:
         f = t.column("first_us").to_numpy(zero_copy_only=False)
         d = f - f % day_us
         days, n_new = np.unique(d, return_counts=True)
-        n_new = n_new.astype(np.int64)
         return pa.table(
             {
-                "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+                "day_us": pa.array(days, pa.int64()),
+                "n_new": pa.array(n_new.astype(np.int64)),
+            }
+        )
+
+    def reduce_days(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["day_us"])
+            .aggregate([("n_new", "sum")])
+            .rename_columns(["day_us", "n_new"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day_us", "ascending")])
+        n_new = t.column("n_new").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "day": t.column("day_us").cast(pa.timestamp("us")),
                 "n_new": pa.array(n_new),
                 "cum_users": pa.array(np.cumsum(n_new).astype(np.int64)),
             }
@@ -5210,10 +5235,11 @@ def q_daily_new_users(sf_dir: str):
         )
 
     return tree_reduce(
-        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
+        per_user.map_batches(
+            day_counts, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         ),
-        reduce_fn,
+        reduce_days,
         empty_fn=empty_fn,
         final_fn=final_fn,
     )

@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": p.q_dedup_simhash,  # promoted r5: frozen-signature oracle
         "dedup_minhash_keep": p.q_dedup_minhash_keep,  # promoted r5: frozen band-hash oracle
         "event_inversions": p.q_event_inversions,  # r5: vectorized mergesort counter
+        # --- session-7 (r5) additions: oracle-backed ---
+        "forecast_revenue": p.q_forecast_revenue,  # TPC-H Q6 shape
+        "late_shipments": p.q_late_shipments,  # Q12-adapted
+        "dominant_suppliers": p.q_dominant_suppliers,  # Q20-adapted
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

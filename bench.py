@@ -551,6 +551,18 @@ def _run_bench() -> dict:
             "event_inversions",
             lambda: p.q_event_inversions(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "forecast_revenue",
+            lambda: p.q_forecast_revenue(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "late_shipments",
+            lambda: p.q_late_shipments(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "dominant_suppliers",
+            lambda: p.q_dominant_suppliers(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -6119,3 +6119,308 @@ def q_event_inversions(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue change: one filter+aggregate
+    scan of lineitem (ship year 1995, discount 5-7 cents, quantity
+    < 24).  Revenue = sum(extendedprice x discount) carried as exact
+    int64 1e-4-dollar units (cents x cents), so the distributed sum is
+    order-independent vs the oracle; the discount band compare runs on
+    the rounded cent integers, never a float threshold."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    lo = int(np.datetime64("1995-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64())
+        dc = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        qc = pc.cast(
+            pc.round(pc.multiply(t.column("l_quantity"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(sd, pa.scalar(lo, pa.int64())),
+                    pc.less(sd, pa.scalar(hi, pa.int64())),
+                ),
+                pc.and_(
+                    pc.greater_equal(dc, pa.scalar(5, pa.int64())),
+                    pc.less_equal(dc, pa.scalar(7, pa.int64())),
+                ),
+            ),
+            pc.less(qc, pa.scalar(2400, pa.int64())),
+        )
+        ec = pc.cast(
+            pc.round(
+                pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+            ),
+            pa.int64(),
+        )
+        kept = pc.fill_null(keep, False)
+        rev = pc.sum(pc.multiply(ec, dc).filter(kept)).as_py() or 0
+        n = int(pc.sum(pc.cast(kept, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev)], pa.int64()),
+                "n_items": pa.array([n], pa.int64()),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rev": pa.array(
+                    [int(pc.sum(t.column("rev")).as_py() or 0)], pa.int64()
+                ),
+                "n_items": pa.array(
+                    [int(pc.sum(t.column("n_items")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev"), pa.float64()), 10000.0
+                ),
+                "n_items": t.column("n_items"),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "revenue": pa.array([0.0], pa.float64()),
+                    "n_items": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_late_shipments(sf_dir: str):
+    """TPC-H Q12-adapted (the sandbox lineitem has no shipmode/commit
+    columns): per order priority, how many lineitems shipped more than
+    90 days after the order date, plus the late share.  Distributed
+    orderkey hash_join (both sides scale with SF — never broadcast),
+    one partial-counts task per join bucket, 5-key combiner tree; the
+    90-day compare is exact integer microseconds on both sides."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce_refs
+    from rayslog.stages.relational import hash_join
+
+    LATE_US = 90 * 86_400_000_000
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "s_us": t.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    jrefs = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_orderkey",
+        return_refs=True,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["o_orderpriority", "n_late", "n_total"])
+            .group_by(["o_orderpriority"])
+            .aggregate([("n_late", "sum"), ("n_total", "sum")])
+            .rename_columns(["o_orderpriority", "n_late", "n_total"])
+        )
+
+    @ray.remote
+    def partial_task(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                t.column("s_us"),
+                pc.add(t.column("o_us"), pa.scalar(LATE_US, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return reduce_fn(
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "n_late": late,
+                    "n_total": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_total": pc.cast(t.column("n_total"), pa.int64()),
+                "n_late": pc.cast(t.column("n_late"), pa.int64()),
+                "late_share": pc.divide(
+                    pc.cast(t.column("n_late"), pa.float64()),
+                    pc.cast(t.column("n_total"), pa.float64()),
+                ),
+            }
+        )
+
+    return rd.from_arrow(
+        tree_reduce_refs(
+            [partial_task.remote(r) for r in jrefs],
+            reduce_fn,
+            final_fn=final_fn,
+        )
+    )
+
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-adapted (no partsupp table in the sandbox): suppliers
+    holding a dominant share of a part's shipped quantity — per
+    supplier, the number of parts where that supplier shipped more
+    than 1/8 of the part's total (8*q > total, exact integer cents).
+
+    One partkey-hash exchange resolves both aggregation levels locally
+    (every (part, supp) pair and the part total live in the same part
+    by construction); per-part dominant-supplier counts then merge
+    through the cardinality-adaptive combiner tree — suppliers scale
+    with the fleet, so the tree hash-range-splits past the threshold
+    instead of funnelling one giant block."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+    _empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "n_parts": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "qc": pa.array([], pa.int64()),
+                    "ppart": pa.array([], pa.int32()),
+                }
+            )
+        u = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "qc": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("l_quantity"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+                "ppart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        ps = (
+            t.group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("qc", "sum")])
+        )
+        pk = ps.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = ps.column("qc_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        uniq, start = np.unique(pk[order], return_index=True)
+        tot = np.add.reduceat(q[order], start)
+        dom = 8 * q > tot[np.searchsorted(uniq, pk)]
+        sk = ps.column("l_suppkey").to_numpy(zero_copy_only=False)[dom]
+        if not len(sk):
+            return _empty
+        u, c = np.unique(sk, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(u, pa.int64()),
+                "n_parts": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        "ppart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["s_suppkey"])
+            .aggregate([("n_parts", "sum")])
+            .rename_columns(["s_suppkey", "n_parts"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "n_parts": pc.cast(t.column("n_parts"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials,
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["s_suppkey"],
+    )

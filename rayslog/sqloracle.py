@@ -2559,6 +2559,53 @@ SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
 GROUP BY s.s_suppkey, s.s_name
 """
+    # Q6-shaped filter-aggregate: revenue as exact 1e-4-dollar integer
+    # (cents x cents) on both sides; the discount band compares rounded
+    # cent integers, never a float threshold
+    q["forecast_revenue"] = """
+SELECT
+  CAST(CAST(coalesce(sum(
+      CAST(round(l_extendedprice*100) AS BIGINT)
+      * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+    AS DOUBLE)/10000.0 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity*100) AS BIGINT) < 2400
+"""
+    # Q12-adapted: late (>90 days after order date) lineitem share per
+    # order priority; the compare is exact integer microseconds
+    q["late_shipments"] = """
+WITH j AS (
+  SELECT o_orderpriority,
+    CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS BIGINT) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(late) AS BIGINT) AS n_late,
+  CAST(CAST(sum(late) AS BIGINT) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS late_share
+FROM j GROUP BY o_orderpriority
+"""
+    # Q20-adapted dominant-share suppliers: 8*q > part total, exact
+    # integer quantity cents at both aggregation levels
+    q["dominant_suppliers"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq FROM ps
+       GROUP BY l_partkey)
+SELECT CAST(ps.l_suppkey AS BIGINT) AS s_suppkey,
+  CAST(count(*) AS BIGINT) AS n_parts
+FROM ps JOIN pt USING (l_partkey)
+WHERE 8*ps.q > pt.tq
+GROUP BY ps.l_suppkey
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")

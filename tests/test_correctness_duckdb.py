@@ -77,6 +77,9 @@ QUERY_NAMES = [
     "tag_top_hosts",
     "daily_new_users",
     "sole_late_supplier",
+    "forecast_revenue",
+    "late_shipments",
+    "dominant_suppliers",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

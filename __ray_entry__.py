@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": p.q_forecast_revenue,  # TPC-H Q6 shape
         "late_shipments": p.q_late_shipments,  # Q12-adapted
         "dominant_suppliers": p.q_dominant_suppliers,  # Q20-adapted
+        "quiet_days": p.q_quiet_days,  # calendar-spine anti-join
+        "host_peak_hour": p.q_host_peak_hour,  # north-rule argmax-per-group
+        "value_streaks": p.q_value_streaks,  # islands: increasing runs
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -563,6 +563,18 @@ def _run_bench() -> dict:
             "dominant_suppliers",
             lambda: p.q_dominant_suppliers(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "quiet_days",
+            lambda: p.q_quiet_days(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "host_peak_hour",
+            lambda: p.q_host_peak_hour(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "value_streaks",
+            lambda: p.q_value_streaks(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -6424,3 +6424,212 @@ def q_dominant_suppliers(sf_dir: str):
         final_fn=final_fn,
         split_keys=["s_suppkey"],
     )
+
+
+def q_quiet_days(sf_dir: str):
+    """Calendar-spine anti-join: days in the order-date range with ZERO
+    orders (data-quality / pipeline-gap audit).  Per-block distinct day
+    indices ride the combiner tree (bounded by the calendar span, not
+    by SF); the final task diffs the observed set against the full
+    arange spine — the engine-side equivalent of the oracle's
+    generate_series anti-join."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = np.unique(us // DAY_US)
+        return pa.table({"dayi": pa.array(days, pa.int64())})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        d = t.column("dayi").to_numpy(zero_copy_only=False)
+        return pa.table({"dayi": pa.array(np.unique(d), pa.int64())})
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        d = np.sort(t.column("dayi").to_numpy(zero_copy_only=False))
+        if not len(d):
+            return pa.table({"day": pa.array([], pa.timestamp("us"))})
+        spine = np.arange(d[0], d[-1] + 1)
+        missing = np.setdiff1d(spine, d, assume_unique=True)
+        return pa.table(
+            {"day": pa.array(missing * DAY_US).cast(pa.timestamp("us"))}
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"day": pa.array([], pa.timestamp("us"))})
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_host_peak_hour(sf_dir: str):
+    """Per-host peak traffic hour over the north-rule table: for every
+    parsed hostname, the hour-of-day with the most cleanly parsed
+    turns (ties -> smallest hour, so the answer is deterministic).
+    Per-batch (hostname, hour) partial counts merge through the
+    cardinality-adaptive tree (hosts are unbounded in general -> the
+    tree hash-range-splits on hostname); the per-key final picks each
+    host's argmax row vectorized."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import parsed_only, tree_reduce
+
+    ds = parsed_only(parsed_dataset(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("ts_parsed")),
+                pc.is_valid(t.column("hostname")),
+            )
+        )
+        g = (
+            pa.table(
+                {
+                    "hostname": t.column("hostname"),
+                    "hour": pc.cast(
+                        pc.hour(t.column("ts_parsed")), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["hostname", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["hostname", "hour", "n"])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["hostname", "hour"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["hostname", "hour", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        host = t.column("hostname")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        hour = t.column("hour").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, codes = np.unique(
+            host.cast(pa.large_string()).to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        # per host: max n first, then smallest hour among ties
+        order = np.lexsort((hour, -n, codes))
+        first = np.r_[True, codes[order][1:] != codes[order][:-1]]
+        pick = order[first]
+        return pa.table(
+            {
+                "hostname": host.take(pa.array(pick)),
+                "peak_hour": pa.array(hour[pick], pa.int64()),
+                "n_msgs": pa.array(n[pick], pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "hostname": pa.array([], pa.string()),
+                    "peak_hour": pa.array([], pa.int64()),
+                    "n_msgs": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["hostname"],
+    )
+
+
+def q_value_streaks(sf_dir: str):
+    """Gaps-and-islands on the events stream: per user, the longest
+    run of strictly-increasing values in (ts, event_id) order.  One
+    user-hash exchange co-locates each user's events; run boundaries
+    and per-user maxima resolve vectorized (lexsort + boundary masks +
+    ``np.maximum.reduceat``) — the value compare runs on exact integer
+    cents so no float-order subtlety vs the oracle's islands SQL."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "vc": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "max_streak": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        v = t.column("vc").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        order = np.lexsort((eid, ts, codes))
+        c, vv = codes[order], v[order]
+        new_user = np.r_[True, c[1:] != c[:-1]]
+        brk = new_user | np.r_[True, ~(vv[1:] > vv[:-1])]
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        run_user = c[brk]
+        user_starts = np.r_[
+            0, np.nonzero(run_user[1:] != run_user[:-1])[0] + 1
+        ]
+        max_streak = np.maximum.reduceat(run_len, user_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[run_user[user_starts]], pa.int64()),
+                "max_streak": pa.array(max_streak.astype(np.int64)),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,36 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # calendar-spine anti-join: days in the order-date range with no
+    # orders (the engine diffs an arange spine against the distinct set)
+    q["quiet_days"] = """
+WITH b AS (SELECT date_trunc('day', min(o_orderdate)) AS lo,
+                  date_trunc('day', max(o_orderdate)) AS hi FROM orders),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM b),
+od AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders)
+SELECT CAST(day AS TIMESTAMP) AS day FROM spine
+WHERE day NOT IN (SELECT day FROM od)
+"""
+    # gaps-and-islands: longest strictly-increasing value run per user
+    # in (ts, event_id) order; compares run on exact integer cents
+    q["value_streaks"] = """
+WITH s AS (
+  SELECT user_id,
+    row_number() OVER w AS rn,
+    CASE WHEN CAST(round(value*100) AS BIGINT) >
+              lag(CAST(round(value*100) AS BIGINT)) OVER w
+         THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT user_id, rn,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM s),
+r AS (SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+FROM r GROUP BY user_id
+"""
     # Q20-adapted dominant-share suppliers: 8*q > part total, exact
     # integer quantity cents at both aggregation levels
     q["dominant_suppliers"] = """
@@ -2792,6 +2822,23 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
         "host_traffic": base
 + "SELECT hostname, count(*) AS n_turns FROM allok GROUP BY hostname"
 " ORDER BY n_turns DESC, hostname LIMIT 20",
+        # per-host peak hour: argmax with ties -> smallest hour (the
+        # classic max-join-min construction, deterministic both sides)
+        "host_peak_hour": base
+        + """
+, c AS (
+  SELECT hostname, CAST(date_part('hour', ts_parsed) AS BIGINT) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM allok
+  WHERE ts_parsed IS NOT NULL AND hostname IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (SELECT hostname, max(n) AS mx FROM c GROUP BY hostname)
+SELECT c.hostname, CAST(min(c.hour) AS BIGINT) AS peak_hour,
+  CAST(m.mx AS BIGINT) AS n_msgs
+FROM c JOIN m ON c.hostname = m.hostname AND c.n = m.mx
+GROUP BY c.hostname, m.mx
+""",
         # canonical 3164 re-render from parsed fields (inverse of Dump)
         "render_3164": base
         + """

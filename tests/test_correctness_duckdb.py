@@ -80,6 +80,9 @@ QUERY_NAMES = [
     "forecast_revenue",
     "late_shipments",
     "dominant_suppliers",
+    "quiet_days",
+    "host_peak_hour",
+    "value_streaks",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_days": p.q_quiet_days,  # calendar-spine anti-join
         "host_peak_hour": p.q_host_peak_hour,  # north-rule argmax-per-group
         "value_streaks": p.q_value_streaks,  # islands: increasing runs
+        "order_totals_check": p.q_order_totals_check,  # money reconciliation
+        "vocab_by_lang": p.q_vocab_by_lang,  # exact distinct tokens per lang
+        "bigram_pmi": p.q_bigram_pmi,  # collocations: top-20 + exact PMI
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

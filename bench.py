@@ -575,6 +575,18 @@ def _run_bench() -> dict:
             "value_streaks",
             lambda: p.q_value_streaks(SF_DIR).count(),
         )
+        timed_extra(
+            "order_totals_check",
+            lambda: p.q_order_totals_check(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "vocab_by_lang",
+            lambda: p.q_vocab_by_lang(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "bigram_pmi",
+            lambda: p.q_bigram_pmi(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -6633,3 +6633,370 @@ def q_value_streaks(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_order_totals_check(sf_dir: str):
+    """Reconciliation audit (the drop_reconcile family, money edition):
+    per order status, how many orders exist, how many have NO
+    lineitems, and how many reconcile to within 1% of their lineitem
+    revenue sum (extendedprice x (1-discount) x (1+tax), carried as
+    exact 1e-6-dollar integers — the tolerance compare is pure int64).
+
+    One orderkey-hash exchange over the UNION of both tables (order
+    rows tagged, lineitem rows pre-summed per batch) resolves the
+    correlation without join machinery; per-part status counts ride
+    the 3-key combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+
+    parts = 64
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        u = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "st": t.column("o_orderstatus"),
+                "tot6": pc.multiply(
+                    pc.cast(
+                        pc.round(
+                            pc.multiply(
+                                t.column("o_totalprice"), pa.scalar(100.0)
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                    pa.scalar(10_000, pa.int64()),
+                ),
+                "rev6": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_order": pa.array(np.ones(n, dtype=np.int64)),
+                "nl": pa.array(np.zeros(n, dtype=np.int64)),
+                "opart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        ec = pc.cast(
+            pc.round(
+                pc.multiply(t.column("l_extendedprice"), pa.scalar(100.0))
+            ),
+            pa.int64(),
+        )
+        dc = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        tc = pc.cast(
+            pc.round(pc.multiply(t.column("l_tax"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        rev6 = pc.multiply(
+            pc.multiply(
+                ec, pc.subtract(pa.scalar(100, pa.int64()), dc)
+            ),
+            pc.add(pa.scalar(100, pa.int64()), tc),
+        )
+        g = (
+            pa.table(
+                {
+                    "okey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                    "rev6": rev6,
+                }
+            )
+            .group_by(["okey"])
+            .aggregate([("rev6", "sum"), ([], "count_all")])
+            .rename_columns(["okey", "rev6", "nl"])
+        )
+        u = g.column("okey").to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        return pa.table(
+            {
+                "okey": g.column("okey"),
+                "st": pa.nulls(n, pa.string()),
+                "tot6": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev6": pc.cast(g.column("rev6"), pa.int64()),
+                "is_order": pa.array(np.zeros(n, dtype=np.int64)),
+                "nl": pc.cast(g.column("nl"), pa.int64()),
+                "opart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    union = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+        .map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _read(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+            ).map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    )
+
+    _empty = pa.table(
+        {
+            "o_orderstatus": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_no_lines": pa.array([], pa.int64()),
+            "n_within_1pct": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        o = t.filter(pc.equal(t.column("is_order"), 1))
+        if not o.num_rows:
+            return _empty
+        lg = (
+            t.filter(pc.equal(t.column("is_order"), 0))
+            .group_by(["okey"])
+            .aggregate([("rev6", "sum"), ("nl", "sum")])
+            .rename_columns(["okey", "rev6", "nl"])
+        )
+        ok = o.column("okey").to_numpy(zero_copy_only=False)
+        tot6 = o.column("tot6").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        rev = np.zeros(len(ok), dtype=np.int64)
+        nl = np.zeros(len(ok), dtype=np.int64)
+        lk = lg.column("okey").to_numpy(zero_copy_only=False)
+        if len(lk):
+            pos_in_sorted = np.searchsorted(ok[order], lk)
+            # lineitems always reference an existing order in this
+            # corpus; guard anyway so a dangling key can't crash
+            pos_in_sorted = np.minimum(pos_in_sorted, len(ok) - 1)
+            hit = ok[order][pos_in_sorted] == lk
+            rows = order[pos_in_sorted[hit]]
+            rev[rows] = lg.column("rev6").to_numpy(zero_copy_only=False)[hit]
+            nl[rows] = lg.column("nl").to_numpy(zero_copy_only=False)[hit]
+        within = 100 * np.abs(rev - tot6) <= tot6
+        return (
+            pa.table(
+                {
+                    "o_orderstatus": o.column("st"),
+                    "n_orders": pa.array(np.ones(len(ok), dtype=np.int64)),
+                    "n_no_lines": pa.array((nl == 0).astype(np.int64)),
+                    "n_within_1pct": pa.array(within.astype(np.int64)),
+                }
+            )
+            .group_by(["o_orderstatus"])
+            .aggregate(
+                [
+                    ("n_orders", "sum"),
+                    ("n_no_lines", "sum"),
+                    ("n_within_1pct", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["o_orderstatus", "n_orders", "n_no_lines", "n_within_1pct"]
+            )
+        )
+
+    partials = task_exchange(union, "opart", parts, per_part)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["o_orderstatus"])
+            .aggregate(
+                [
+                    ("n_orders", "sum"),
+                    ("n_no_lines", "sum"),
+                    ("n_within_1pct", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["o_orderstatus", "n_orders", "n_no_lines", "n_within_1pct"]
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "n_no_lines": pc.cast(t.column("n_no_lines"), pa.int64()),
+                "n_within_1pct": pc.cast(
+                    t.column("n_within_1pct"), pa.int64()
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_vocab_by_lang(sf_dir: str):
+    """Heaps-law vocabulary curve input: exact distinct-token count per
+    language (lowercased whitespace tokens, the doc_freq tokenizer
+    contract).  Token expansion happens per batch; only distinct
+    (lang, token) pairs per batch ever leave a task
+    (stages/aggregate.distinct_count_by)."""
+    import numpy as np
+
+    from rayslog.kernels import texthash as tx
+    from rayslog.stages.aggregate import distinct_count_by
+
+    def flat_tokens(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=True)
+        counts = np.diff(offs)
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        return pa.table({"lang": lang.take(pa.array(rep)), "token": flat})
+
+    ds = _read(sf_dir, "documents", ["text", "lang"]).map_batches(
+        flat_tokens, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8_192,
+    )
+    return distinct_count_by(ds, "lang", "token", alias="vocab")
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation extraction: the corpus's top-20 token bigrams by
+    count, each with its pointwise mutual information
+    ln(p(xy) / (p(x)p(y))) from exact global counts.
+
+    Two scans, both scale-safe: (1) the top_ngrams exchange plan
+    (distinct-bigram partials -> key-hash exchange -> top-k tree)
+    yields the 20 winners — a bounded driver collect; (2) one more
+    corpus pass counts ONLY the winners' <=40 words (broadcast watch
+    list) plus the global token/bigram totals, merged through a tiny
+    tree.  The float PMI is computed from BIGINT counts in the
+    identical double expression on both sides."""
+    import numpy as np
+
+    from rayslog.kernels import texthash as tx
+    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.text import _bigram_partial_impl, _exchange_topk_sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+    top = _exchange_topk_sum(
+        docs.map_batches(
+            lambda t: _bigram_partial_impl(t, "text"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=8_192,
+        ),
+        "ngram",
+        "n",
+        20,
+    ).to_pandas()  # bounded: 20 rows
+    ngrams = list(top["ngram"])
+    n_bi = [int(x) for x in top["n"]]
+    words = sorted({w for g in ngrams for w in g.split(" ")})
+    watch = pa.array(words, pa.string())
+
+    TB_KEY, TU_KEY = "\t__total_bigrams__", "\t__total_tokens__"
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=False)
+        counts = np.diff(offs)
+        tb = int(np.maximum(counts - 1, 0).sum())
+        tu = int(counts.sum())
+        w = flat.filter(pc.is_in(flat, value_set=watch))
+        g = (
+            pa.table({"key": w})
+            .group_by(["key"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["key", "c"])
+        )
+        extra = pa.table(
+            {
+                "key": pa.array([TB_KEY, TU_KEY], pa.string()),
+                "c": pa.array([tb, tu], pa.int64()),
+            }
+        )
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "key": g.column("key"),
+                        "c": pc.cast(g.column("c"), pa.int64()),
+                    }
+                ),
+                extra,
+            ]
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["key"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["key", "c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_pylist()
+        cs = t.column("c").to_pylist()
+        cnt = dict(zip(keys, cs))
+        tb = float(cnt.get(TB_KEY, 0))
+        tu = float(cnt.get(TU_KEY, 0))
+        import math
+
+        pmi = []
+        for g, n in zip(ngrams, n_bi):
+            w1, w2 = g.split(" ", 1)
+            num = float(n) * tu * tu
+            den = tb * float(cnt[w1]) * float(cnt[w2])
+            # math.log == libm == DuckDB ln; numpy's SIMD log is 1 ULP
+            # off on some inputs (ULP trap catalogue, CLAUDE.md #4)
+            pmi.append(math.log(num / den))
+        return pa.table(
+            {
+                "ngram": pa.array(ngrams, pa.string()),
+                "n": pa.array(n_bi, pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    if not ngrams:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return tree_reduce(
+        docs.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=8_192,
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -2590,6 +2590,68 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # money reconciliation: per status, orders with no lineitems and
+    # orders whose lineitem revenue (1e-6-dollar ints) is within 1% of
+    # o_totalprice — the tolerance compare is exact int64 on both sides
+    q["order_totals_check"] = """
+WITH l AS (
+  SELECT l_orderkey, CAST(sum(
+      CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS rev6,
+    CAST(count(*) AS BIGINT) AS nl
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderstatus,
+    CAST(round(o_totalprice*100) AS BIGINT) * 10000 AS tot6,
+    coalesce(l.rev6, 0) AS rev6, coalesce(l.nl, 0) AS nl
+  FROM orders LEFT JOIN l ON o_orderkey = l.l_orderkey
+)
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN nl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+  CAST(sum(CASE WHEN 100*abs(rev6 - tot6) <= tot6 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_within_1pct
+FROM o GROUP BY o_orderstatus
+"""
+    # exact per-language vocabulary size (doc_freq tokenizer contract:
+    # lowercased whitespace tokens)
+    q["vocab_by_lang"] = r"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+)
+SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS vocab
+FROM t GROUP BY lang
+"""
+    # top-20 bigram collocations with exact-count PMI; the double
+    # expression mirrors the engine's multiplication order exactly
+    q["bigram_pmi"] = r"""
+WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1]
+  )) AS ngram
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY ngram),
+top AS (SELECT ngram, n FROM bc ORDER BY n DESC, ngram LIMIT 20),
+tot AS (SELECT
+  CAST(sum(greatest(coalesce(len(toks), 0) - 1, 0)) AS BIGINT) AS tb,
+  CAST(sum(coalesce(len(toks), 0)) AS BIGINT) AS tu FROM t),
+ug AS (SELECT unnest(toks) AS tok FROM t),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY tok)
+SELECT top.ngram, top.n,
+  ln((CAST(top.n AS DOUBLE) * CAST(tot.tu AS DOUBLE)
+        * CAST(tot.tu AS DOUBLE))
+     / (CAST(tot.tb AS DOUBLE) * CAST(u1.c AS DOUBLE)
+        * CAST(u2.c AS DOUBLE))) AS pmi
+FROM top CROSS JOIN tot
+JOIN uc u1 ON u1.tok = split_part(top.ngram, ' ', 1)
+JOIN uc u2 ON u2.tok = split_part(top.ngram, ' ', 2)
+"""
     # calendar-spine anti-join: days in the order-date range with no
     # orders (the engine diffs an arange spine against the distinct set)
     q["quiet_days"] = """

@@ -83,6 +83,9 @@ QUERY_NAMES = [
     "quiet_days",
     "host_peak_hour",
     "value_streaks",
+    "order_totals_check",
+    "vocab_by_lang",
+    "bigram_pmi",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_check": p.q_order_totals_check,  # money reconciliation
         "vocab_by_lang": p.q_vocab_by_lang,  # exact distinct tokens per lang
         "bigram_pmi": p.q_bigram_pmi,  # collocations: top-20 + exact PMI
+        "turn_latency_hist": p.q_turn_latency_hist,  # north-rule LAG deltas
+        "biggest_order_per_customer": p.q_biggest_order_per_customer,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

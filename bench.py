@@ -587,6 +587,14 @@ def _run_bench() -> dict:
             "bigram_pmi",
             lambda: p.q_bigram_pmi(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "turn_latency_hist",
+            lambda: p.q_turn_latency_hist(SF_DIR).count(),
+        )
+        timed_extra(
+            "biggest_order_per_customer",
+            lambda: p.q_biggest_order_per_customer(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -7000,3 +7000,173 @@ def q_bigram_pmi(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_turn_latency_hist(sf_dir: str):
+    """Inter-turn latency histogram over the north-rule table: deltas
+    between consecutive parsed timestamps within each conversation
+    (turn order, parse-ok turns only), bucketed in whole minutes
+    (negative deltas clamp to bucket 0 — 3164 timestamps carry no year,
+    so a conversation crossing the pinned default year can step back).
+    One conv-hash exchange + lexsort/diff; bounded per-part bucket
+    counts ride the combiner tree."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import parsed_only, task_exchange, tree_reduce
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+    MIN_US = np.int64(60_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts_parsed")))
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "ts_us": t.column("ts_parsed").cast(pa.int64()),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "bucket_min": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c, s = codes[order], ts[order]
+        same = c[1:] == c[:-1]
+        if not same.any():
+            return _empty
+        d = np.maximum(s[1:][same] - s[:-1][same], 0)
+        bucket = d // MIN_US
+        u, n = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket_min": pa.array(u, pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = task_exchange(
+        parsed_only(parsed_dataset(sf_dir)).select_columns(
+            ["conv_id", "turn_idx", "ts_parsed"]
+        ),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["bucket_min"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["bucket_min", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket_min": t.column("bucket_min"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )
+
+
+def q_biggest_order_per_customer(sf_dir: str):
+    """Greatest-row-per-group: each customer's single biggest order
+    (totalprice desc, orderkey asc on ties), returning the full order
+    attributes — the top-1-with-payload window shape.  The per-key
+    keep-best reduce is re-applicable, so per-batch winners merge
+    through the cardinality-adaptive combiner tree (customers scale
+    with the fleet -> hash-range split past the threshold); the money
+    compare runs on exact integer cents."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def best(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -cents, ck))
+        first = np.r_[True, ck[order][1:] != ck[order][:-1]]
+        pick = pa.array(order[first])
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").take(pick),
+                "o_orderkey": t.column("o_orderkey").take(pick),
+                "o_totalprice": t.column("o_totalprice").take(pick),
+                "cents": t.column("cents").take(pick),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return best(
+            pa.table(
+                {
+                    "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                    "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                    "o_totalprice": t.column("o_totalprice"),
+                    "cents": pc.cast(
+                        pc.round(
+                            pc.multiply(
+                                t.column("o_totalprice"), pa.scalar(100.0)
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["cents"])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        best,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["c_custkey"],
+    )

@@ -2590,6 +2590,20 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # greatest-row-per-group: each customer's biggest order with
+    # attributes (cents-exact money compare, orderkey tiebreak)
+    q["biggest_order_per_customer"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+               o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM r WHERE rn = 1
+"""
     # money reconciliation: per status, orders with no lineitems and
     # orders whose lineitem revenue (1e-6-dollar ints) is within 1% of
     # o_totalprice — the tolerance compare is exact int64 on both sides
@@ -2884,6 +2898,20 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
         "host_traffic": base
 + "SELECT hostname, count(*) AS n_turns FROM allok GROUP BY hostname"
 " ORDER BY n_turns DESC, hostname LIMIT 20",
+        # inter-turn latency histogram: LAG deltas within conversation
+        # (minute buckets, negatives clamp to 0 — no-year 3164 stamps)
+        "turn_latency_hist": base
+        + """
+, lagd AS (
+  SELECT epoch_us(ts_parsed)
+    - lag(epoch_us(ts_parsed))
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+  FROM allok WHERE ts_parsed IS NOT NULL
+)
+SELECT CAST(greatest(d, 0) // 60000000 AS BIGINT) AS bucket_min,
+  CAST(count(*) AS BIGINT) AS n
+FROM lagd WHERE d IS NOT NULL GROUP BY 1
+""",
         # per-host peak hour: argmax with ties -> smallest hour (the
         # classic max-join-min construction, deterministic both sides)
         "host_peak_hour": base

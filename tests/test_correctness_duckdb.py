@@ -86,6 +86,8 @@ QUERY_NAMES = [
     "order_totals_check",
     "vocab_by_lang",
     "bigram_pmi",
+    "turn_latency_hist",
+    "biggest_order_per_customer",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": p.q_bigram_pmi,  # collocations: top-20 + exact PMI
         "turn_latency_hist": p.q_turn_latency_hist,  # north-rule LAG deltas
         "biggest_order_per_customer": p.q_biggest_order_per_customer,
+        "user_activity_span": p.q_user_activity_span,  # profile build
+        "source_quality_profile": p.q_source_quality_profile,
+        "trimmed_mean_value": p.q_trimmed_mean_value,  # p5-p95 robust mean
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

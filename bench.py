@@ -595,6 +595,18 @@ def _run_bench() -> dict:
             "biggest_order_per_customer",
             lambda: p.q_biggest_order_per_customer(SF_DIR).count(),
         )
+        timed_extra(
+            "user_activity_span",
+            lambda: p.q_user_activity_span(SF_DIR).count(),
+        )
+        timed_extra(
+            "source_quality_profile",
+            lambda: p.q_source_quality_profile(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "trimmed_mean_value",
+            lambda: p.q_trimmed_mean_value(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -7170,3 +7170,283 @@ def q_biggest_order_per_customer(sf_dir: str):
         final_fn=final_fn,
         split_keys=["c_custkey"],
     )
+
+
+def q_user_activity_span(sf_dir: str):
+    """User profile build: per user, first/last event timestamps, total
+    events and distinct active days — the canonical activity-span table
+    a training pipeline derives before cohorting.  One user-hash
+    exchange resolves all four aggregates vectorized (lexsort +
+    reduceat + distinct (user, day) pair counting); output rows are
+    complete per part, so nothing re-aggregates downstream."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.timestamp("us")),
+            "last_ts": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "active_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        order = np.argsort(codes, kind="stable")
+        c, s = codes[order], ts[order]
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        first = np.minimum.reduceat(s, starts)
+        last = np.maximum.reduceat(s, starts)
+        n_ev = np.diff(np.r_[starts, len(c)])
+        d = ts // DAY_US
+        pair_order = np.lexsort((d, codes))
+        pc_, pd_ = codes[pair_order], d[pair_order]
+        new_pair = np.r_[True, (pc_[1:] != pc_[:-1]) | (pd_[1:] != pd_[:-1])]
+        active = np.bincount(pc_[new_pair], minlength=len(uniq))
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "first_ts": pa.array(first).cast(pa.timestamp("us")),
+                "last_ts": pa.array(last).cast(pa.timestamp("us")),
+                "n_events": pa.array(n_ev.astype(np.int64)),
+                "active_days": pa.array(active.astype(np.int64)),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_source_quality_profile(sf_dir: str):
+    """Curation health rollup: per document source, exact corpus-level
+    quality ratios — alphabetic share (sum of alpha chars over sum of
+    chars, NOT a float mean of per-doc ratios, so the distributed sum
+    stays order-independent) and average tokens per doc.  Per-batch
+    int64 partial sums ride the bounded-strata combiner tree; the two
+    ratios are single double divisions in the final task."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        feats = pa.table(
+            {
+                "source": t.column("source"),
+                "chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "tokens": pc.cast(
+                    pc.count_substring_regex(txt, r"\S+"), pa.int64()
+                ),
+                "alpha": pc.cast(
+                    pc.count_substring_regex(txt, r"[A-Za-z]"), pa.int64()
+                ),
+            }
+        )
+        return (
+            feats.group_by(["source"])
+            .aggregate(
+                [
+                    ("chars", "sum"),
+                    ("tokens", "sum"),
+                    ("alpha", "sum"),
+                    ([], "count_all"),
+                ]
+            )
+            .rename_columns(["source", "chars", "tokens", "alpha", "n_docs"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source"])
+            .aggregate(
+                [
+                    ("chars", "sum"),
+                    ("tokens", "sum"),
+                    ("alpha", "sum"),
+                    ("n_docs", "sum"),
+                ]
+            )
+            .rename_columns(["source", "chars", "tokens", "alpha", "n_docs"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        # all-null-text sources sum to null: coalesce to 0 like the SQL
+        chars = pc.fill_null(t.column("chars"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        tokens = pc.fill_null(t.column("tokens"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        alpha = pc.fill_null(t.column("alpha"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        alpha_ratio = [
+            (float(a) / float(c)) if c else None
+            for a, c in zip(alpha, chars)
+        ]
+        avg_tokens = [float(tk) / float(nn) for tk, nn in zip(tokens, n)]
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "n_tokens": pa.array(tokens.astype("int64")),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+                "avg_tokens": pa.array(avg_tokens, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "alpha_ratio": pa.array([], pa.float64()),
+                    "avg_tokens": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "documents", ["source", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_trimmed_mean_value(sf_dir: str):
+    """Outlier-robust grouped mean: per event type, the mean of values
+    inside the type's own exact [p5, p95] band (thresholds derived from
+    the corpus — the length_band_filter discipline applied to money).
+    One scan: the (type, cents) projection materializes once, the
+    grouped inverse-CDF gates come from the ref-level histogram tree,
+    and the conditional sums re-read the SAME blocks with the gates as
+    closure constants; exact int64 cents all the way to one final
+    double division."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        grouped_quantiles_int_from_refs,
+        live_block_refs,
+        tree_reduce_refs,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    refs = live_block_refs(mat)
+    qdf = grouped_quantiles_int_from_refs(
+        refs, "event_type", "c", quantiles=(0.05, 0.95)
+    )
+    lo, hi = {}, {}
+    for r in qdf.itertuples():
+        (lo if r.q == "p5" else hi)[r.event_type] = int(r.value)
+    if not lo:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "trimmed_mean": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = sorted(lo)
+    lo_a = np.array([lo[k] for k in types], dtype=np.int64)
+    hi_a = np.array([hi[k] for k in types], dtype=np.int64)
+    types_arr = pa.array(types, pa.string())
+
+    def cond_reduce(t: pa.Table) -> pa.Table:
+        if "s" in t.column_names:  # later rounds: sum partials
+            return (
+                t.group_by(["event_type"])
+                .aggregate([("s", "sum"), ("n_kept", "sum")])
+                .rename_columns(["event_type", "s", "n_kept"])
+            )
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = pc.index_in(et, value_set=types_arr).to_numpy(
+            zero_copy_only=False
+        )
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        keep = (c >= lo_a[code]) & (c <= hi_a[code])
+        s = np.zeros(len(types), dtype=np.int64)
+        n = np.zeros(len(types), dtype=np.int64)
+        np.add.at(s, code[keep], c[keep])
+        np.add.at(n, code[keep], 1)
+        return pa.table(
+            {
+                "event_type": types_arr,
+                "s": pa.array(s),
+                "n_kept": pa.array(n),
+            }
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_kept"), 0))
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n_kept").to_numpy(zero_copy_only=False)
+        tm = [float(ss) / 100.0 / float(nn) for ss, nn in zip(s, n)]
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_kept": pc.cast(t.column("n_kept"), pa.int64()),
+                "trimmed_mean": pa.array(tm, pa.float64()),
+            }
+        )
+
+    return rd.from_arrow(
+        tree_reduce_refs(refs, cond_reduce, final_fn=final_fn)
+    )

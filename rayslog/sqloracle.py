@@ -2590,6 +2590,55 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # per-user activity span: first/last seen, counts, distinct days
+    q["user_activity_span"] = """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days
+FROM events GROUP BY user_id
+"""
+    # per-source corpus quality rollup: ratios of exact integer sums
+    # (never a float mean of per-doc ratios)
+    q["source_quality_profile"] = r"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT)
+    AS n_tokens,
+  CASE WHEN coalesce(sum(length(text)), 0) = 0 THEN NULL
+       ELSE CAST(coalesce(sum(len(regexp_extract_all(text, '[A-Za-z]'))),
+                          0) AS DOUBLE)
+            / CAST(coalesce(sum(length(text)), 0) AS DOUBLE) END
+    AS alpha_ratio,
+  CAST(coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS avg_tokens
+FROM documents GROUP BY source
+"""
+    # grouped trimmed mean: per type, mean of values inside the type's
+    # exact [p5, p95] band (length_band inverse-CDF window rule)
+    q["trimmed_mean_value"] = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+),
+h AS (SELECT event_type, c AS v, count(*) AS n FROM c GROUP BY 1, 2),
+w AS (
+  SELECT event_type, v,
+    sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+    sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+),
+b AS (
+  SELECT event_type,
+    min(CASE WHEN cum >= ceil(0.05 * tot) THEN v END) AS lo,
+    min(CASE WHEN cum >= ceil(0.95 * tot) THEN v END) AS hi
+  FROM w GROUP BY event_type
+)
+SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE)/100.0
+    / CAST(count(*) AS DOUBLE) AS trimmed_mean
+FROM c JOIN b USING (event_type)
+WHERE c.c >= b.lo AND c.c <= b.hi
+GROUP BY c.event_type
+"""
     # greatest-row-per-group: each customer's biggest order with
     # attributes (cents-exact money compare, orderkey tiebreak)
     q["biggest_order_per_customer"] = """

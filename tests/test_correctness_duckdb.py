@@ -88,6 +88,9 @@ QUERY_NAMES = [
     "bigram_pmi",
     "turn_latency_hist",
     "biggest_order_per_customer",
+    "user_activity_span",
+    "source_quality_profile",
+    "trimmed_mean_value",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_span": p.q_user_activity_span,  # profile build
         "source_quality_profile": p.q_source_quality_profile,
         "trimmed_mean_value": p.q_trimmed_mean_value,  # p5-p95 robust mean
+        "segment_nation_lift": p.q_segment_nation_lift,  # contingency lift
+        "peak_active_users": p.q_peak_active_users,  # interval sweep
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

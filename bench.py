@@ -607,6 +607,14 @@ def _run_bench() -> dict:
             "trimmed_mean_value",
             lambda: p.q_trimmed_mean_value(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "segment_nation_lift",
+            lambda: p.q_segment_nation_lift(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "peak_active_users",
+            lambda: p.q_peak_active_users(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

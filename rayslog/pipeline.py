@@ -7450,3 +7450,280 @@ def q_trimmed_mean_value(sf_dir: str):
     return rd.from_arrow(
         tree_reduce_refs(refs, cond_reduce, final_fn=final_fn)
     )
+
+
+def q_segment_nation_lift(sf_dir: str):
+    """Contingency-lift analysis: for every (nation, market segment)
+    cell, the observed customer count and its lift over independence
+    (obs * total / (row_total * col_total)) — the feature-correlation
+    audit a curation run does before stratifying on two keys.  Counts
+    ride the bounded-strata combiner tree (25 nations x 5 segments);
+    the per-cell float lift is computed from exact BIGINT counts in
+    one final task (no float ever crosses tasks — a global chi-square
+    SUM would be order-dependent, per-cell lifts are not)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nation.column("n_nationkey").to_numpy()
+    names = nation.column("n_name").to_pylist()
+    order = np.argsort(nk)
+    nk_sorted = nk[order]
+    name_by_pos = [names[i] for i in order]
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nk_sorted, k)
+        nm = pa.array([name_by_pos[p] for p in pos], pa.string())
+        return (
+            pa.table(
+                {"n_name": nm, "c_mktsegment": t.column("c_mktsegment")}
+            )
+            .group_by(["n_name", "c_mktsegment"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_name", "c_mktsegment", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["n_name", "c_mktsegment"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["n_name", "c_mktsegment", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        nn = t.column("n_name").to_pylist()
+        seg = t.column("c_mktsegment").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = int(n.sum())
+        row = {}
+        col = {}
+        for a, b, c in zip(nn, seg, n):
+            row[a] = row.get(a, 0) + int(c)
+            col[b] = col.get(b, 0) + int(c)
+        lift = [
+            float(c) * float(tot) / (float(row[a]) * float(col[b]))
+            for a, b, c in zip(nn, seg, n)
+        ]
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_customers": pa.array(n),
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "lift": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_peak_active_users(sf_dir: str):
+    """Interval-sweep max concurrency: gap-sessionize every user's
+    events (30-min rule, the events_sessionize contract), then find the
+    peak number of simultaneously active sessions and the earliest
+    microsecond it is reached.
+
+    Distributed ordered-scan combine: (1) one user-hash exchange emits
+    per-part boundary deltas (+1 at session start, -1 just after end,
+    pre-summed per distinct timestamp); (2) a tiny tree finds the
+    global time range; (3) boundaries re-partition by TIME RANGE (the
+    one key this sweep must co-locate on), each range part computes
+    (delta_total, max_prefix, argmax_t) sorted locally; (4) the driver
+    folds the P range triples in time order — O(P) work, every sort and
+    sum on workers.  Partitioning assumption: boundary density is
+    roughly uniform over the time span (sessions per range part fit a
+    task)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce_refs
+
+    parts = 64
+    range_parts = 32
+    GAP_US = np.int64(1_800_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty_b = pa.table(
+        {"t": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty_b
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(u, return_inverse=True)
+        order = np.lexsort((eid, ts, codes))
+        c, s = codes[order], ts[order]
+        new_s = np.r_[True, (c[1:] != c[:-1]) | (s[1:] - s[:-1] > GAP_US)]
+        starts = np.nonzero(new_s)[0]
+        ends = np.r_[starts[1:], len(s)] - 1
+        b_t = np.r_[s[starts], s[ends] + 1]
+        b_d = np.r_[
+            np.ones(len(starts), dtype=np.int64),
+            -np.ones(len(starts), dtype=np.int64),
+        ]
+        # pre-sum per distinct boundary timestamp
+        ut, inv = np.unique(b_t, return_inverse=True)
+        dsum = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(dsum, inv, b_d)
+        return pa.table({"t": pa.array(ut), "d": pa.array(dsum)})
+
+    brefs = task_exchange(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+        return_refs=True,
+    )
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array(
+                    [int(pc.min(t.column("t")).as_py())], pa.int64()
+                ),
+                "hi": pa.array(
+                    [int(pc.max(t.column("t")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    def mm_reduce(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        return pa.table(
+            {
+                "lo": pa.array(
+                    [int(pc.min(t.column("lo")).as_py())], pa.int64()
+                ),
+                "hi": pa.array(
+                    [int(pc.max(t.column("hi")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], mm_reduce)
+    empty_out = pa.table(
+        {
+            "peak_active": pa.array([], pa.int64()),
+            "at_us": pa.array([], pa.int64()),
+        }
+    )
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    lo = int(mm.column("lo")[0].as_py())
+    hi = int(mm.column("hi")[0].as_py())
+    span = max(hi - lo + 1, 1)
+
+    @ray.remote
+    def split_ranges(t: pa.Table):
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        rp = ((tt - lo) * range_parts // span).astype(np.int64)
+        out = []
+        for i in range(range_parts):
+            m = rp == i
+            out.append(
+                pa.table(
+                    {
+                        "t": pa.array(tt[m]),
+                        "d": t.column("d").filter(pa.array(m)),
+                    }
+                )
+            )
+        return out
+
+    split_refs = [
+        split_ranges.options(num_returns=range_parts).remote(r)
+        for r in brefs
+    ]
+
+    @ray.remote
+    def sweep_range(*pieces):
+        t = pa.concat_tables(pieces)
+        if not t.num_rows:
+            return (0, None, None)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        dd = t.column("d").to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(tt, return_inverse=True)
+        ds = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(ds, inv, dd)
+        pref = np.cumsum(ds)
+        j = int(np.argmax(pref))  # first index of the max
+        return (int(pref[-1]), int(pref[j]), int(ut[j]))
+
+    triples = ray.get(
+        [
+            sweep_range.remote(
+                *[split_refs[b][i] for b in range(len(brefs))]
+            )
+            for i in range(range_parts)
+        ]
+    )
+    carry = 0
+    best = None
+    best_t = None
+    for total, mx, mx_t in triples:
+        if mx is not None:
+            cand = carry + mx
+            if best is None or cand > best:
+                best, best_t = cand, mx_t
+        carry += total
+    if best is None:
+        return rd.from_arrow(empty_out)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "peak_active": pa.array([best], pa.int64()),
+                "at_us": pa.array([best_t], pa.int64()),
+            }
+        )
+    )

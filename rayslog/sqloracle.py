@@ -2590,6 +2590,48 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # contingency lift per (nation, segment) cell from exact counts
+    q["segment_nation_lift"] = """
+WITH c AS (
+  SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment
+),
+r AS (SELECT n_name, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY n_name),
+s AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS sn FROM c
+      GROUP BY c_mktsegment),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT c.n_name, c.c_mktsegment, c.n AS n_customers,
+  CAST(c.n AS DOUBLE) * CAST(t.tot AS DOUBLE)
+    / (CAST(r.rn AS DOUBLE) * CAST(s.sn AS DOUBLE)) AS lift
+FROM c JOIN r USING (n_name) JOIN s USING (c_mktsegment) CROSS JOIN t
+"""
+    # interval-sweep max concurrency over gap sessions (+1/-1 deltas,
+    # half-open end+1us, running-sum max with earliest-instant tie)
+    q["peak_active_users"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (SELECT user_id, ts, sum(new_s) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+s AS (SELECT user_id, sid, epoch_us(min(ts)) AS s_us,
+             epoch_us(max(ts)) AS e_us
+      FROM y GROUP BY user_id, sid),
+b AS (SELECT s_us AS t, CAST(1 AS BIGINT) AS d FROM s
+      UNION ALL SELECT e_us + 1, CAST(-1 AS BIGINT) FROM s),
+r AS (SELECT t, CAST(sum(d) AS BIGINT) AS ds FROM b GROUP BY t),
+c AS (SELECT t, sum(ds) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        AS active FROM r),
+m AS (SELECT max(active) AS mx FROM c)
+SELECT CAST(m.mx AS BIGINT) AS peak_active,
+  CAST(min(c.t) AS BIGINT) AS at_us
+FROM c CROSS JOIN m WHERE c.active = m.mx GROUP BY m.mx
+"""
     # per-user activity span: first/last seen, counts, distinct days
     q["user_activity_span"] = """
 SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,

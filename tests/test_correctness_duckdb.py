@@ -91,6 +91,8 @@ QUERY_NAMES = [
     "user_activity_span",
     "source_quality_profile",
     "trimmed_mean_value",
+    "segment_nation_lift",
+    "peak_active_users",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

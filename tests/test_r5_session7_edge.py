@@ -212,3 +212,48 @@ def test_dominant_share_two_level_vs_pandas():
             if 8 * row["qc"] > totals[row["pk"]]:
                 want.add((row["pk"], row["sk"]))
         assert got == want
+
+
+def test_interval_sweep_fold_vs_single_pass_fuzz():
+    """peak_active_users' range-partition fold == the single global
+    sweep, for any cut points (incl. empty ranges) and heavy ties."""
+    rng = np.random.default_rng(31)
+
+    def single(ts, ds):
+        ut, inv = np.unique(ts, return_inverse=True)
+        agg = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(agg, inv, ds)
+        pref = np.cumsum(agg)
+        j = int(np.argmax(pref))
+        return int(pref[j]), int(ut[j])
+
+    for _ in range(60):
+        n_sess = int(rng.integers(1, 80))
+        s = rng.integers(0, 100, n_sess).astype(np.int64)
+        e = s + rng.integers(0, 30, n_sess).astype(np.int64)
+        ts = np.r_[s, e + 1]
+        ds = np.r_[
+            np.ones(n_sess, dtype=np.int64),
+            -np.ones(n_sess, dtype=np.int64),
+        ]
+        want = single(ts, ds)
+        # fold over arbitrary range cuts
+        P = int(rng.integers(1, 9))
+        lo, hi = int(ts.min()), int(ts.max())
+        span = max(hi - lo + 1, 1)
+        rp = ((ts - lo) * P // span).astype(np.int64)
+        carry, best, best_t = 0, None, None
+        for i in range(P):
+            m = rp == i
+            if not m.any():
+                continue
+            ut, inv = np.unique(ts[m], return_inverse=True)
+            agg = np.zeros(len(ut), dtype=np.int64)
+            np.add.at(agg, inv, ds[m])
+            pref = np.cumsum(agg)
+            j = int(np.argmax(pref))
+            cand = carry + int(pref[j])
+            if best is None or cand > best:
+                best, best_t = cand, int(ut[j])
+            carry += int(pref[-1])
+        assert (best, best_t) == want

@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_value": p.q_trimmed_mean_value,  # p5-p95 robust mean
         "segment_nation_lift": p.q_segment_nation_lift,  # contingency lift
         "peak_active_users": p.q_peak_active_users,  # interval sweep
+        "value_minmax_scaled": p.q_value_minmax_scaled,  # feature scaling
+        "daily_type_matrix": p.q_daily_type_matrix,  # dense spine x type
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

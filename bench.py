@@ -615,6 +615,14 @@ def _run_bench() -> dict:
             "peak_active_users",
             lambda: p.q_peak_active_users(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_minmax_scaled",
+            lambda: p.q_value_minmax_scaled(SF_DIR).count(),
+        )
+        timed_extra(
+            "daily_type_matrix",
+            lambda: p.q_daily_type_matrix(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -7727,3 +7727,173 @@ def q_peak_active_users(sf_dir: str):
             }
         )
     )
+
+
+def q_value_minmax_scaled(sf_dir: str):
+    """Feature scaling: per-row min-max normalized value within its
+    event type ((v - min) / (max - min), NULL for constant groups —
+    DuckDB's x/0).  One materialized (id, type, cents) projection: the
+    per-type gates come from a bounded combiner tree over its blocks,
+    then the SAME blocks re-map with the gates as closure constants —
+    no second corpus scan, exact int cents into one double division
+    per row."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    refs = live_block_refs(mat)
+
+    def mm_reduce(t: pa.Table) -> pa.Table:
+        cols = (
+            ["event_type", "mn", "mx"]
+            if "mn" in t.column_names
+            else None
+        )
+        if cols is None:
+            g = (
+                t.select(["event_type", "c"])
+                .group_by(["event_type"])
+                .aggregate([("c", "min"), ("c", "max")])
+            )
+            return g.rename_columns(["event_type", "mn", "mx"])
+        return (
+            t.group_by(["event_type"])
+            .aggregate([("mn", "min"), ("mx", "max")])
+            .rename_columns(["event_type", "mn", "mx"])
+        )
+
+    gates = tree_reduce_refs(refs, mm_reduce)
+    if not gates.num_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "scaled": pa.array([], pa.float64()),
+                }
+            )
+        )
+    types = gates.column("event_type").to_pylist()
+    mn = gates.column("mn").to_numpy(zero_copy_only=False).astype(np.int64)
+    mx = gates.column("mx").to_numpy(zero_copy_only=False).astype(np.int64)
+    srt = np.argsort(np.asarray(types, dtype=object))
+    types_arr = pa.array([types[i] for i in srt], pa.string())
+    mn, mx = mn[srt], mx[srt]
+
+    @ray.remote
+    def scale(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = pc.index_in(et, value_set=types_arr).to_numpy(
+            zero_copy_only=False
+        )
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        lo, hi = mn[code], mx[code]
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (c - lo).astype(np.float64) / span.astype(np.float64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "scaled": pa.array(
+                    s, pa.float64(), mask=(span == 0)
+                ),
+            }
+        )
+
+    out = ray.get([scale.remote(r) for r in refs])
+    out = [t for t in out if t.num_rows] or out[:1]
+    return rd.from_arrow(pa.concat_tables(out))
+
+
+def q_daily_type_matrix(sf_dir: str):
+    """Dense zero-filled time series: events per (day, type) INCLUDING
+    empty cells — the calendar-spine x category cross join every
+    forecasting pipeline needs before windowing.  Counts ride the
+    bounded (days x types) combiner tree; the final task crosses the
+    arange day spine with the seen types and fills zeros."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        return (
+            pa.table({"dayi": pa.array(d), "event_type": t.column("event_type")})
+            .group_by(["dayi", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["dayi", "event_type", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["dayi", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["dayi", "event_type", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        d = t.column("dayi").to_numpy(zero_copy_only=False)
+        types = sorted(set(t.column("event_type").to_pylist()))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        spine = np.arange(d.min(), d.max() + 1)
+        tix = {ty: i for i, ty in enumerate(types)}
+        dense = np.zeros((len(spine), len(types)), dtype=np.int64)
+        et = t.column("event_type").to_pylist()
+        dense[d - spine[0], [tix[x] for x in et]] = n
+        day_col = np.repeat(spine, len(types)) * DAY_US
+        return pa.table(
+            {
+                "day": pa.array(day_col).cast(pa.timestamp("us")),
+                "event_type": pa.array(types * len(spine), pa.string()),
+                "n": pa.array(dense.reshape(-1)),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -2590,6 +2590,35 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # per-row min-max feature scaling within event type (NULL for
+    # constant groups, DuckDB's x/0)
+    q["value_minmax_scaled"] = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+),
+m AS (SELECT event_type, min(c) AS mn, max(c) AS mx FROM c
+      GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+  CASE WHEN m.mx = m.mn THEN NULL
+       ELSE CAST(c.c - m.mn AS DOUBLE) / CAST(m.mx - m.mn AS DOUBLE) END
+    AS scaled
+FROM c JOIN m USING (event_type)
+"""
+    # dense zero-filled (day x type) count matrix via calendar spine
+    q["daily_type_matrix"] = """
+WITH e AS (SELECT date_trunc('day', ts) AS day, event_type FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n FROM e
+      GROUP BY day, event_type)
+SELECT CAST(s.day AS TIMESTAMP) AS day, ty.event_type,
+  coalesce(c.n, 0) AS n
+FROM spine s CROSS JOIN ty
+LEFT JOIN c ON c.day = s.day AND c.event_type = ty.event_type
+"""
     # contingency lift per (nation, segment) cell from exact counts
     q["segment_nation_lift"] = """
 WITH c AS (

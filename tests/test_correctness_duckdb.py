@@ -93,6 +93,8 @@ QUERY_NAMES = [
     "trimmed_mean_value",
     "segment_nation_lift",
     "peak_active_users",
+    "value_minmax_scaled",
+    "daily_type_matrix",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_active_users": p.q_peak_active_users,  # interval sweep
         "value_minmax_scaled": p.q_value_minmax_scaled,  # feature scaling
         "daily_type_matrix": p.q_daily_type_matrix,  # dense spine x type
+        "content_len_by_tag": p.q_content_len_by_tag,  # north-rule quantiles
+        "table_freshness": p.q_table_freshness,  # multi-table audit
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

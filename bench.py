@@ -623,6 +623,14 @@ def _run_bench() -> dict:
             "daily_type_matrix",
             lambda: p.q_daily_type_matrix(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "content_len_by_tag",
+            lambda: p.q_content_len_by_tag(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "table_freshness",
+            lambda: p.q_table_freshness(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

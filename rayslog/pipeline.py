@@ -7897,3 +7897,114 @@ def q_daily_type_matrix(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_content_len_by_tag(sf_dir: str):
+    """Exact p50/p95 of message content length per RFC3164 tag — the
+    grouped inverse-CDF quantile machinery applied to the north-rule
+    parse outputs (null contents count as empty, mirroring the Dump
+    contract)."""
+    from rayslog.stages.aggregate import grouped_quantiles_int, parsed_only
+
+    ds = parsed_only(parsed_dataset(sf_dir))
+
+    def feats(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("rfc"), 1),
+                pc.is_valid(t.column("tag")),
+            )
+        )
+        return pa.table(
+            {
+                "tag": t.column("tag"),
+                "clen": pc.cast(
+                    pc.utf8_length(
+                        pc.fill_null(t.column("content"), "")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantiles_int(
+        ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True),
+        "tag",
+        "clen",
+        quantiles=(0.5, 0.95),
+    )
+
+
+def q_table_freshness(sf_dir: str):
+    """Multi-table freshness audit: row count and latest timestamp per
+    fact table in one result — the ops query every scheduled pipeline
+    run starts with.  Three scalar combiner trees (one per table), a
+    driver union of three one-row results."""
+    import pyarrow as _pa
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    import ray.data as rd
+
+    def one(table: str, ts_col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_rows": pa.array([t.num_rows], pa.int64()),
+                    "max_us": pa.array(
+                        [pc.max(t.column(ts_col).cast(pa.int64())).as_py()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        def reduce_fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_rows": pa.array(
+                        [int(pc.sum(t.column("n_rows")).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                    "max_us": pa.array(
+                        [pc.max(t.column("max_us")).as_py()], pa.int64()
+                    ),
+                }
+            )
+
+        def empty_fn():
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "n_rows": pa.array([0], pa.int64()),
+                        "max_us": pa.array([None], pa.int64()),
+                    }
+                )
+            )
+
+        out = tree_reduce(
+            _read(sf_dir, table, [ts_col]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            reduce_fn,
+            empty_fn=empty_fn,
+        ).to_pandas()
+        n = int(out["n_rows"].iloc[0])
+        mx = out["max_us"].iloc[0]
+        return n, (None if n == 0 or mx != mx else int(mx))
+
+    rows = [
+        ("events", *one("events", "ts")),
+        ("lineitem", *one("lineitem", "l_shipdate")),
+        ("orders", *one("orders", "o_orderdate")),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tbl": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "max_ts": _pa.array(
+                    [r[2] for r in rows], _pa.int64()
+                ).cast(_pa.timestamp("us")),
+            }
+        )
+    )

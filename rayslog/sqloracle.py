@@ -2590,6 +2590,15 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # multi-table freshness audit (row counts + latest stamps)
+    q["table_freshness"] = """
+SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+  max(ts) AS max_ts FROM events
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT), max(l_shipdate) FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT), max(o_orderdate) FROM orders
+"""
     # per-row min-max feature scaling within event type (NULL for
     # constant groups, DuckDB's x/0)
     q["value_minmax_scaled"] = """
@@ -3031,6 +3040,27 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
 SELECT CAST(greatest(d, 0) // 60000000 AS BIGINT) AS bucket_min,
   CAST(count(*) AS BIGINT) AS n
 FROM lagd WHERE d IS NOT NULL GROUP BY 1
+""",
+        # grouped inverse-CDF p50/p95 of content length per 3164 tag
+        # (null content counts as empty, the Dump contract)
+        "content_len_by_tag": base
+        + """
+, clentab AS (
+  SELECT tag, CAST(length(coalesce(content, '')) AS BIGINT) AS v
+  FROM ok3 WHERE tag IS NOT NULL
+),
+clcnt AS (SELECT tag, v, count(*) AS n FROM clentab GROUP BY 1, 2),
+w AS (
+  SELECT tag, v,
+    sum(n) OVER (PARTITION BY tag ORDER BY v) AS cum,
+    sum(n) OVER (PARTITION BY tag) AS tot
+  FROM clcnt
+)
+SELECT tag, 'p50' AS q, CAST(min(v) AS DOUBLE) AS value
+FROM w WHERE cum >= ceil(0.5 * tot) GROUP BY tag
+UNION ALL
+SELECT tag, 'p95', CAST(min(v) AS DOUBLE)
+FROM w WHERE cum >= ceil(0.95 * tot) GROUP BY tag
 """,
         # per-host peak hour: argmax with ties -> smallest hour (the
         # classic max-join-min construction, deterministic both sides)

@@ -95,6 +95,8 @@ QUERY_NAMES = [
     "peak_active_users",
     "value_minmax_scaled",
     "daily_type_matrix",
+    "content_len_by_tag",
+    "table_freshness",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

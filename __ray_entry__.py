@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_type_matrix": p.q_daily_type_matrix,  # dense spine x type
         "content_len_by_tag": p.q_content_len_by_tag,  # north-rule quantiles
         "table_freshness": p.q_table_freshness,  # multi-table audit
+        "rolling_max": p.q_rolling_max,  # frame-window sliding max
+        "first_number": p.q_first_number,  # typed regex extraction
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

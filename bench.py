@@ -631,6 +631,14 @@ def _run_bench() -> dict:
             "table_freshness",
             lambda: p.q_table_freshness(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "rolling_max",
+            lambda: p.q_rolling_max(SF_DIR).count(),
+        )
+        timed_extra(
+            "first_number",
+            lambda: p.q_first_number(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

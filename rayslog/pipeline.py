@@ -8008,3 +8008,107 @@ def q_table_freshness(sf_dir: str):
             }
         )
     )
+
+
+def q_rolling_max(sf_dir: str):
+    """Frame-window maximum: per event, the max of the user's last 5
+    values (ROWS 4 PRECEDING..CURRENT) — the sliding-extreme companion
+    to rolling_avg's prefix-sum mean.  One user-hash exchange; the
+    window max is 4 shifted vectorized maximum passes (no per-row
+    loop), user boundaries respected via the within-user position."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+    W = 5
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "c": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "max5_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        v = t.column("c").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(u, return_inverse=True)
+        order = np.lexsort((eid, ts, codes))
+        c, vv = codes[order], v[order]
+        new_user = np.r_[True, c[1:] != c[:-1]]
+        starts = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.r_[starts, len(c)])
+        pos = np.arange(len(c)) - np.repeat(starts, seg_len)
+        m = vv.copy()
+        for k in range(1, W):
+            valid = pos[k:] >= k
+            np.maximum(
+                m[k:], np.where(valid, vv[:-k], np.int64(-(2**62))),
+                out=m[k:],
+            )
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "max5_value": pa.array(
+                    m[inv].astype(np.float64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_first_number(sf_dir: str):
+    """Typed extraction: the first integer run in each document's text
+    (NULL when absent) — the schema-projection step every log-mining
+    pipeline runs before typing a field.  One vectorized RE2
+    extract_regex pass per batch; semantics (leftmost match, NULL on
+    miss/null) mirror the oracle's nullif(regexp_extract(...))."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ext = pc.extract_regex(txt, r"(?P<num>[0-9]+)")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "num": pc.struct_field(ext, "num"),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -2590,6 +2590,25 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # frame-window max: last-5-values rolling maximum per user
+    q["rolling_max"] = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+    CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(max(c) OVER f AS DOUBLE) / 100.0 AS max5_value
+FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+    # typed extraction: first integer run per doc, NULL on miss
+    q["first_number"] = """
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE nullif(regexp_extract(text, '[0-9]+'), '') END AS num
+FROM documents
+"""
     # multi-table freshness audit (row counts + latest stamps)
     q["table_freshness"] = """
 SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,

@@ -97,6 +97,8 @@ QUERY_NAMES = [
     "daily_type_matrix",
     "content_len_by_tag",
     "table_freshness",
+    "rolling_max",
+    "first_number",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_freshness": p.q_table_freshness,  # multi-table audit
         "rolling_max": p.q_rolling_max,  # frame-window sliding max
         "first_number": p.q_first_number,  # typed regex extraction
+        "length_neighbor": p.q_length_neighbor,  # sorted-adjacency 1-NN
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -639,6 +639,10 @@ def _run_bench() -> dict:
             "first_number",
             lambda: p.q_first_number(SF_DIR).count(),
         )
+        timed_extra(
+            "length_neighbor",
+            lambda: p.q_length_neighbor(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

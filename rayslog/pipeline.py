@@ -8112,3 +8112,233 @@ def q_first_number(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_length_neighbor(sf_dir: str):
+    """Scalar 1-NN by sorted adjacency: each document's nearest
+    neighbor by character count within its language (ties prefer the
+    sort-order predecessor), the blocking step of scalar-feature entity
+    resolution.
+
+    Distributed sorted-adjacency: the nearest value in a total order
+    is always one of the two sort-adjacent rows, so (1) rows exchange
+    by (lang, n_chars-range-bucket) cells — equal values co-locate by
+    construction; (2) each cell resolves its interior rows vectorized
+    and emits its two edge rows with their in-cell candidates; (3) the
+    driver walks each lang's cells in bucket order and fixes up the
+    O(cells) boundary rows against the neighboring non-empty cell's
+    edge.  Partitioning assumption: one (lang, bucket) cell fits a
+    task — size ``buckets`` to the corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange
+
+    buckets = 32
+    parts = 64
+
+    # global n_chars range from parquet stats-level scan (one tiny read)
+    stat = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    if not stat.num_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo = int(pc.min(stat.column("n_chars")).as_py())
+    hi = int(pc.max(stat.column("n_chars")).as_py())
+    span = max(hi - lo + 1, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        b = (n - lo) * buckets // span
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        from rayslog.kernels import texthash as tx
+
+        h = tx.hash_utf8(lang, seed=3)
+        cell = h * np.uint64(buckets) + b.astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": lang,
+                "n_chars": t.column("n_chars"),
+                "bkt": pa.array(b.astype(np.int64)),
+                "cpart": pa.array(
+                    (cell % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "is_edge": pa.array([], pa.int8()),
+            "bkt": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "cand_id": pa.array([], pa.int64()),
+            "cand_n": pa.array([], pa.int64()),
+            "role": pa.array([], pa.int8()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        ln = np.asarray(lang.to_pylist(), dtype=object)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        bkt = t.column("bkt").to_numpy(zero_copy_only=False)
+        # sort cells: (lang, bucket, n_chars, doc_id)
+        order = np.lexsort((did, nch, bkt, ln))
+        L, B, N, D = ln[order], bkt[order], nch[order], did[order]
+        new_cell = np.r_[True, (L[1:] != L[:-1]) | (B[1:] != B[:-1])]
+        starts = np.nonzero(new_cell)[0]
+        ends = np.r_[starts[1:], len(L)] - 1
+        rows_out = []
+        for s, e in zip(starts, ends):
+            n_cell = e - s + 1
+            if n_cell >= 3:  # interior rows resolve here
+                i = np.arange(s + 1, e)
+                dprev = N[i] - N[i - 1]
+                dnext = N[i + 1] - N[i]
+                nb = np.where(dprev <= dnext, D[i - 1], D[i + 1])
+                rows_out.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(D[i]),
+                            "lang": pa.array(L[i], pa.string()),
+                            "neighbor_id": pa.array(nb),
+                            "is_edge": pa.array(
+                                np.zeros(len(i), np.int8)
+                            ),
+                            "bkt": pa.array(B[i]),
+                            "n_chars": pa.array(N[i]),
+                            "cand_id": pa.array(
+                                np.zeros(len(i), np.int64)
+                            ),
+                            "cand_n": pa.array(
+                                np.zeros(len(i), np.int64)
+                            ),
+                            "role": pa.array(np.zeros(len(i), np.int8)),
+                        }
+                    )
+                )
+            # edge rows: role 0=solo, 1=first, 2=last
+            if n_cell == 1:
+                edges = [(s, 0, -1, -1)]
+            else:
+                edges = [
+                    (s, 1, int(D[s + 1]), int(N[s + 1])),
+                    (e, 2, int(D[e - 1]), int(N[e - 1])),
+                ]
+            for i, role, cid, cn in edges:
+                rows_out.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array([int(D[i])], pa.int64()),
+                            "lang": pa.array([L[i]], pa.string()),
+                            "neighbor_id": pa.array([None], pa.int64()),
+                            "is_edge": pa.array([1], pa.int8()),
+                            "bkt": pa.array([int(B[i])], pa.int64()),
+                            "n_chars": pa.array([int(N[i])], pa.int64()),
+                            "cand_id": pa.array([cid], pa.int64()),
+                            "cand_n": pa.array([cn], pa.int64()),
+                            "role": pa.array([role], pa.int8()),
+                        }
+                    )
+                )
+        return pa.concat_tables(rows_out) if rows_out else _empty
+
+    out = task_exchange(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    ).materialize()
+
+    core = out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_edge"), 0)).select(
+            ["doc_id", "lang", "neighbor_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges = out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_edge"), 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # O(cells): <= 2 * langs * buckets rows
+
+    fixed = {"doc_id": [], "lang": [], "neighbor_id": []}
+    for lang_v, g in edges.groupby("lang", sort=False):
+        g = g.sort_values(["bkt", "n_chars", "doc_id", "role"])
+        recs = g.to_dict("records")
+        # cell chain in bucket order; prev/next NON-EMPTY cell edges
+        for i, r in enumerate(recs):
+            # candidates tagged pred(0)/succ(1): the |diff| tie must go
+            # to the sort-order PREDECESSOR, exactly the SQL's `<=` on
+            # LAG — never a doc_id tiebreak
+            cands = []
+            if r["cand_id"] != -1 and r["role"] != 0:
+                # in-cell adjacent row: successor for a first row,
+                # predecessor for a last row
+                cands.append(
+                    (r["cand_n"], 0 if r["role"] == 2 else 1,
+                     r["cand_id"])
+                )
+            # previous chain row (last row of the nearest smaller
+            # bucket) is the global predecessor; roles sort first<last
+            # within a cell
+            if r["role"] in (0, 1):
+                for j in range(i - 1, -1, -1):
+                    if recs[j]["bkt"] < r["bkt"]:
+                        cands.append(
+                            (recs[j]["n_chars"], 0, recs[j]["doc_id"])
+                        )
+                        break
+            if r["role"] in (0, 2):
+                for j in range(i + 1, len(recs)):
+                    if recs[j]["bkt"] > r["bkt"]:
+                        cands.append(
+                            (recs[j]["n_chars"], 1, recs[j]["doc_id"])
+                        )
+                        break
+            best = None
+            n0 = r["n_chars"]
+            for cn, side, cid in cands:
+                key = (abs(int(n0) - int(cn)), side)
+                if best is None or key < best[0]:
+                    best = (key, int(cid))
+            fixed["doc_id"].append(int(r["doc_id"]))
+            fixed["lang"].append(lang_v)
+            fixed["neighbor_id"].append(
+                best[1] if best is not None else None
+            )
+    return core.union(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(fixed["doc_id"], pa.int64()),
+                    "lang": pa.array(fixed["lang"], pa.string()),
+                    "neighbor_id": pa.array(
+                        fixed["neighbor_id"], pa.int64()
+                    ),
+                }
+            )
+        )
+    )

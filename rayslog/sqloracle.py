@@ -2590,6 +2590,24 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # scalar 1-NN by sorted adjacency: nearest doc by n_chars within
+    # lang; |diff| ties go to the sort-order predecessor
+    q["length_neighbor"] = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+    lag(doc_id)  OVER o AS pid, lag(n_chars)  OVER o AS pn,
+    lead(doc_id) OVER o AS nid, lead(n_chars) OVER o AS nn
+  FROM documents
+  WINDOW o AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+)
+SELECT doc_id, lang,
+  CASE WHEN pid IS NULL AND nid IS NULL THEN NULL
+       WHEN pid IS NULL THEN nid
+       WHEN nid IS NULL THEN pid
+       WHEN abs(n_chars - pn) <= abs(n_chars - nn) THEN pid
+       ELSE nid END AS neighbor_id
+FROM w
+"""
     # frame-window max: last-5-values rolling maximum per user
     q["rolling_max"] = """
 WITH w AS (

@@ -99,6 +99,7 @@ QUERY_NAMES = [
     "table_freshness",
     "rolling_max",
     "first_number",
+    "length_neighbor",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -257,3 +257,59 @@ def test_interval_sweep_fold_vs_single_pass_fuzz():
                 best, best_t = cand, int(ut[j])
             carry += int(pref[-1])
         assert (best, best_t) == want
+
+
+def test_length_neighbor_e2e_vs_duckdb_fuzz(ray_session, tmp_path):
+    """q_length_neighbor end-to-end == the LAG/LEAD SQL on adversarial
+    tiny corpora: heavy n_chars ties (values 0..5 force equal values
+    straddling cell-interior AND cell-boundary positions), solo cells,
+    empty buckets, single-doc langs."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rayslog.pipeline import q_length_neighbor
+
+    rng = np.random.default_rng(37)
+    con = duckdb.connect()
+    sql = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+    lag(doc_id)  OVER o AS pid, lag(n_chars)  OVER o AS pn,
+    lead(doc_id) OVER o AS nid, lead(n_chars) OVER o AS nn
+  FROM read_parquet(?)
+  WINDOW o AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+)
+SELECT doc_id, lang,
+  CASE WHEN pid IS NULL AND nid IS NULL THEN NULL
+       WHEN pid IS NULL THEN nid
+       WHEN nid IS NULL THEN pid
+       WHEN abs(n_chars - pn) <= abs(n_chars - nn) THEN pid
+       ELSE nid END AS neighbor_id
+FROM w ORDER BY doc_id
+"""
+    for trial in range(6):
+        n = int(rng.integers(1, 120))
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "es"], n),
+                "n_chars": rng.integers(0, 6, n).astype(np.int64),
+            }
+        )
+        d = tmp_path / f"corpus{trial}"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df), str(d / "documents.parquet"))
+        got = (
+            q_length_neighbor(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            sql, [str(d / "documents.parquet")]
+        ).fetchdf()
+        got["neighbor_id"] = got["neighbor_id"].astype("float64")
+        want["neighbor_id"] = want["neighbor_id"].astype("float64")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_max": p.q_rolling_max,  # frame-window sliding max
         "first_number": p.q_first_number,  # typed regex extraction
         "length_neighbor": p.q_length_neighbor,  # sorted-adjacency 1-NN
+        "monthly_active_customers": p.q_monthly_active_customers,  # MAU
+        "tool_usage": p.q_tool_usage,  # north-rule per-tool error rate
+        "supplier_balance_pctrank": p.q_supplier_balance_pctrank,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

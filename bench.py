@@ -643,6 +643,18 @@ def _run_bench() -> dict:
             "length_neighbor",
             lambda: p.q_length_neighbor(SF_DIR).count(),
         )
+        timed_extra(
+            "monthly_active_customers",
+            lambda: p.q_monthly_active_customers(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "tool_usage",
+            lambda: p.q_tool_usage(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "supplier_balance_pctrank",
+            lambda: p.q_supplier_balance_pctrank(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -8342,3 +8342,178 @@ def q_length_neighbor(sf_dir: str):
             )
         )
     )
+
+
+def q_monthly_active_customers(sf_dir: str):
+    """MAU curve on orders: exact distinct ordering customers per
+    month (the grouped count-distinct machinery over a month-truncated
+    key; only deduped (month, custkey) pairs leave a task)."""
+    from rayslog.stages.aggregate import distinct_count_by
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.floor_temporal(
+                    t.column("o_orderdate"), unit="month"
+                ),
+                "o_custkey": t.column("o_custkey"),
+            }
+        )
+
+    return distinct_count_by(
+        _read(sf_dir, "orders", ["o_orderdate", "o_custkey"]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "month",
+        "o_custkey",
+        alias="active_customers",
+    )
+
+
+def q_tool_usage(sf_dir: str):
+    """Per-tool health rollup on the north-rule table: total turns,
+    parse errors and error rate per transcript `tool` tag (the raw
+    column the parse outcome joins back onto).  Bounded-domain counts
+    through the combiner tree; the rate is one double division of
+    exact int64 counts."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    ds = parsed_dataset(
+        sf_dir, columns=("conv_id", "turn_idx", "text", "tool")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "tool": t.column("tool"),
+                    "err": pc.cast(
+                        pc.is_valid(t.column("parse_error")), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["tool"])
+            .aggregate([("err", "sum"), ([], "count_all")])
+            .rename_columns(["tool", "n_errors", "n_turns"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["tool"])
+            .aggregate([("n_errors", "sum"), ("n_turns", "sum")])
+            .rename_columns(["tool", "n_errors", "n_turns"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tool": t.column("tool"),
+                "n_turns": pc.cast(t.column("n_turns"), pa.int64()),
+                "n_errors": pc.cast(t.column("n_errors"), pa.int64()),
+                "error_rate": pc.divide(
+                    pc.cast(t.column("n_errors"), pa.float64()),
+                    pc.cast(t.column("n_turns"), pa.float64()),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "tool": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_errors": pa.array([], pa.int64()),
+                    "error_rate": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_supplier_balance_pctrank(sf_dir: str):
+    """PERCENT_RANK within nation: (rank-1)/(n-1) where rank carries
+    GAPS on ties (count of strictly smaller + 1 — the third tie
+    semantics after row_number and DENSE_RANK in the suite).  One
+    nation-hash exchange; ranks resolve vectorized per part
+    (searchsorted over the nation's sorted cents); single-supplier
+    nations emit 0.0, DuckDB's convention."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 16
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+                "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int32()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("s_acctbal"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+                "npart": pa.array(
+                    (k.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_nationkey": pa.array([], pa.int32()),
+            "pct_rank": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, nk))
+        nks, cs = nk[order], c[order]
+        starts = np.r_[0, np.nonzero(nks[1:] != nks[:-1])[0] + 1]
+        seg_len = np.diff(np.r_[starts, len(nks)])
+        seg_of = np.repeat(np.arange(len(starts)), seg_len)
+        # rank with gaps = count of strictly smaller within nation + 1
+        eq_prev = np.r_[False, (cs[1:] == cs[:-1]) & (nks[1:] == nks[:-1])]
+        # each row's rank-with-gaps = first index of its equal-value
+        # run, rebased to its nation start
+        run_start = np.r_[0, np.nonzero(~eq_prev[1:])[0] + 1]
+        run_len = np.diff(np.r_[run_start, len(cs)])
+        first_eq = np.repeat(run_start, run_len)
+        rank = first_eq - starts[seg_of] + 1
+        n = seg_len[seg_of]
+        pr = np.where(
+            n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0
+        ).astype(np.float64)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_nationkey": t.column("s_nationkey"),
+                "pct_rank": pa.array(pr[inv], pa.float64()),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]),
+        "npart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,19 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # MAU: exact distinct ordering customers per month
+    q["monthly_active_customers"] = """
+SELECT date_trunc('month', o_orderdate) AS month,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers
+FROM orders GROUP BY 1
+"""
+    # PERCENT_RANK (rank-with-gaps) of supplier balance within nation
+    q["supplier_balance_pctrank"] = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_nationkey,
+  percent_rank() OVER (PARTITION BY s_nationkey
+    ORDER BY CAST(round(s_acctbal*100) AS BIGINT)) AS pct_rank
+FROM supplier
+"""
     # scalar 1-NN by sorted adjacency: nearest doc by n_chars within
     # lang; |diff| ties go to the sort-order predecessor
     q["length_neighbor"] = """
@@ -3040,6 +3053,18 @@ FROM alln a LEFT JOIN okc USING (conv_id)
         "route_sinks": base
         + "SELECT severity, rfc, count(*) AS n_rows FROM allok"
         " GROUP BY severity, rfc",
+        # per-tool turn counts + parse-error rate (tool is a raw
+        # passthrough column; errors = rows absent from allok)
+        "tool_usage": base
+        + """
+, okt AS (SELECT tool, count(*) AS n_ok FROM allok GROUP BY tool),
+alln AS (SELECT tool, count(*) AS n_turns FROM t GROUP BY tool)
+SELECT a.tool, CAST(a.n_turns AS BIGINT) AS n_turns,
+  CAST(a.n_turns - coalesce(okt.n_ok, 0) AS BIGINT) AS n_errors,
+  CAST(a.n_turns - coalesce(okt.n_ok, 0) AS DOUBLE)
+    / CAST(a.n_turns AS DOUBLE) AS error_rate
+FROM alln a LEFT JOIN okt USING (tool)
+""",
         "enrich_route": base
         + """
 SELECT o.conv_id, o.turn_idx, o.severity, o.rfc,

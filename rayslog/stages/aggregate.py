@@ -643,6 +643,12 @@ def _null_fill_value(t: pa.DataType):
         return 0.0
     if pa.types.is_boolean(t):
         return False
+    if pa.types.is_timestamp(t):
+        # epoch 0 in the column's own unit/tz (the marker column
+        # carries the real nullness, the value just needs to exist)
+        return pa.scalar(0, t)
+    if pa.types.is_date(t) or pa.types.is_time(t):
+        return pa.scalar(0, t)
     raise TypeError(f"no null-fill placeholder for key type {t}")
 
 

@@ -100,6 +100,9 @@ QUERY_NAMES = [
     "rolling_max",
     "first_number",
     "length_neighbor",
+    "monthly_active_customers",
+    "tool_usage",
+    "supplier_balance_pctrank",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -313,3 +313,32 @@ FROM w ORDER BY doc_id
         got["neighbor_id"] = got["neighbor_id"].astype("float64")
         want["neighbor_id"] = want["neighbor_id"].astype("float64")
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_distinct_count_by_timestamp_key(ray_session):
+    """Timestamp group keys (incl. a NULL key group) flow through the
+    null-fill placeholder path added for monthly_active_customers."""
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import distinct_count_by
+
+    t = pa.table(
+        {
+            "month": pa.array(
+                [1_000_000, 1_000_000, 2_000_000, None, None, 2_000_000],
+                pa.timestamp("us"),
+            ),
+            "uid": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    for final in ("tree", "shuffle"):
+        out = (
+            distinct_count_by(
+                rd.from_arrow(t), "month", "uid", alias="n", final=final
+            )
+            .to_pandas()
+            .sort_values("month", na_position="first")
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [2, 1, 2], final
+        assert out["month"].isna().tolist() == [True, False, False]

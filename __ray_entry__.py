@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_active_customers": p.q_monthly_active_customers,  # MAU
         "tool_usage": p.q_tool_usage,  # north-rule per-tool error rate
         "supplier_balance_pctrank": p.q_supplier_balance_pctrank,
+        "value_ecdf_probes": p.q_value_ecdf_probes,  # calibration curve
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -655,6 +655,10 @@ def _run_bench() -> dict:
             "supplier_balance_pctrank",
             lambda: p.q_supplier_balance_pctrank(SF_DIR).count(),
         )
+        timed_extra(
+            "value_ecdf_probes",
+            lambda: p.q_value_ecdf_probes(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

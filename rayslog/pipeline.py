@@ -8517,3 +8517,75 @@ def q_supplier_balance_pctrank(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_value_ecdf_probes(sf_dir: str):
+    """Exact empirical CDF of event values at fixed probe points (the
+    calibration-curve op): for each probe, the share of events with
+    value <= probe.  Per-batch vectorized compare-counts collapse to
+    one bounded row set through the combiner tree; the share is one
+    double division of exact int64 counts per probe."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    probes_c = np.array([1000, 2500, 5000, 10000, 25000], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        counts = (c[:, None] <= probes_c[None, :]).sum(axis=0)
+        return pa.table(
+            {
+                "probe": pa.array(probes_c),
+                "n_le": pa.array(counts.astype(np.int64)),
+                "n_total": pa.array(
+                    np.full(len(probes_c), len(c), dtype=np.int64)
+                ),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["probe"])
+            .aggregate([("n_le", "sum"), ("n_total", "sum")])
+            .rename_columns(["probe", "n_le", "n_total"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "probe_value": pc.divide(
+                    pc.cast(t.column("probe"), pa.float64()), 100.0
+                ),
+                "n_le": pc.cast(t.column("n_le"), pa.int64()),
+                "cdf": pc.divide(
+                    pc.cast(t.column("n_le"), pa.float64()),
+                    pc.cast(t.column("n_total"), pa.float64()),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "probe_value": pa.array([], pa.float64()),
+                    "n_le": pa.array([], pa.int64()),
+                    "cdf": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -2590,6 +2590,20 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # exact empirical CDF at fixed probes (calibration curve)
+    q["value_ecdf_probes"] = """
+WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+p AS (SELECT unnest([1000, 2500, 5000, 10000, 25000]) AS probe),
+s AS (
+  SELECT p.probe,
+    CAST(count(*) FILTER (WHERE c.c <= p.probe) AS BIGINT) AS n_le,
+    CAST(count(*) AS BIGINT) AS n_total
+  FROM p CROSS JOIN c GROUP BY p.probe
+)
+SELECT CAST(probe AS DOUBLE)/100.0 AS probe_value, n_le,
+  CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS cdf
+FROM s
+"""
     # MAU: exact distinct ordering customers per month
     q["monthly_active_customers"] = """
 SELECT date_trunc('month', o_orderdate) AS month,

@@ -103,6 +103,7 @@ QUERY_NAMES = [
     "monthly_active_customers",
     "tool_usage",
     "supplier_balance_pctrank",
+    "value_ecdf_probes",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

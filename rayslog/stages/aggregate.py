@@ -659,6 +659,7 @@ def distinct_count_by(
     alias: str = "n_distinct",
     batch_size: int | None = None,
     final: str = "tree",
+    split_threshold: int = 2_000_000,
 ):
     """Exact ``count(DISTINCT value) GROUP BY group`` at scale.
 
@@ -739,8 +740,14 @@ def distinct_count_by(
                 )
             )
 
+        # auto-split by GROUP key (never the value): a group's whole
+        # pair set must stay in one sub-tree so count_groups stays
+        # complete per group; one group's values exceeding a task is
+        # the documented final="shuffle" case
         counted = tree_reduce(
-            pairs, dedupe, empty_fn=empty_fn, final_fn=count_groups
+            pairs, dedupe, empty_fn=empty_fn, final_fn=count_groups,
+            split_keys=[group_col, "__gnull"],
+            split_threshold=split_threshold,
         )
     elif final == "shuffle":
         deduped = pairs.groupby(keys3).aggregate(Count(alias_name="__c"))

@@ -342,3 +342,45 @@ def test_distinct_count_by_timestamp_key(ray_session):
         )
         assert out["n"].tolist() == [2, 1, 2], final
         assert out["month"].isna().tolist() == [True, False, False]
+
+
+def test_distinct_count_by_tree_auto_split(ray_session):
+    """The distinct tree hash-range splits by GROUP key past the
+    threshold and still counts exactly (groups never straddle
+    sub-trees); identical to the shuffle plan and the plain tree."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import distinct_count_by
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 500, n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    want = (
+        distinct_count_by(ds, "g", "v", alias="n", final="shuffle")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    got_split = (
+        distinct_count_by(ds, "g", "v", alias="n", split_threshold=100)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    got_plain = (
+        distinct_count_by(ds, "g", "v", alias="n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got_split, want)
+    pd.testing.assert_frame_equal(got_plain, want)

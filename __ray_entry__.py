@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage": p.q_tool_usage,  # north-rule per-tool error rate
         "supplier_balance_pctrank": p.q_supplier_balance_pctrank,
         "value_ecdf_probes": p.q_value_ecdf_probes,  # calibration curve
+        "ship_latency_quantiles": p.q_ship_latency_quantiles,  # join+CDF
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

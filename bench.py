@@ -659,6 +659,10 @@ def _run_bench() -> dict:
             "value_ecdf_probes",
             lambda: p.q_value_ecdf_probes(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "ship_latency_quantiles",
+            lambda: p.q_ship_latency_quantiles(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

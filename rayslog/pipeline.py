@@ -7938,77 +7938,84 @@ def q_content_len_by_tag(sf_dir: str):
 def q_table_freshness(sf_dir: str):
     """Multi-table freshness audit: row count and latest timestamp per
     fact table in one result — the ops query every scheduled pipeline
-    run starts with.  Three scalar combiner trees (one per table), a
-    driver union of three one-row results."""
-    import pyarrow as _pa
-
+    run starts with.  The three reads map to one common (tbl, ts_us)
+    schema and UNION into a single streaming pass, so one combiner
+    tree (one executor spin, not three) carries three grouped
+    (count, max) partials."""
     from rayslog.stages.aggregate import tree_reduce
 
-    import ray.data as rd
-
-    def one(table: str, ts_col: str):
-        def partial(t: pa.Table) -> pa.Table:
+    def prep(table: str, ts_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
             return pa.table(
                 {
-                    "n_rows": pa.array([t.num_rows], pa.int64()),
-                    "max_us": pa.array(
-                        [pc.max(t.column(ts_col).cast(pa.int64())).as_py()],
-                        pa.int64(),
-                    ),
+                    "tbl": pa.array([table] * n, pa.string()),
+                    "ts_us": t.column(ts_col).cast(pa.int64()),
                 }
             )
 
-        def reduce_fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "n_rows": pa.array(
-                        [int(pc.sum(t.column("n_rows")).as_py() or 0)],
-                        pa.int64(),
-                    ),
-                    "max_us": pa.array(
-                        [pc.max(t.column("max_us")).as_py()], pa.int64()
-                    ),
-                }
-            )
+        return fn
 
-        def empty_fn():
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        "n_rows": pa.array([0], pa.int64()),
-                        "max_us": pa.array([None], pa.int64()),
-                    }
-                )
-            )
-
-        out = tree_reduce(
-            _read(sf_dir, table, [ts_col]).map_batches(
-                partial, batch_format="pyarrow", zero_copy_batch=True
+    union = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            prep("events", "ts"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .union(
+            _read(sf_dir, "lineitem", ["l_shipdate"]).map_batches(
+                prep("lineitem", "l_shipdate"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             ),
-            reduce_fn,
-            empty_fn=empty_fn,
-        ).to_pandas()
-        n = int(out["n_rows"].iloc[0])
-        mx = out["max_us"].iloc[0]
-        return n, (None if n == 0 or mx != mx else int(mx))
-
-    rows = [
-        ("events", *one("events", "ts")),
-        ("lineitem", *one("lineitem", "l_shipdate")),
-        ("orders", *one("orders", "o_orderdate")),
-    ]
-    return rd.from_arrow(
-        pa.table(
-            {
-                "tbl": pa.array([r[0] for r in rows], pa.string()),
-                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
-                "max_ts": _pa.array(
-                    [r[2] for r in rows], _pa.int64()
-                ).cast(_pa.timestamp("us")),
-            }
+            _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+                prep("orders", "o_orderdate"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
         )
     )
 
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if "n_rows" in t.column_names:
+            return (
+                t.group_by(["tbl"])
+                .aggregate([("n_rows", "sum"), ("max_us", "max")])
+                .rename_columns(["tbl", "n_rows", "max_us"])
+            )
+        g = (
+            t.group_by(["tbl"])
+            .aggregate([([], "count_all"), ("ts_us", "max")])
+        )
+        return g.rename_columns(["tbl", "n_rows", "max_us"])
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tbl": t.column("tbl"),
+                "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+                "max_ts": pc.cast(t.column("max_us"), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "tbl": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "max_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+
+    return tree_reduce(union, reduce_fn, empty_fn=empty_fn,
+                       final_fn=final_fn)
 
 def q_rolling_max(sf_dir: str):
     """Frame-window maximum: per event, the max of the user's last 5
@@ -8589,3 +8596,81 @@ def q_value_ecdf_probes(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_ship_latency_quantiles(sf_dir: str):
+    """Exact p50/p95 of order→ship latency (days) per order priority —
+    the distributed-join → grouped inverse-CDF composition (ship_latency
+    gives the mean; tail percentiles are what an SLA audit actually
+    reads).  Join buckets stay in ref-land: one day-diff task per
+    bucket, then the per-(priority, days) histogram rides the ref-level
+    combiner tree (O(priorities x distinct day counts) rows — bounded
+    by the calendar, not the data)."""
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import grouped_quantiles_int_from_refs
+    from rayslog.stages.relational import hash_join
+
+    DAY_US = 86_400_000_000
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "oday": pc.divide(
+                    t.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "sday": pc.divide(
+                    t.column("l_shipdate").cast(pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        )
+
+    jrefs = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_orderkey",
+        return_refs=True,
+    )
+
+    @ray.remote
+    def to_days(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "ddays": pc.subtract(t.column("sday"), t.column("oday")),
+            }
+        )
+
+    df = grouped_quantiles_int_from_refs(
+        [to_days.remote(r) for r in jrefs],
+        "o_orderpriority",
+        "ddays",
+        quantiles=(0.5, 0.95),
+    )
+    if not len(df):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "q": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))

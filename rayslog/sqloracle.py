@@ -2590,6 +2590,27 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # join -> grouped inverse-CDF: p50/p95 ship latency per priority
+    q["ship_latency_quantiles"] = """
+WITH j AS (
+  SELECT o_orderpriority,
+    epoch_us(l_shipdate)//86400000000
+      - epoch_us(o_orderdate)//86400000000 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+c AS (SELECT o_orderpriority, v, count(*) AS n FROM j GROUP BY 1, 2),
+w AS (
+  SELECT o_orderpriority, v,
+    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+    sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM c
+)
+SELECT o_orderpriority, 'p50' AS q, CAST(min(v) AS DOUBLE) AS value
+FROM w WHERE cum >= ceil(0.5 * tot) GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 'p95', CAST(min(v) AS DOUBLE)
+FROM w WHERE cum >= ceil(0.95 * tot) GROUP BY o_orderpriority
+"""
     # exact empirical CDF at fixed probes (calibration curve)
     q["value_ecdf_probes"] = """
 WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),

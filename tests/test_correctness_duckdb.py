@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "tool_usage",
     "supplier_balance_pctrank",
     "value_ecdf_probes",
+    "ship_latency_quantiles",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_pctrank": p.q_supplier_balance_pctrank,
         "value_ecdf_probes": p.q_value_ecdf_probes,  # calibration curve
         "ship_latency_quantiles": p.q_ship_latency_quantiles,  # join+CDF
+        "top_value_events_per_type": p.q_top_value_events_per_type,
+        "region_nation_rollup": p.q_region_nation_rollup,  # ROLLUP
+        "conv_rfc_mix": p.q_conv_rfc_mix,  # north-rule dialect profile
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -663,6 +663,18 @@ def _run_bench() -> dict:
             "ship_latency_quantiles",
             lambda: p.q_ship_latency_quantiles(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "top_value_events_per_type",
+            lambda: p.q_top_value_events_per_type(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "region_nation_rollup",
+            lambda: p.q_region_nation_rollup(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_rfc_mix",
+            lambda: p.q_conv_rfc_mix(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -8674,3 +8674,282 @@ def q_ship_latency_quantiles(sf_dir: str):
             )
         )
     return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def q_top_value_events_per_type(sf_dir: str):
+    """Top-3 events by value per event type, returning the full rows
+    (value desc, event_id asc on ties) — the k>1 generalization of the
+    keep-best reduce: 'keep each key's top-3' is itself re-applicable,
+    so per-batch top-3s merge through the cardinality-adaptive tree
+    and no sort-shuffle ever runs."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    K = 3
+
+    def topk(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        _, codes = np.unique(
+            et.cast(pa.large_string()).to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        c = t.column("vc").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -c, codes))
+        cs = codes[order]
+        starts = np.r_[0, np.nonzero(cs[1:] != cs[:-1])[0] + 1]
+        seg_len = np.diff(np.r_[starts, len(cs)])
+        pos = np.arange(len(cs)) - np.repeat(starts, seg_len)
+        pick = pa.array(order[pos < K])
+        return pa.table(
+            {
+                "event_type": et.take(pick),
+                "event_id": t.column("event_id").take(pick),
+                "value": t.column("value").take(pick),
+                "vc": t.column("vc").take(pick),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return topk(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "event_id": t.column("event_id"),
+                    "value": t.column("value"),
+                    "vc": pc.cast(
+                        pc.round(
+                            pc.multiply(t.column("value"), pa.scalar(100.0))
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["vc"])
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["event_type", "event_id", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        topk,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["event_type"],
+    )
+
+
+def q_region_nation_rollup(sf_dir: str):
+    """Relational ROLLUP: order revenue per (region, nation) with
+    per-region subtotals and a grand total (NULL-filled rollup levels,
+    DuckDB's ROLLUP shape).  Customer nation resolves via the 25-row
+    broadcast dim; exact-cents leaf counts ride the bounded tree and
+    the subtotal rows are derived from the leaves in the final task —
+    the rollup never rescans."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rmap = dict(
+        zip(
+            region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist(),
+        )
+    )
+    nk = nation.column("n_nationkey").to_numpy()
+    order = np.argsort(nk)
+    nk_sorted = nk[order]
+    nnames = nation.column("n_name").to_pylist()
+    nregs = nation.column("n_regionkey").to_pylist()
+    nname = np.array([nnames[i] for i in order], dtype=object)
+    rname = np.array([rmap[nregs[i]] for i in order], dtype=object)
+    cust_nk = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust_nk.column("c_custkey").to_numpy()
+    cnk = cust_nk.column("c_nationkey").to_numpy()
+    corder = np.argsort(ck)
+    ck_sorted, cnk_sorted = ck[corder], cnk[corder]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        nkk = cnk_sorted[np.searchsorted(ck_sorted, cust)]
+        pos = np.searchsorted(nk_sorted, nkk)
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return (
+            pa.table(
+                {
+                    "r_name": pa.array(rname[pos], pa.string()),
+                    "n_name": pa.array(nname[pos], pa.string()),
+                    "c": cents,
+                }
+            )
+            .group_by(["r_name", "n_name"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["r_name", "n_name", "c"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["r_name", "n_name"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["r_name", "n_name", "c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        rows = [df]
+        sub = df.groupby("r_name", as_index=False)["c"].sum()
+        sub["n_name"] = None
+        rows.append(sub[["r_name", "n_name", "c"]])
+        rows.append(
+            pd.DataFrame(
+                {"r_name": [None], "n_name": [None], "c": [df["c"].sum()]}
+            )
+        )
+        out = pd.concat(rows, ignore_index=True)
+        return pa.table(
+            {
+                "r_name": pa.array(out["r_name"], pa.string()),
+                "n_name": pa.array(out["n_name"], pa.string()),
+                "revenue": pa.array(
+                    [float(x) / 100.0 for x in out["c"]], pa.float64()
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "n_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_conv_rfc_mix(sf_dir: str):
+    """Per-conversation dialect profile on the north-rule table: how
+    many turns parsed as RFC3164 vs RFC5424 vs failed, plus the
+    dominant parsed dialect (ties -> 3164).  One conv-hash exchange;
+    per-conv conditional counts resolve vectorized (bincount over
+    fused conv x outcome codes)."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        err = pc.is_valid(t.column("parse_error"))
+        # outcome code: 0 = 3164-ok, 1 = 5424-ok, 2 = error
+        code = pc.if_else(
+            err,
+            pa.scalar(2, pa.int8()),
+            pc.if_else(
+                pc.equal(t.column("rfc"), 1),
+                pa.scalar(0, pa.int8()),
+                pa.scalar(1, pa.int8()),
+            ),
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "outcome": code,
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_3164": pa.array([], pa.int64()),
+            "n_5424": pa.array([], pa.int64()),
+            "n_errors": pa.array([], pa.int64()),
+            "dominant_rfc": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        oc = t.column("outcome").to_numpy(zero_copy_only=False)
+        n_conv = int(codes.max()) + 1
+        counts = np.bincount(
+            codes.astype(np.int64) * 3 + oc, minlength=n_conv * 3
+        ).reshape(n_conv, 3)
+        dom = np.where(counts[:, 0] >= counts[:, 1], 1, 2).astype(np.int64)
+        # one representative row per conv code for the id value
+        o = np.argsort(codes, kind="stable")
+        firsts = o[np.searchsorted(codes[o], np.arange(n_conv))]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(firsts)),
+                "n_3164": pa.array(counts[:, 0].astype(np.int64)),
+                "n_5424": pa.array(counts[:, 1].astype(np.int64)),
+                "n_errors": pa.array(counts[:, 2].astype(np.int64)),
+                "dominant_rfc": pa.array(dom),
+            }
+        )
+
+    return task_exchange(
+        parsed_dataset(sf_dir).select_columns(
+            ["conv_id", "rfc", "parse_error"]
+        ),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,28 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # top-3 rows per type by value (row_number, cents-exact ordering)
+    q["top_value_events_per_type"] = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id) AS rn
+  FROM events
+)
+SELECT event_type, event_id, value FROM r WHERE rn <= 3
+"""
+    # hierarchical ROLLUP: (region, nation) revenue + subtotals
+    q["region_nation_rollup"] = """
+WITH j AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice*100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name, n_name,
+  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)/100.0 AS revenue
+FROM j GROUP BY ROLLUP (r_name, n_name)
+"""
     # join -> grouped inverse-CDF: p50/p95 ship latency per priority
     q["ship_latency_quantiles"] = """
 WITH j AS (
@@ -3137,6 +3159,26 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
 SELECT CAST(greatest(d, 0) // 60000000 AS BIGINT) AS bucket_min,
   CAST(count(*) AS BIGINT) AS n
 FROM lagd WHERE d IS NOT NULL GROUP BY 1
+""",
+        # per-conversation dialect mix; dominant parsed rfc, ties -> 3164
+        "conv_rfc_mix": base
+        + """
+, okc AS (
+  SELECT conv_id,
+    CAST(sum(CASE WHEN rfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_3164,
+    CAST(sum(CASE WHEN rfc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_5424
+  FROM allok GROUP BY conv_id
+),
+alln AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM t
+         GROUP BY conv_id)
+SELECT a.conv_id,
+  coalesce(okc.n_3164, 0) AS n_3164,
+  coalesce(okc.n_5424, 0) AS n_5424,
+  a.n_turns - coalesce(okc.n_3164, 0) - coalesce(okc.n_5424, 0)
+    AS n_errors,
+  CAST(CASE WHEN coalesce(okc.n_3164, 0) >= coalesce(okc.n_5424, 0)
+       THEN 1 ELSE 2 END AS BIGINT) AS dominant_rfc
+FROM alln a LEFT JOIN okc USING (conv_id)
 """,
         # grouped inverse-CDF p50/p95 of content length per 3164 tag
         # (null content counts as empty, the Dump contract)

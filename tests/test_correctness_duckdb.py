@@ -105,6 +105,9 @@ QUERY_NAMES = [
     "supplier_balance_pctrank",
     "value_ecdf_probes",
     "ship_latency_quantiles",
+    "top_value_events_per_type",
+    "region_nation_rollup",
+    "conv_rfc_mix",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_value_events_per_type": p.q_top_value_events_per_type,
         "region_nation_rollup": p.q_region_nation_rollup,  # ROLLUP
         "conv_rfc_mix": p.q_conv_rfc_mix,  # north-rule dialect profile
+        "idle_users": p.q_idle_users,  # time-threshold churn audit
+        "conv_role_balance": p.q_conv_role_balance,  # raw-table ratio
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -675,6 +675,14 @@ def _run_bench() -> dict:
             "conv_rfc_mix",
             lambda: p.q_conv_rfc_mix(SF_DIR).count(),
         )
+        timed_extra(
+            "idle_users",
+            lambda: p.q_idle_users(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_role_balance",
+            lambda: p.q_conv_role_balance(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

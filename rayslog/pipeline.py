@@ -8953,3 +8953,185 @@ def q_conv_rfc_mix(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_idle_users(sf_dir: str):
+    """Churn audit: users whose LAST event precedes the stream's end by
+    more than 24 hours, with their last-seen timestamp.  Two-phase over
+    one exchange: per-user max timestamps resolve per part (user-hash
+    co-location), the global max rides a scalar tree, and the
+    threshold filter is a closure constant on the per-user rows — the
+    time-based anti-join every retention pipeline runs."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce_refs
+
+    parts = 64
+    IDLE_US = np.int64(86_400_000_000)  # 24h: ~p90 of the corpus
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "last_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.select(["user_id", "ts_us"])
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "max")])
+            .rename_columns(["user_id", "last_us"])
+        )
+        return g
+
+    refs = task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+        return_refs=True,
+    )
+
+    def mx_reduce(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"m": pa.array([], pa.int64())})
+        col = "last_us" if "last_us" in t.column_names else "m"
+        return pa.table(
+            {"m": pa.array([int(pc.max(t.column(col)).as_py())], pa.int64())}
+        )
+
+    @ray.remote
+    def _mx(t):
+        return mx_reduce(t)
+
+    mm = tree_reduce_refs([_mx.remote(r) for r in refs], mx_reduce)
+    if not mm.num_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+    cutoff = int(mm.column("m")[0].as_py()) - int(IDLE_US)
+
+    @ray.remote
+    def keep_idle(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("last_us"), cutoff))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "last_ts": t.column("last_us").cast(pa.timestamp("us")),
+            }
+        )
+
+    out = ray.get([keep_idle.remote(r) for r in refs])
+    non_empty = [t for t in out if t.num_rows] or out[:1]
+    return rd.from_arrow(pa.concat_tables(non_empty))
+
+
+def q_conv_role_balance(sf_dir: str):
+    """Per-conversation verbosity balance on the RAW transcript table:
+    total text characters by user vs assistant turns and the user
+    share (NULL when the conversation has neither).  One conv-hash
+    exchange; per-conv role sums resolve via a fused conv x role
+    bincount weighted by char counts."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        role = t.column("role")
+        rc = pc.if_else(
+            pc.equal(role, "user"),
+            pa.scalar(0, pa.int8()),
+            pc.if_else(
+                pc.equal(role, "assistant"),
+                pa.scalar(1, pa.int8()),
+                pa.scalar(2, pa.int8()),
+            ),
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "rc": rc,
+                "chars": pc.cast(
+                    pc.fill_null(pc.utf8_length(t.column("text")), 0),
+                    pa.int64(),
+                ),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "user_chars": pa.array([], pa.int64()),
+            "assistant_chars": pa.array([], pa.int64()),
+            "user_share": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        rc = t.column("rc").to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = t.column("chars").to_numpy(zero_copy_only=False)
+        n_conv = int(codes.max()) + 1
+        sums = np.bincount(
+            codes.astype(np.int64) * 3 + rc, weights=ch,
+            minlength=n_conv * 3,
+        ).reshape(n_conv, 3).astype(np.int64)
+        uc, ac = sums[:, 0], sums[:, 1]
+        tot = uc + ac
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = uc.astype(np.float64) / tot.astype(np.float64)
+        o = np.argsort(codes, kind="stable")
+        firsts = o[np.searchsorted(codes[o], np.arange(n_conv))]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(firsts)),
+                "user_chars": pa.array(uc),
+                "assistant_chars": pa.array(ac),
+                "user_share": pa.array(
+                    share, pa.float64(), mask=(tot == 0)
+                ),
+            }
+        )
+
+    return task_exchange(
+        read_transcripts(sf_dir, ["conv_id", "role", "text"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,13 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # churn audit: users idle for > 24h before the stream's end
+    q["idle_users"] = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+u AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+SELECT user_id, last_ts FROM u CROSS JOIN m
+WHERE epoch_us(last_ts) < epoch_us(mx) - 86400000000
+"""
     # top-3 rows per type by value (row_number, cents-exact ordering)
     q["top_value_events_per_type"] = """
 WITH r AS (
@@ -3228,6 +3235,24 @@ SELECT conv_id, turn_idx,
           THEN tag || ': ' || coalesce(content, '')
           ELSE coalesce(content, '') END AS rendered
 FROM ok3
+""",
+        # per-conv verbosity balance on the RAW table (user vs
+        # assistant char totals; NULL share when neither role appears)
+        "conv_role_balance": f"""
+WITH rb AS (
+  SELECT conv_id,
+    CAST(coalesce(sum(CASE WHEN role = 'user' THEN length(text) END),
+                  0) AS BIGINT) AS user_chars,
+    CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN length(text)
+                       END), 0) AS BIGINT) AS assistant_chars
+  FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
+)
+SELECT conv_id, user_chars, assistant_chars,
+  CASE WHEN user_chars + assistant_chars = 0 THEN NULL
+       ELSE CAST(user_chars AS DOUBLE)
+            / CAST(user_chars + assistant_chars AS DOUBLE) END
+    AS user_share
+FROM rb
 """,
         # PII/log scrubbing: same RE2 patterns as stages/text.py
         # (IPV4_RE / PID_RE), global replacement on both sides

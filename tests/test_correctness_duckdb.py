@@ -108,6 +108,8 @@ QUERY_NAMES = [
     "top_value_events_per_type",
     "region_nation_rollup",
     "conv_rfc_mix",
+    "idle_users",
+    "conv_role_balance",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

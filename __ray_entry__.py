@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_rfc_mix": p.q_conv_rfc_mix,  # north-rule dialect profile
         "idle_users": p.q_idle_users,  # time-threshold churn audit
         "conv_role_balance": p.q_conv_role_balance,  # raw-table ratio
+        "customer_rfm": p.q_customer_rfm,  # RFM feature build
+        "brand_return_rate": p.q_brand_return_rate,
+        "conv_severity_drift": p.q_conv_severity_drift,  # escalation audit
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -683,6 +683,18 @@ def _run_bench() -> dict:
             "conv_role_balance",
             lambda: p.q_conv_role_balance(SF_DIR).count(),
         )
+        timed_extra(
+            "customer_rfm",
+            lambda: p.q_customer_rfm(SF_DIR).count(),
+        )
+        timed_extra(
+            "brand_return_rate",
+            lambda: p.q_brand_return_rate(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_severity_drift",
+            lambda: p.q_conv_severity_drift(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

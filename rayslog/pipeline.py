@@ -9135,3 +9135,264 @@ def q_conv_role_balance(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM feature build — the canonical ML feature-engineering query:
+    per customer, Recency (days from last order to the stream's end),
+    Frequency (order count) and Monetary (exact-cents spend).  One
+    custkey-hash exchange resolves all three vectorized; the global
+    max date rides a scalar tree and recency is a closure constant
+    subtraction, never a second scan."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce_refs
+
+    parts = 64
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+                "cpart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "last_us": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "mc": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        return (
+            t.select(["c_custkey", "ts_us", "cents"])
+            .group_by(["c_custkey"])
+            .aggregate([("ts_us", "max"), ([], "count_all"), ("cents", "sum")])
+            .rename_columns(["c_custkey", "last_us", "frequency", "mc"])
+        )
+
+    refs = task_exchange(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+        return_refs=True,
+    )
+
+    def mx_reduce(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"m": pa.array([], pa.int64())})
+        col = "last_us" if "last_us" in t.column_names else "m"
+        return pa.table(
+            {"m": pa.array([int(pc.max(t.column(col)).as_py())], pa.int64())}
+        )
+
+    @ray.remote
+    def _mx(t):
+        return mx_reduce(t)
+
+    mm = tree_reduce_refs([_mx.remote(r) for r in refs], mx_reduce)
+    empty_out = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "recency_days": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary": pa.array([], pa.float64()),
+        }
+    )
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    end_day = int(mm.column("m")[0].as_py()) // int(DAY_US)
+
+    @ray.remote
+    def finish(t: pa.Table) -> pa.Table:
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        rec = end_day - last // DAY_US
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "recency_days": pa.array(rec.astype(np.int64)),
+                "frequency": pc.cast(t.column("frequency"), pa.int64()),
+                "monetary": pc.divide(
+                    pc.cast(t.column("mc"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    out = ray.get([finish.remote(r) for r in refs])
+    non_empty = [t for t in out if t.num_rows] or out[:1]
+    return rd.from_arrow(pa.concat_tables(non_empty))
+
+
+def q_brand_return_rate(sf_dir: str):
+    """Per-brand return rate: share of lineitems with returnflag 'R'.
+    The part dim rides the broadcast leg (auto-select threshold, the
+    regional_revenue pattern); conditional counts collapse through the
+    bounded-brand combiner tree and the rate is one double division of
+    exact int64 counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    pk = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    keys = pk.column("p_partkey").to_numpy()
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    brands_l = pk.column("p_brand").to_pylist()
+    brands = np.array([brands_l[i] for i in order], dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        b = brands[np.searchsorted(keys_sorted, k)]
+        ret = pc.cast(
+            pc.equal(t.column("l_returnflag"), "R"), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "p_brand": pa.array(b, pa.string()),
+                    "n_returned": ret,
+                    "n_items": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["p_brand"])
+            .aggregate([("n_returned", "sum"), ("n_items", "sum")])
+            .rename_columns(["p_brand", "n_returned", "n_items"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["p_brand"])
+            .aggregate([("n_returned", "sum"), ("n_items", "sum")])
+            .rename_columns(["p_brand", "n_returned", "n_items"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "n_returned": pc.cast(t.column("n_returned"), pa.int64()),
+                "return_rate": pc.divide(
+                    pc.cast(t.column("n_returned"), pa.float64()),
+                    pc.cast(t.column("n_items"), pa.float64()),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "n_returned": pa.array([], pa.int64()),
+                    "return_rate": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_conv_severity_drift(sf_dir: str):
+    """Escalation audit on the north-rule table: each conversation's
+    FIRST and LAST parsed severity (turn order) and whether it
+    escalated (last < first — lower severity number is more severe).
+    One conv-hash exchange; first/last resolve via lexsort + boundary
+    picks."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import parsed_only, task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "severity": pc.cast(t.column("severity"), pa.int64()),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "first_severity": pa.array([], pa.int64()),
+            "last_severity": pa.array([], pa.int64()),
+            "escalated": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        sev = t.column("severity").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c = codes[order]
+        firsts_m = np.r_[True, c[1:] != c[:-1]]
+        lasts_m = np.r_[c[1:] != c[:-1], True]
+        fs = sev[order][firsts_m]
+        ls = sev[order][lasts_m]
+        pick = pa.array(order[firsts_m])
+        return pa.table(
+            {
+                "conv_id": conv.take(pick),
+                "first_severity": pa.array(fs),
+                "last_severity": pa.array(ls),
+                "escalated": pa.array((ls < fs).astype(np.int64)),
+            }
+        )
+
+    return task_exchange(
+        parsed_only(parsed_dataset(sf_dir)).select_columns(
+            ["conv_id", "turn_idx", "severity"]
+        ),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,35 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # RFM features: recency (days to stream end), frequency, monetary
+    q["customer_rfm"] = """
+WITH m AS (SELECT epoch_us(max(o_orderdate))//86400000000 AS end_day
+           FROM orders),
+u AS (
+  SELECT o_custkey AS c_custkey,
+    epoch_us(max(o_orderdate))//86400000000 AS last_day,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mc
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+  CAST(end_day - last_day AS BIGINT) AS recency_days,
+  frequency,
+  CAST(mc AS DOUBLE)/100.0 AS monetary
+FROM u CROSS JOIN m
+"""
+    # per-brand return rate (broadcast part dim, conditional counts)
+    q["brand_return_rate"] = """
+WITH j AS (
+  SELECT p_brand, CAST(l_returnflag = 'R' AS BIGINT) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(r) AS BIGINT) AS n_returned,
+  CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS return_rate
+FROM j GROUP BY p_brand
+"""
     # churn audit: users idle for > 24h before the stream's end
     q["idle_users"] = """
 WITH m AS (SELECT max(ts) AS mx FROM events),
@@ -3166,6 +3195,22 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
 SELECT CAST(greatest(d, 0) // 60000000 AS BIGINT) AS bucket_min,
   CAST(count(*) AS BIGINT) AS n
 FROM lagd WHERE d IS NOT NULL GROUP BY 1
+""",
+        # escalation audit: first vs last parsed severity per conv
+        # (lower number = more severe, so escalated = last < first)
+        "conv_severity_drift": base
+        + """
+, o AS (
+  SELECT conv_id, severity,
+    row_number() OVER w AS rn,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM allok WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT f.conv_id,
+  CAST(f.severity AS BIGINT) AS first_severity,
+  CAST(l.severity AS BIGINT) AS last_severity,
+  CAST(l.severity < f.severity AS BIGINT) AS escalated
+FROM o f JOIN o l ON f.conv_id = l.conv_id AND f.rn = 1 AND l.rn = l.n
 """,
         # per-conversation dialect mix; dominant parsed rfc, ties -> 3164
         "conv_rfc_mix": base

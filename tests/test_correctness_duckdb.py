@@ -110,6 +110,9 @@ QUERY_NAMES = [
     "conv_rfc_mix",
     "idle_users",
     "conv_role_balance",
+    "customer_rfm",
+    "brand_return_rate",
+    "conv_severity_drift",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": p.q_customer_rfm,  # RFM feature build
         "brand_return_rate": p.q_brand_return_rate,
         "conv_severity_drift": p.q_conv_severity_drift,  # escalation audit
+        "embedding_norms": p.q_embedding_norms,  # sequential-fold floats
+        "doc_top_token": p.q_doc_top_token,  # per-doc argmax token
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -695,6 +695,14 @@ def _run_bench() -> dict:
             "conv_severity_drift",
             lambda: p.q_conv_severity_drift(SF_DIR).count(),
         )
+        timed_extra(
+            "embedding_norms",
+            lambda: p.q_embedding_norms(SF_DIR).count(),
+        )
+        timed_extra(
+            "doc_top_token",
+            lambda: p.q_doc_top_token(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -9396,3 +9396,108 @@ def q_conv_severity_drift(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norm over the embeddings table — the sanity
+    feature every ANN/dedup run derives first.  The squared sum
+    accumulates SEQUENTIALLY over the 64 dims (vectorized across rows,
+    looped over dims) so the float result is bit-identical to DuckDB's
+    list_sum left-fold; np.sum's pairwise summation would be ULP-off
+    (invariant #4's float-order family)."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        d = len(flat) // max(n, 1)
+        m = flat.reshape(n, d)
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):  # sequential fold == DuckDB list_sum
+            acc = acc + m[:, j] * m[:, j]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "norm": pa.array(np.sqrt(acc), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_top_token(sf_dir: str):
+    """Per-document dominant token (most frequent lowercased
+    whitespace token; ties -> lexicographically smallest, DuckDB's
+    byte order == UTF-8 codepoint order).  Doc-local, so the whole
+    operator is ONE streaming batch pass: flat-token counts group per
+    (doc, token) in Arrow, one binary-order sort picks each doc's
+    winner; tokenless docs emit NULL like the oracle's LEFT JOIN."""
+    import numpy as np
+
+    from rayslog.kernels import texthash as tx
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=True)
+        counts = np.diff(offs)
+        seg = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), counts
+        )
+        g = (
+            pa.table({"doc_id": pa.array(seg), "token": flat})
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "token", "n"])
+            .sort_by(
+                [
+                    ("doc_id", "ascending"),
+                    ("n", "descending"),
+                    ("token", "ascending"),
+                ]
+            )
+        )
+        gd = g.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.r_[True, gd[1:] != gd[:-1]]
+        pick = pa.array(np.nonzero(first)[0])
+        win = pa.table(
+            {
+                "doc_id": g.column("doc_id").take(pick),
+                "top_token": g.column("token").take(pick),
+                "n_occurrences": pc.cast(
+                    g.column("n").take(pick), pa.int64()
+                ),
+            }
+        )
+        # LEFT-join semantics: docs with no tokens emit NULLs
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        wd = win.column("doc_id").to_numpy(zero_copy_only=False)
+        missing = did[~np.isin(did, wd)]
+        if len(missing):
+            win = pa.concat_tables(
+                [
+                    win,
+                    pa.table(
+                        {
+                            "doc_id": pa.array(missing, pa.int64()),
+                            "top_token": pa.nulls(
+                                len(missing), pa.string()
+                            ),
+                            "n_occurrences": pa.nulls(
+                                len(missing), pa.int64()
+                            ),
+                        }
+                    ),
+                ]
+            )
+        return win
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=8_192
+    )

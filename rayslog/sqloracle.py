@@ -2590,6 +2590,28 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # per-vector L2 norm; list_sum's left-fold float order mirrored
+    q["embedding_norms"] = """
+SELECT vec_id,
+  sqrt(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+FROM embeddings
+"""
+    # per-doc dominant token (ties -> lexicographically smallest)
+    q["doc_top_token"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n FROM tok
+      GROUP BY doc_id, token),
+r AS (SELECT doc_id, token, n,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY n DESC, token) AS rn
+      FROM c)
+SELECT d.doc_id, r.token AS top_token, r.n AS n_occurrences
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+"""
     # RFM features: recency (days to stream end), frequency, monetary
     q["customer_rfm"] = """
 WITH m AS (SELECT epoch_us(max(o_orderdate))//86400000000 AS end_day

@@ -113,6 +113,8 @@ QUERY_NAMES = [
     "customer_rfm",
     "brand_return_rate",
     "conv_severity_drift",
+    "embedding_norms",
+    "doc_top_token",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

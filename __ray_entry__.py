@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_severity_drift": p.q_conv_severity_drift,  # escalation audit
         "embedding_norms": p.q_embedding_norms,  # sequential-fold floats
         "doc_top_token": p.q_doc_top_token,  # per-doc argmax token
+        "prefix_blocking_stats": p.q_prefix_blocking_stats,  # blocking audit
+        "conv_max_gap": p.q_conv_max_gap,  # worst inter-turn latency
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -703,6 +703,14 @@ def _run_bench() -> dict:
             "doc_top_token",
             lambda: p.q_doc_top_token(SF_DIR).count(),
         )
+        timed_extra(
+            "prefix_blocking_stats",
+            lambda: p.q_prefix_blocking_stats(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_max_gap",
+            lambda: p.q_conv_max_gap(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -9501,3 +9501,194 @@ def q_doc_top_token(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=8_192
     )
+
+
+def q_prefix_blocking_stats(sf_dir: str):
+    """Blocking-quality audit for prefix dedup (the levenshtein_pairs
+    blocking scheme, evaluated): group documents by their first-8-token
+    lowercased prefix and report group count, multi-doc group count,
+    total candidate pairs (sum s*(s-1)/2) and the largest group — the
+    numbers that decide whether a blocking key is usable at scale.
+    Per-prefix counts ride counts_by's cardinality-adaptive tree
+    (prefixes are unbounded); the cross-prefix stats collapse through
+    a second scalar tree."""
+    import numpy as np
+
+    from rayslog.kernels import texthash as tx
+    from rayslog.stages.aggregate import counts_by, tree_reduce
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        valid = pc.is_valid(txt)
+        txt = txt.filter(valid)
+        if not len(txt):
+            return pa.table({"prefix": pa.array([], pa.string())})
+        flat, offs = tx.tokens(txt, lower=True)
+        counts = np.diff(offs)
+        k = np.minimum(counts, 8)
+        pos = np.arange(len(flat)) - np.repeat(offs[:-1], counts)
+        keep = pos < 8
+        offs8 = np.zeros(len(k) + 1, dtype=np.int64)
+        np.cumsum(k, out=offs8[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs8.astype(np.int32), pa.int32()),
+            flat.filter(pa.array(keep)),
+        )
+        return pa.table(
+            {"prefix": pc.binary_join(lists, pa.scalar(" ")).cast(pa.string())}
+        )
+
+    sizes = counts_by(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            prefixes, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=8_192,
+        ),
+        ["prefix"],
+        alias="s",
+        final="tree",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_groups": pa.array([len(s)], pa.int64()),
+                "n_multi_groups": pa.array(
+                    [int((s > 1).sum())], pa.int64()
+                ),
+                "candidate_pairs": pa.array(
+                    [int((s * (s - 1) // 2).sum())], pa.int64()
+                ),
+                "max_group": pa.array([int(s.max())], pa.int64()),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_groups": pa.array(
+                    [int(pc.sum(t.column("n_groups")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "n_multi_groups": pa.array(
+                    [int(pc.sum(t.column("n_multi_groups")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "candidate_pairs": pa.array(
+                    [int(pc.sum(t.column("candidate_pairs")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "max_group": pa.array(
+                    [int(pc.max(t.column("max_group")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_groups": pa.array([0], pa.int64()),
+                    "n_multi_groups": pa.array([0], pa.int64()),
+                    "candidate_pairs": pa.array([0], pa.int64()),
+                    "max_group": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        sizes.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+    )
+
+
+def q_conv_max_gap(sf_dir: str):
+    """Per-conversation worst inter-turn latency on the north-rule
+    table: the max parsed-timestamp gap (whole minutes, negatives
+    clamp to 0) and an over-an-hour alert flag; single-ok-turn
+    conversations emit NULLs like the oracle's max(NULL).  Same
+    conv-hash exchange as turn_latency_hist, finished per conv."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import parsed_only, task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+    MIN_US = np.int64(60_000_000)
+    HOUR_US = np.int64(3_600_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts_parsed")))
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "ts_us": t.column("ts_parsed").cast(pa.int64()),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "max_gap_min": pa.array([], pa.int64()),
+            "hour_gap": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c, s = codes[order], ts[order]
+        n_conv = int(codes.max()) + 1
+        same = c[1:] == c[:-1]
+        d = s[1:] - s[:-1]
+        # per-conv max gap over within-conv deltas (clamped at 0)
+        mx = np.full(n_conv, np.int64(-1))
+        if same.any():
+            dd = np.maximum(d[same], 0)
+            np.maximum.at(mx, c[1:][same], dd)
+        has = mx >= 0
+        o = np.argsort(codes, kind="stable")
+        firsts = o[np.searchsorted(codes[o], np.arange(n_conv))]
+        gap_min = np.where(has, mx // MIN_US, 0)
+        hour = np.where(has, (mx > HOUR_US).astype(np.int64), 0)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(firsts)),
+                "max_gap_min": pa.array(
+                    gap_min.astype(np.int64), pa.int64(), mask=~has
+                ),
+                "hour_gap": pa.array(
+                    hour, pa.int64(), mask=~has
+                ),
+            }
+        )
+
+    return task_exchange(
+        parsed_only(parsed_dataset(sf_dir)).select_columns(
+            ["conv_id", "turn_idx", "ts_parsed"]
+        ),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -2590,6 +2590,22 @@ SELECT o_orderpriority,
     / CAST(count(*) AS DOUBLE) AS late_share
 FROM j GROUP BY o_orderpriority
 """
+    # blocking-quality audit for the 8-token-prefix dedup key
+    q["prefix_blocking_stats"] = r"""
+WITH p AS (
+  SELECT array_to_string(
+    array_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ')
+    AS prefix
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS s FROM p GROUP BY prefix)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(coalesce(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_multi_groups,
+  CAST(coalesce(sum(s*(s-1)//2), 0) AS BIGINT) AS candidate_pairs,
+  CAST(coalesce(max(s), 0) AS BIGINT) AS max_group
+FROM g
+"""
     # per-vector L2 norm; list_sum's left-fold float order mirrored
     q["embedding_norms"] = """
 SELECT vec_id,
@@ -3217,6 +3233,25 @@ JOIN (VALUES ('', CAST(0 AS SMALLINT), 'none'),
 SELECT CAST(greatest(d, 0) // 60000000 AS BIGINT) AS bucket_min,
   CAST(count(*) AS BIGINT) AS n
 FROM lagd WHERE d IS NOT NULL GROUP BY 1
+""",
+        # per-conv worst inter-turn gap (minutes, clamped); NULL for
+        # single-ok-turn conversations (max over an empty delta set)
+        "conv_max_gap": base
+        + """
+, lagd AS (
+  SELECT conv_id,
+    epoch_us(ts_parsed) - lag(epoch_us(ts_parsed))
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+  FROM allok WHERE ts_parsed IS NOT NULL
+),
+g AS (SELECT conv_id,
+        max(CASE WHEN d IS NULL THEN NULL ELSE greatest(d, 0) END) AS mx
+      FROM lagd GROUP BY conv_id)
+SELECT conv_id,
+  CAST(mx // 60000000 AS BIGINT) AS max_gap_min,
+  CAST(CASE WHEN mx IS NULL THEN NULL
+            WHEN mx > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS hour_gap
+FROM g
 """,
         # escalation audit: first vs last parsed severity per conv
         # (lower number = more severe, so escalated = last < first)

@@ -115,6 +115,8 @@ QUERY_NAMES = [
     "conv_severity_drift",
     "embedding_norms",
     "doc_top_token",
+    "prefix_blocking_stats",
+    "conv_max_gap",
     "role_alternation",
     "weighted_sample",
     "levenshtein_pairs",

@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_token": p.q_doc_top_token,  # per-doc argmax token
         "prefix_blocking_stats": p.q_prefix_blocking_stats,  # blocking audit
         "conv_max_gap": p.q_conv_max_gap,  # worst inter-turn latency
+        "log_templates": p.q_log_templates,  # digit-masked template mining
+        "procid_churn": p.q_procid_churn,  # restart audit (5424)
+        "conv_ffill_severity": p.q_conv_ffill_severity,  # IGNORE-NULLS ffill
+        "maintenance_windows": p.q_maintenance_windows,  # range join
+        "daily_autocorr": p.q_daily_autocorr,  # lag-1 autocorrelation
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -9692,3 +9692,408 @@ def q_conv_max_gap(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_log_templates(sf_dir: str):
+    """Log template mining over cleanly-parsed RFC3164 content — the
+    classic log-analytics reduction (Drain/Spell-style, digit-masked):
+    every run of digits becomes ``<N>``, templates count through the
+    cardinality-adaptive tree, and the global top-20 (count desc,
+    template asc — Arrow binary order == DuckDB VARCHAR order) merges
+    through a second, re-applicable keep-top-k tree.  No sort-shuffle:
+    raw content never leaves the parse task; only (template, n)
+    partials travel."""
+    from rayslog.stages.aggregate import counts_by, tree_reduce
+
+    K = 20
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("rfc"), 1),
+            pc.is_null(t.column("parse_error")),
+        )
+        tpl = pc.replace_substring_regex(
+            t.filter(keep).column("content"),
+            pattern="[0-9]+",
+            replacement="<N>",
+        )
+        return pa.table({"template": tpl})
+
+    counts = counts_by(
+        parsed_dataset(sf_dir).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["template"],
+        alias="n",
+        final="tree",
+    )
+
+    # top-20 by (n desc, template asc) is re-applicable on FINAL counts
+    # (each template appears exactly once across the counts blocks)
+    def topk(t: pa.Table) -> pa.Table:
+        return (
+            t.sort_by(
+                [("n", "descending"), ("template", "ascending")]
+            ).slice(0, K)
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "template": t.column("template"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "template": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(counts, topk, empty_fn=empty_fn, final_fn=final_fn)
+
+
+def q_procid_churn(sf_dir: str):
+    """Process-restart audit on the north-rule table: per (hostname,
+    app_name) over cleanly-parsed RFC5424 turns, the number of distinct
+    proc_ids seen, total messages, and a multi-proc (restart) flag.
+    Per-batch distinct (host, app, proc) triples with counts ride the
+    adaptive tree (split on (host, app) keeps each pair's triples in
+    one sub-tree so the per-pair finish is block-local)."""
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("rfc"), 2),
+            pc.is_null(t.column("parse_error")),
+        )
+        return (
+            t.filter(keep)
+            .select(["hostname", "app_name", "proc_id"])
+            .group_by(["hostname", "app_name", "proc_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["hostname", "app_name", "proc_id", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["hostname", "app_name", "proc_id"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["hostname", "app_name", "proc_id", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "hostname": t.column("hostname"),
+                    "app_name": t.column("app_name"),
+                    "p": pc.cast(
+                        pc.is_valid(t.column("proc_id")), pa.int64()
+                    ),
+                    "n": pc.cast(t.column("n"), pa.int64()),
+                }
+            )
+            .group_by(["hostname", "app_name"])
+            .aggregate([("p", "sum"), ("n", "sum")])
+            .rename_columns(["hostname", "app_name", "n_procs", "n_msgs"])
+        )
+        return g.append_column(
+            "multi_proc",
+            pc.cast(pc.greater(g.column("n_procs"), 1), pa.int64()),
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "hostname": pa.array([], pa.string()),
+                    "app_name": pa.array([], pa.string()),
+                    "n_procs": pa.array([], pa.int64()),
+                    "n_msgs": pa.array([], pa.int64()),
+                    "multi_proc": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        parsed_dataset(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+        split_keys=["hostname", "app_name"],
+    )
+
+
+def q_conv_ffill_severity(sf_dir: str):
+    """LAST_VALUE(... IGNORE NULLS) forward fill within an ordered
+    partition: every transcript turn gets the most recent parsed
+    severity in its conversation (unparseable turns inherit; turns
+    before the first parse stay NULL).  One conv-hash exchange
+    co-locates each conversation; the fill is vectorized (global
+    maximum.accumulate over valid-row indices + a per-conv start guard
+    so carries never cross a conversation boundary)."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_codes, _user_hash, grouped_ffill
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "severity": t.column("severity"),
+                "cpart": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "severity_filled": pa.array([], pa.int32()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        codes = _user_codes(conv)
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        sev = t.column("severity")
+        if isinstance(sev, pa.ChunkedArray):
+            sev = sev.combine_chunks()
+        valid = pc.is_valid(sev).to_numpy(zero_copy_only=False)
+        svals = sev.fill_null(0).to_numpy(zero_copy_only=False)
+        order, out, filled = grouped_ffill(codes, ti, valid, svals)
+        pick = pa.array(order)
+        return pa.table(
+            {
+                "conv_id": conv.take(pick),
+                "turn_idx": t.column("turn_idx").take(pick),
+                "severity_filled": pa.array(
+                    out.astype(np.int32), pa.int32(), mask=~filled
+                ),
+            }
+        )
+
+    return task_exchange(
+        parsed_dataset(sf_dir).select_columns(
+            ["conv_id", "turn_idx", "severity"]
+        ),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_maintenance_windows(sf_dir: str):
+    """Range (interval) join against a small window dimension: event
+    count and value sum per maintenance window — windows OVERLAP, so an
+    event can land in several (a true range join, not a bucketing).
+    The window table is a closure constant broadcast into every parse
+    task (never re-shipped per batch); per-batch masks produce one
+    fixed-spine partial row per window, summed through the combiner
+    tree — empty windows keep their zero row like the oracle's LEFT
+    JOIN.  Value sums travel in integer cents (order-independent)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    # (window_id, start, end) — literal UTC timestamps; w2 overlaps w1,
+    # w5 nests inside w4, w6 is empty on the generated corpus
+    WINDOWS = [
+        (1, "2024-01-03T00:00:00", "2024-01-05T00:00:00"),
+        (2, "2024-01-04T12:00:00", "2024-01-07T00:00:00"),
+        (3, "2024-01-10T06:00:00", "2024-01-10T18:00:00"),
+        (4, "2024-01-15T00:00:00", "2024-01-22T00:00:00"),
+        (5, "2024-01-20T00:00:00", "2024-01-21T12:00:00"),
+        (6, "2024-02-02T00:00:00", "2024-02-03T00:00:00"),
+    ]
+    wid = np.array([w[0] for w in WINDOWS], np.int64)
+    ws = np.array([w[1] for w in WINDOWS], "datetime64[us]").astype(np.int64)
+    we = np.array([w[2] for w in WINDOWS], "datetime64[us]").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        ts = ts.to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(
+                pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        n = np.empty(len(WINDOWS), np.int64)
+        c = np.empty(len(WINDOWS), np.int64)
+        for i in range(len(WINDOWS)):
+            m = (ts >= ws[i]) & (ts < we[i])
+            n[i] = int(np.count_nonzero(m))
+            c[i] = int(cents[m].sum())
+        return pa.table(
+            {
+                "window_id": pa.array(wid),
+                "n_events": pa.array(n),
+                "cents": pa.array(c),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["window_id"])
+            .aggregate([("n_events", "sum"), ("cents", "sum")])
+            .rename_columns(["window_id", "n_events", "cents"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("window_id", "ascending")])
+        return pa.table(
+            {
+                "window_id": t.column("window_id"),
+                "ts_start": pa.array(
+                    ws[t.column("window_id").to_numpy() - 1],
+                    pa.timestamp("us"),
+                ),
+                "ts_end": pa.array(
+                    we[t.column("window_id").to_numpy() - 1],
+                    pa.timestamp("us"),
+                ),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "value_sum": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "window_id": pa.array(wid),
+                    "ts_start": pa.array(ws, pa.timestamp("us")),
+                    "ts_end": pa.array(we, pa.timestamp("us")),
+                    "n_events": pa.array(np.zeros(len(wid), np.int64)),
+                    "value_sum": pa.array(np.zeros(len(wid), np.float64)),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — the
+    aggregate-of-aggregates stability probe (is today's traffic
+    predicted by yesterday's?).  Daily counts reduce through the
+    combiner tree (bounded by the date range); the tiny day series
+    sorts once on the final block and Pearson r over (c[t-1], c[t])
+    pairs follows quantity_price_corr's overflow discipline: exact
+    integer moments, every moment cast to double BEFORE the n*sxy
+    arithmetic (CLAUDE.md invariant #4b), math.sqrt == DuckDB sqrt."""
+    import math
+
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "day": pc.floor_temporal(
+                        t.column("ts").cast(pa.timestamp("us")), unit="day"
+                    )
+                }
+            )
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "c"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["day"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["day", "c"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_days = len(c)
+        r = None
+        n_pairs = n_days - 1 if n_days > 1 else 0
+        if n_pairs > 0:
+            x = [int(v) for v in c[:-1]]
+            y = [int(v) for v in c[1:]]
+            n = n_pairs
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            vx = float(n) * float(sxx) - float(sx) * float(sx)
+            vy = float(n) * float(syy) - float(sy) * float(sy)
+            if vx > 0 and vy > 0:
+                r = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+                    math.sqrt(vx * vy)
+                )
+        return pa.table(
+            {
+                "n_days": pa.array([n_days], pa.int64()),
+                "n_pairs": pa.array([n_pairs], pa.int64()),
+                "autocorr_lag1": pa.array([r], pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_days": pa.array([0], pa.int64()),
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "autocorr_lag1": pa.array([None], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

@@ -3022,6 +3022,56 @@ FROM ps JOIN pt USING (l_partkey)
 WHERE 8*ps.q > pt.tq
 GROUP BY ps.l_suppkey
 """
+    # range (interval) join vs a literal window dim (r5 session 8):
+    # overlapping windows — LEFT JOIN keeps empty windows at zero;
+    # value sums in integer cents (invariant #3)
+    q["maintenance_windows"] = """
+WITH w(window_id, ts_start, ts_end) AS (VALUES
+  (1, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+  (2, TIMESTAMP '2024-01-04 12:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+  (3, TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-10 18:00:00'),
+  (4, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+  (5, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-21 12:00:00'),
+  (6, TIMESTAMP '2024-02-02 00:00:00', TIMESTAMP '2024-02-03 00:00:00')),
+j AS (
+  SELECT w.window_id, w.ts_start, w.ts_end,
+    CAST(count(e.ts) AS BIGINT) AS n_events,
+    coalesce(sum(CAST(round(e.value*100) AS BIGINT)), 0) AS cents
+  FROM w LEFT JOIN events e ON e.ts >= w.ts_start AND e.ts < w.ts_end
+  GROUP BY 1, 2, 3)
+SELECT CAST(window_id AS BIGINT) AS window_id, ts_start, ts_end,
+  n_events, CAST(cents AS DOUBLE)/100 AS value_sum
+FROM j
+"""
+    # lag-1 autocorrelation of daily event counts (r5 session 8):
+    # quantity_price_corr's overflow discipline — BIGINT moments, all
+    # arithmetic past the moments in DOUBLE on both sides
+    q["daily_autocorr"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+l AS (SELECT c AS y, lag(c) OVER (ORDER BY day) AS x FROM daily),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+    CAST(sum(y*y) AS BIGINT) AS syy
+  FROM l WHERE x IS NOT NULL),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT d.n_days, p.n AS n_pairs,
+  CASE WHEN CAST(p.n AS DOUBLE)*CAST(p.sxx AS DOUBLE)
+              - CAST(p.sx AS DOUBLE)*CAST(p.sx AS DOUBLE) > 0
+        AND CAST(p.n AS DOUBLE)*CAST(p.syy AS DOUBLE)
+              - CAST(p.sy AS DOUBLE)*CAST(p.sy AS DOUBLE) > 0 THEN
+    (CAST(p.n AS DOUBLE)*CAST(p.sxy AS DOUBLE)
+       - CAST(p.sx AS DOUBLE)*CAST(p.sy AS DOUBLE))
+      / sqrt((CAST(p.n AS DOUBLE)*CAST(p.sxx AS DOUBLE)
+                - CAST(p.sx AS DOUBLE)*CAST(p.sx AS DOUBLE))
+             * (CAST(p.n AS DOUBLE)*CAST(p.syy AS DOUBLE)
+                  - CAST(p.sy AS DOUBLE)*CAST(p.sy AS DOUBLE)))
+  ELSE NULL END AS autocorr_lag1
+FROM d, p
+"""
     if sf_dir is not None:
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")
@@ -3404,5 +3454,36 @@ SELECT err AS parse_error, count(*) AS n_turns FROM (
       THEN 'index out of range'
   END AS err FROM err_rows
 ) WHERE err IS NOT NULL GROUP BY 1
+""",
+        # log template mining (r5 session 8): digit runs -> <N>, global
+        # top-20 (count desc, template asc); RE2 '[0-9]+' global on
+        # both sides, Arrow binary sort == DuckDB VARCHAR order
+        "log_templates": base + """
+, tpl AS (
+  SELECT regexp_replace(content, '[0-9]+', '<N>', 'g') AS template,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ok3 GROUP BY 1
+)
+SELECT template, n FROM tpl ORDER BY n DESC, template LIMIT 20
+""",
+        # process-restart audit (r5 session 8): distinct proc_ids per
+        # (host, app) over clean RFC5424 parses
+        "procid_churn": base + """
+SELECT hostname, app_name,
+  CAST(count(DISTINCT proc_id) AS BIGINT) AS n_procs,
+  CAST(count(*) AS BIGINT) AS n_msgs,
+  CAST(count(DISTINCT proc_id) > 1 AS BIGINT) AS multi_proc
+FROM ok5 GROUP BY hostname, app_name
+""",
+        # LAST_VALUE IGNORE NULLS forward fill (r5 session 8): every
+        # turn inherits the latest parsed severity in its conversation
+        "conv_ffill_severity": base + """
+SELECT t.conv_id, t.turn_idx,
+  CAST(last_value(a.severity IGNORE NULLS) OVER (
+    PARTITION BY t.conv_id ORDER BY t.turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+    AS severity_filled
+FROM t LEFT JOIN allok a
+  ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
 """,
     }

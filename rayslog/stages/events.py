@@ -54,6 +54,32 @@ def _user_codes(col) -> np.ndarray:
     return np.asarray(col.dictionary_encode().indices)
 
 
+def grouped_ffill(codes, order_key, valid, values):
+    """LAST_VALUE(... IGNORE NULLS) forward fill within each group.
+
+    ``codes`` are dense group codes (``_user_codes``), ``order_key`` the
+    within-group sort key, ``valid`` a bool mask of non-null values,
+    ``values`` the (null-filled) value array.  Returns ``(order,
+    filled, has_value)``: the global lexsort order and, aligned to it,
+    the carried values plus a mask that is False until a group's first
+    valid row.  Fully vectorized: one global maximum.accumulate over
+    valid-row indices; a per-group start guard stops carries from
+    crossing a group boundary (any carried index from an earlier group
+    sorts before this group's start)."""
+    order = np.lexsort((order_key, codes))
+    c = codes[order]
+    v = valid[order]
+    n = len(c)
+    idx = np.arange(n, dtype=np.int64)
+    carry = np.maximum.accumulate(np.where(v, idx, np.int64(-1)))
+    starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+    seg_len = np.diff(np.r_[starts, n])
+    row_start = np.repeat(starts, seg_len)
+    has_value = carry >= row_start
+    filled = values[order][np.maximum(carry, 0)]
+    return order, filled, has_value
+
+
 def _check_band_key(n_users: int, band: int) -> None:
     """Guard the band-shifted composite key (user_code * band + offset)
     against silent int64 wraparound: numpy overflow wraps, producing

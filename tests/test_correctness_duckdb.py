@@ -239,6 +239,12 @@ QUERY_NAMES = [
     "session_length_hist",
     "session_duration_hist",
     "turn_dup_stats",
+    # r5 session 8
+    "log_templates",
+    "procid_churn",
+    "conv_ffill_severity",
+    "maintenance_windows",
+    "daily_autocorr",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

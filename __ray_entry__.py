@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_ffill_severity": p.q_conv_ffill_severity,  # IGNORE-NULLS ffill
         "maintenance_windows": p.q_maintenance_windows,  # range join
         "daily_autocorr": p.q_daily_autocorr,  # lag-1 autocorrelation
+        "sd_params": p.q_sd_params,  # 5424 STRUCTURED-DATA introspection
+        "wow_traffic": p.q_wow_traffic,  # calendar-shifted self-join
+        "user_type_profile": p.q_user_type_profile,  # set-agg to string
+        "time_weighted_value": p.q_time_weighted_value,  # ordered fold
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

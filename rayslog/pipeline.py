@@ -10097,3 +10097,372 @@ def q_daily_autocorr(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_sd_params(sf_dir: str):
+    """RFC5424 STRUCTURED-DATA introspection: typed extraction of the
+    corpus's ``[id@ver k="..." n="..."]`` params (RE2, identical
+    pattern both sides) aggregated per keyword — message count, sum
+    and max of the numeric param.  Extraction runs only on SD-bearing
+    clean 5424 rows inside the parse task; (k, moments) partials ride
+    the combiner tree (keyword vocab is bounded)."""
+    from rayslog.stages.aggregate import tree_aggregate
+
+    RE = (
+        r'^\[(?P<sd>[^@ \]]+)@(?P<ver>\d+) k="(?P<k>[^"]*)"'
+        r' n="(?P<n>\d+)"\]$'
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(t.column("rfc"), 2),
+                pc.is_null(t.column("parse_error")),
+            ),
+            pc.not_equal(t.column("structured_data"), "-"),
+        )
+        sd = t.filter(keep).column("structured_data")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        m = pc.extract_regex(sd, RE)
+        m = m.filter(pc.is_valid(m))
+        k = pc.struct_field(m, "k")
+        n = pc.cast(pc.struct_field(m, "n"), pa.int64())
+        import numpy as np
+
+        return (
+            pa.table(
+                {
+                    "k": k,
+                    "n_msgs": pa.array(np.ones(len(m), np.int64)),
+                    "sum_n": n,
+                    "max_n": n,
+                }
+            )
+            .group_by(["k"])
+            .aggregate([("n_msgs", "sum"), ("sum_n", "sum"), ("max_n", "max")])
+            .rename_columns(["k", "n_msgs", "sum_n", "max_n"])
+        )
+
+    return tree_aggregate(
+        parsed_dataset(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["k"],
+        aggs=[("n_msgs", "sum"), ("sum_n", "sum"), ("max_n", "max")],
+        out_names=["n_msgs", "sum_n", "max_n"],
+    )
+
+
+def q_wow_traffic(sf_dir: str):
+    """Week-over-week traffic ratio: daily event counts joined to the
+    SAME series shifted 7 CALENDAR days (a key-shifted self-join, not a
+    row-offset LAG — gaps in the date spine stay honest).  Daily counts
+    reduce through the combiner tree; the tiny day series resolves the
+    shift with one searchsorted on the final block."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    WEEK_US = np.int64(7) * np.int64(86_400) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "day": pc.floor_temporal(
+                        t.column("ts").cast(pa.timestamp("us")), unit="day"
+                    )
+                }
+            )
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["day"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["day", "n"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        d = t.column("day").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        target = d - WEEK_US
+        pos = np.searchsorted(d, target)
+        pos_c = np.minimum(pos, len(d) - 1)
+        hit = d[pos_c] == target
+        prev = np.where(hit, n[pos_c], 0)
+        ratio = np.where(
+            hit & (prev > 0), n / np.where(prev > 0, prev, 1), np.nan
+        )
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "n": pa.array(n, pa.int64()),
+                "n_prev_week": pa.array(prev, pa.int64(), mask=~hit),
+                "wow_ratio": pa.array(
+                    ratio, pa.float64(), mask=~(hit & (prev > 0))
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                    "n_prev_week": pa.array([], pa.int64()),
+                    "wow_ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_user_type_profile(sf_dir: str):
+    """Set aggregation to string — per user, the sorted distinct set of
+    high-value event types as ','-joined text (string_agg DISTINCT ...
+    ORDER BY): batch-local distinct pairs cross one user-hash exchange,
+    each part assembles ListArray offsets + binary_join (the
+    conv_assemble machinery).  Arrow binary string order == DuckDB
+    VARCHAR order, so the joined set is byte-identical."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+    MIN_VALUE = 80.0
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("value"), MIN_VALUE))
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "type_set": pa.array([], pa.string()),
+            "n_types": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        t = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+            .sort_by(
+                [("user_id", "ascending"), ("event_type", "ascending")]
+            )
+        )
+        if not t.num_rows:
+            return _empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        counts = np.diff(np.r_[starts, len(u)])
+        offs = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), et)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").take(pa.array(starts)),
+                "type_set": pc.binary_join(lists, pa.scalar(",")).cast(
+                    pa.string()
+                ),
+                "n_types": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Globally-ordered time-weighted average of the event value step
+    function (each event's value holds until the next event, whole
+    seconds, floor): the ordered-fold-with-boundary-stitching pattern.
+
+    (1) per-block (ts, event_id, cents) partials materialize once;
+    (2) a tiny tree finds the global time range; (3) each block splits
+    by TIME RANGE (equal timestamps can never straddle a range, so tie
+    groups stay whole); (4) each range part sorts locally by
+    (ts, event_id) and reduces exact integer (sum cents*dsec, sum dsec)
+    plus its first/last boundary row; (5) the driver folds the P
+    boundary rows in range order — the inter-part step is
+    last_cents_p * dsec(last_p -> first_q).  Weighted sums stay exact:
+    sum(cents*dsec) <= max_cents * span_sec regardless of row count.
+    Final division in double (invariant #4b discipline)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
+
+    range_parts = 32
+    SEC_US = np.int64(1_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table(
+            {
+                "us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["ts", "event_id", "value"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    brefs = live_block_refs(mat)
+
+    empty_out = pa.table(
+        {
+            "n_steps": pa.array([0], pa.int64()),
+            "total_sec": pa.array([0], pa.int64()),
+            "twa_value": pa.array([None], pa.float64()),
+        }
+    )
+    if not brefs:
+        return rd.from_arrow(empty_out)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(pc.min(t.column("us")).as_py())]),
+                "hi": pa.array([int(pc.max(t.column("us")).as_py())]),
+            }
+        )
+
+    def mm_reduce(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        return pa.table(
+            {
+                "lo": pa.array([int(pc.min(t.column("lo")).as_py())]),
+                "hi": pa.array([int(pc.max(t.column("hi")).as_py())]),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], mm_reduce)
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    lo = int(mm.column("lo")[0].as_py())
+    hi = int(mm.column("hi")[0].as_py())
+    span = max(hi - lo + 1, 1)
+
+    @ray.remote
+    def split_ranges(t: pa.Table):
+        tt = t.column("us").to_numpy(zero_copy_only=False)
+        rp = ((tt - lo) * range_parts // span).astype(np.int64)
+        out = []
+        for i in range(range_parts):
+            m = pa.array(rp == i)
+            out.append(t.filter(m))
+        return out
+
+    split_refs = [
+        split_ranges.options(num_returns=range_parts).remote(r)
+        for r in brefs
+    ]
+
+    @ray.remote
+    def fold_range(*pieces):
+        t = pa.concat_tables(pieces)
+        if not t.num_rows:
+            return None
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us))
+        s, c = us[order], cents[order]
+        dsec = (s[1:] - s[:-1]) // SEC_US
+        w_sum = int(np.dot(c[:-1], dsec)) if len(s) > 1 else 0
+        d_sum = int(dsec.sum()) if len(s) > 1 else 0
+        return (
+            int(len(s)),
+            w_sum,
+            d_sum,
+            int(s[0]),
+            int(s[-1]),
+            int(c[-1]),
+        )
+
+    folds = ray.get(
+        [
+            fold_range.remote(
+                *[split_refs[b][i] for b in range(len(brefs))]
+            )
+            for i in range(range_parts)
+        ]
+    )
+    folds = [f for f in folds if f is not None]
+    if not folds:
+        return rd.from_arrow(empty_out)
+    n_rows = sum(f[0] for f in folds)
+    w_sum = sum(f[1] for f in folds)
+    d_sum = sum(f[2] for f in folds)
+    # stitch consecutive non-empty parts: the step from part p's last
+    # event carries its cents until part q's first event
+    for p, q in zip(folds[:-1], folds[1:]):
+        dsec = (q[3] - p[4]) // int(SEC_US)
+        w_sum += p[5] * dsec
+        d_sum += dsec
+    twa = (float(w_sum) / float(d_sum)) / 100.0 if d_sum > 0 else None
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_steps": pa.array([max(n_rows - 1, 0)], pa.int64()),
+                "total_sec": pa.array([d_sum], pa.int64()),
+                "twa_value": pa.array([twa], pa.float64()),
+            }
+        )
+    )

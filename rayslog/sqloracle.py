@@ -3043,6 +3043,52 @@ SELECT CAST(window_id AS BIGINT) AS window_id, ts_start, ts_end,
   n_events, CAST(cents AS DOUBLE)/100 AS value_sum
 FROM j
 """
+    # week-over-week traffic ratio (r5 session 9): a key-shifted
+    # self-join on the CALENDAR day (not a row-offset LAG — spine gaps
+    # stay honest); ratio in double/double on both sides
+    q["wow_traffic"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1)
+SELECT d.day, d.n, p.n AS n_prev_week,
+  CASE WHEN p.n > 0 THEN CAST(d.n AS DOUBLE) / CAST(p.n AS DOUBLE)
+       ELSE NULL END AS wow_ratio
+FROM daily d LEFT JOIN daily p ON p.day = d.day - INTERVAL 7 DAY
+"""
+    # set-aggregation-to-string (r5 session 9): per user the sorted
+    # distinct high-value event types ','-joined; Arrow binary string
+    # order == DuckDB VARCHAR order so the joined set is byte-identical
+    q["user_type_profile"] = """
+SELECT user_id,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events WHERE value >= 80.0
+GROUP BY user_id
+"""
+    # time-weighted average of the event value step function (r5
+    # session 9): each value holds until the next event (global
+    # (ts, event_id) order), whole-second floor weights, exact integer
+    # cents*sec moments, final division in double (invariant #4b)
+    q["time_weighted_value"] = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_id,
+    CAST(round(value*100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT cents, us AS cur,
+    lead(us) OVER (ORDER BY us, event_id) AS nxt
+  FROM e),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_steps,
+    CAST(sum((nxt - cur) // 1000000) AS BIGINT) AS total_sec,
+    CAST(sum(cents * ((nxt - cur) // 1000000)) AS BIGINT) AS w_sum
+  FROM s WHERE nxt IS NOT NULL)
+SELECT n_steps, coalesce(total_sec, 0) AS total_sec,
+  CASE WHEN total_sec > 0
+       THEN (CAST(w_sum AS DOUBLE) / CAST(total_sec AS DOUBLE)) / 100.0
+       ELSE NULL END AS twa_value
+FROM p
+"""
     # lag-1 autocorrelation of daily event counts (r5 session 8):
     # quantity_price_corr's overflow discipline — BIGINT moments, all
     # arithmetic past the moments in DOUBLE on both sides
@@ -3485,5 +3531,23 @@ SELECT t.conv_id, t.turn_idx,
     AS severity_filled
 FROM t LEFT JOIN allok a
   ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+""",
+        # STRUCTURED-DATA param introspection (r5 session 9): typed
+        # extraction of [id@ver k="..." n="..."] params on SD-bearing
+        # clean 5424 rows, per-keyword moments; the RE2 pattern is
+        # byte-identical on both sides (Arrow extract_regex == DuckDB)
+        "sd_params": base + """
+, sdm AS (
+  SELECT regexp_extract(structured_data,
+    '^\\[([^@ \\]]+)@(\\d+) k="([^"]*)" n="(\\d+)"\\]$',
+    ['sd','ver','k','n']) AS m
+  FROM ok5
+  WHERE structured_data <> '-' AND regexp_matches(structured_data,
+    '^\\[([^@ \\]]+)@(\\d+) k="([^"]*)" n="(\\d+)"\\]$')
+)
+SELECT m.k AS k, CAST(count(*) AS BIGINT) AS n_msgs,
+  CAST(sum(CAST(m.n AS BIGINT)) AS BIGINT) AS sum_n,
+  CAST(max(CAST(m.n AS BIGINT)) AS BIGINT) AS max_n
+FROM sdm GROUP BY m.k
 """,
     }

@@ -245,6 +245,11 @@ QUERY_NAMES = [
     "conv_ffill_severity",
     "maintenance_windows",
     "daily_autocorr",
+    # r5 session 9
+    "sd_params",
+    "wow_traffic",
+    "user_type_profile",
+    "time_weighted_value",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

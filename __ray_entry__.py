@@ -162,6 +162,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_traffic": p.q_wow_traffic,  # calendar-shifted self-join
         "user_type_profile": p.q_user_type_profile,  # set-agg to string
         "time_weighted_value": p.q_time_weighted_value,  # ordered fold
+        "value_gini": p.q_value_gini,  # sort-free ranked-sum identity
+        "host_handoffs": p.q_host_handoffs,  # north-rule transition graph
+        "value_trend_by_type": p.q_value_trend_by_type,  # grouped OLS
+        "type_dow_independence": p.q_type_dow_independence,  # chi2 cells
+        "basket_rules": p.q_basket_rules,  # confidence/lift mining
+        "embedding_dim_range": p.q_embedding_dim_range,  # drift screen
+        "session_type_pairs": p.q_session_type_pairs,  # sessionized basket
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -10466,3 +10466,836 @@ def q_time_weighted_value(sf_dir: str):
             }
         )
     )
+
+
+def q_value_gini(sf_dir: str):
+    """Exact per-type Gini coefficient of the event value — the
+    rank-weighted-sum identity G = (sum (2r-1)x - nS) / (nS) computed
+    WITHOUT a global sort operator: (1) (type, cents) partials
+    materialize once; (2) a scalar tree finds the global cents range;
+    (3) one exchange partitions rows by VALUE RANGE (equal cents can
+    never straddle a range, and the identity is tie-order invariant);
+    (4) each range part sorts locally per type and folds exact int64
+    (m, sum, sum (2j-1)c) triples; (5) the driver stitches the P
+    triples per type in range order — global rank = local rank +
+    cumulative lower-range count, so rsum_global = sum rsum_p +
+    2*sum off_p*s_p.  Final arithmetic mirrors the oracle expression
+    double-for-double (CAST each BIGINT moment, then subtract/divide
+    — invariant #4b).  int64 rsum overflows past ~1e9 rows/type
+    (n^2 * max_cents); split types into value-range sub-keys before
+    that scale."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce_refs,
+    )
+
+    R = 32
+
+    def prep_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "c": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(prep_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    brefs = live_block_refs(mat)
+    empty_out = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+            "gini": pa.array([], pa.float64()),
+        }
+    )
+    if not brefs:
+        return rd.from_arrow(empty_out)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        col = "c" if "c" in t.column_names else "lo"
+        if col == "c":
+            return pa.table(
+                {
+                    "lo": pa.array([int(pc.min(t.column("c")).as_py())]),
+                    "hi": pa.array([int(pc.max(t.column("c")).as_py())]),
+                }
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(pc.min(t.column("lo")).as_py())]),
+                "hi": pa.array([int(pc.max(t.column("hi")).as_py())]),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], minmax)
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    lo = int(mm.column("lo")[0].as_py())
+    hi = int(mm.column("hi")[0].as_py())
+    span = max(hi - lo + 1, 1)
+
+    def pre(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        rp = ((c - lo) * R // span).astype(np.int32)
+        return t.append_column("rpart", pa.array(rp))
+
+    _partials_empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "rpart": pa.array([], pa.int32()),
+            "m": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "rsum": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _partials_empty
+        t = t.sort_by(
+            [("event_type", "ascending"), ("c", "ascending")]
+        )
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(
+            zero_copy_only=False
+        )
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        change = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.nonzero(change)[0]
+        seg_id = np.cumsum(change) - 1
+        j = np.arange(len(c), dtype=np.int64) - starts[seg_id] + 1
+        contrib = (2 * j - 1) * c
+        m = np.diff(np.r_[starts, len(c)]).astype(np.int64)
+        s = np.add.reduceat(c, starts)
+        rsum = np.add.reduceat(contrib, starts)
+        rp = int(t.column("rpart")[0].as_py())
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(starts)),
+                "rpart": pa.array(np.full(len(starts), rp, np.int32)),
+                "m": pa.array(m),
+                "s": pa.array(s.astype(np.int64)),
+                "rsum": pa.array(rsum.astype(np.int64)),
+            }
+        )
+
+    parts_ds = task_exchange(
+        brefs, "rpart", R, per_part, drop_part_col=False, pre_fn=pre
+    )
+    df = parts_ds.to_pandas()
+    if df.empty or "event_type" not in df.columns:
+        return rd.from_arrow(empty_out)
+    df = df.sort_values(["event_type", "rpart"], ignore_index=True)
+    types, ns, sums, ginis = [], [], [], []
+    for et, g in df.groupby("event_type", sort=True):
+        off = 0
+        n = 0
+        S = 0
+        rsum_g = 0
+        # Python-int fold: exact regardless of magnitude
+        for m_, s_, r_ in zip(
+            g["m"].tolist(), g["s"].tolist(), g["rsum"].tolist()
+        ):
+            rsum_g += int(r_) + 2 * off * int(s_)
+            off += int(m_)
+            n += int(m_)
+            S += int(s_)
+        types.append(et)
+        ns.append(n)
+        sums.append(float(S) / 100.0)
+        if S > 0:
+            ginis.append(
+                (float(rsum_g) - float(n) * float(S))
+                / (float(n) * float(S))
+            )
+        else:
+            ginis.append(None)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_events": pa.array(ns, pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+                "gini": pa.array(ginis, pa.float64()),
+            }
+        )
+    )
+
+
+def q_host_handoffs(sf_dir: str):
+    """North-rule handoff graph: within each conversation, adjacent
+    cleanly-parsed turns (turn_idx order) whose syslog hostname CHANGES
+    — the Markov transition matrix of event_transitions re-expressed
+    over the parser's output.  One conv-hash exchange (a conversation
+    resolves whole in one part), a vectorized lexsort + shifted-compare
+    pass per part, then a <= |hosts|^2-key combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_aggregate
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("parse_error"))).select(
+            ["conv_id", "turn_idx", "hostname"]
+        )
+        h = _user_hash(t.column("conv_id"))
+        return t.append_column(
+            "cpart", pa.array((h % np.uint64(parts)).astype(np.int32))
+        )
+
+    _empty = pa.table(
+        {
+            "prev_host": pa.array([], pa.string()),
+            "hostname": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("conv_id"))
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c = codes[order]
+        same = c[1:] == c[:-1]
+        cur = order[1:][same]
+        prv = order[:-1][same]
+        host = t.column("hostname")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        pairs = pa.table(
+            {
+                "prev_host": host.take(pa.array(prv)),
+                "hostname": host.take(pa.array(cur)),
+            }
+        )
+        pairs = pairs.filter(
+            pc.not_equal(pairs.column("prev_host"), pairs.column("hostname"))
+        )
+        return (
+            pairs.group_by(["prev_host", "hostname"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["prev_host", "hostname", "n"])
+        )
+
+    partials = task_exchange(
+        parsed_dataset(sf_dir),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+    return tree_aggregate(
+        partials,
+        keys=["prev_host", "hostname"],
+        aggs=[("n", "sum")],
+        out_names=["n"],
+    )
+
+
+def q_value_trend_by_type(sf_dir: str):
+    """Per-type linear trend of DAILY TOTAL value (OLS slope/intercept
+    of daily cents totals against days-since-first-day) — the drift
+    monitor every metrics pipeline runs.  (type, day) cents totals
+    reduce through the combiner tree (bounded by types x calendar);
+    the tiny series computes exact integer moments per type on the
+    final block, then the slope/intercept arithmetic runs in double
+    with every BIGINT moment cast FIRST (invariant #4b), expression-
+    for-expression the oracle's."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "day": pc.floor_temporal(
+                        t.column("ts").cast(pa.timestamp("us")), unit="day"
+                    ),
+                    "cents": pc.cast(
+                        pc.round(
+                            pc.multiply(t.column("value"), pa.scalar(100.0))
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["event_type", "day", "cents"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["event_type", "day", "cents"])
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_days": pa.array([], pa.int64()),
+                    "slope_per_day": pa.array([], pa.float64()),
+                    "intercept": pa.array([], pa.float64()),
+                }
+            )
+        t = t.sort_by(
+            [("event_type", "ascending"), ("day", "ascending")]
+        )
+        day0 = int(
+            pc.min(t.column("day").cast(pa.int64())).as_py()
+        ) // 86_400_000_000
+        days = (
+            t.column("day").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+            - day0
+        )
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(
+            zero_copy_only=False
+        )
+        change = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.nonzero(change)[0]
+        ends = np.r_[starts[1:], len(codes)]
+        types, nd, slopes, intercepts = [], [], [], []
+        for a, b in zip(starts, ends):
+            d = [int(v) for v in days[a:b]]
+            y = [int(v) for v in cents[a:b]]
+            n = len(d)
+            types.append(et[int(a)].as_py())
+            nd.append(n)
+            sd_, sy = sum(d), sum(y)
+            sdy = sum(x * v for x, v in zip(d, y))
+            sdd = sum(x * x for x in d)
+            den = float(n) * float(sdd) - float(sd_) * float(sd_)
+            if n >= 2 and den > 0:
+                slope = (
+                    float(n) * float(sdy) - float(sd_) * float(sy)
+                ) / den
+                inter = (float(sy) - slope * float(sd_)) / float(n)
+                slopes.append(slope / 100.0)
+                intercepts.append(inter / 100.0)
+            else:
+                slopes.append(None)
+                intercepts.append(None)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_days": pa.array(nd, pa.int64()),
+                "slope_per_day": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_days": pa.array([], pa.int64()),
+                    "slope_per_day": pa.array([], pa.float64()),
+                    "intercept": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_type_dow_independence(sf_dir: str):
+    """Independence audit of the event_type x day-of-week contingency
+    table: observed counts, expected-under-independence counts and
+    Pearson residuals (o - e)/sqrt(e) — the seasonality screen run
+    before trusting any per-type daily metric.  Cell counts reduce
+    exactly through the combiner tree (bounded |types| x 7 domain);
+    marginals and the per-cell double arithmetic run on the final
+    block, expression-for-expression the oracle's (hardware sqrt is
+    correctly rounded, so np.sqrt == DuckDB sqrt)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "dow": pc.day_of_week(
+                        t.column("ts"), count_from_zero=True, week_start=7
+                    ).cast(pa.int64()),
+                }
+            )
+            .group_by(["event_type", "dow"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "dow", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "dow"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "dow", "n"])
+        )
+
+    _schema_empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "expected": pa.array([], pa.float64()),
+            "pearson_resid": pa.array([], pa.float64()),
+        }
+    )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _schema_empty
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        dow = t.column("dow").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rt = np.zeros(int(codes.max()) + 1, np.int64)
+        np.add.at(rt, codes, n)
+        ct = np.zeros(7, np.int64)
+        np.add.at(ct, dow, n)
+        tot = int(n.sum())
+        rt_d = rt[codes].astype(np.float64)
+        ct_d = ct[dow].astype(np.float64)
+        e = rt_d * ct_d / float(tot)
+        resid = (n.astype(np.float64) - e) / np.sqrt(e)
+        return pa.table(
+            {
+                "event_type": et,
+                "dow": t.column("dow"),
+                "n": t.column("n"),
+                "expected": pa.array(e, pa.float64()),
+                "pearson_resid": pa.array(resid, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_schema_empty)
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_basket_rules(sf_dir: str, minsup: int = 2):
+    """Association rules over the order/part basket graph: for every
+    unordered part pair co-purchased in >= ``minsup`` orders, its
+    support, both direction confidences and the lift vs independence.
+    Three legs, none broadcast-bound: (1) the co_purchase pair plan
+    (orderkey exchange -> vectorized C(n,2) expansion -> pair-hash
+    exchange; counts co-locate by PAIR before the support filter);
+    (2) exact per-part basket counts via distinct_count_by; (3) two
+    partitioned hash joins attach n_a/n_b to the surviving rules.
+    N = |orders| is parquet metadata, never a scan.  Raise ``minsup``
+    with corpus size — the rule table, not the machinery, is what
+    grows."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import distinct_count_by, task_exchange
+    from rayslog.stages.relational import hash_join
+
+    parts = 64
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_orders = _table_rows(sf_dir, "orders")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        u = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "opart",
+            pa.array(
+                (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+            ),
+        )
+
+    _pair_empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_ab": pa.array([], pa.int64()),
+            "ppart": pa.array([], pa.int32()),
+        }
+    )
+
+    def expand_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _pair_empty
+        g = (
+            t.select(["l_orderkey", "l_partkey"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+        )
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(ok)])
+        if (lens * (lens - 1) // 2).sum() == 0:
+            return _pair_empty
+        reps = (
+            np.repeat(lens, lens)
+            - (np.arange(lens.sum()) - np.repeat(starts, lens))
+            - 1
+        )
+        left_idx = np.repeat(np.arange(len(ok)), reps)
+        seq = np.arange(reps.sum())
+        right_idx = (
+            seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
+        )
+        g2 = (
+            pa.table(
+                {
+                    "part_a": pa.array(pk[left_idx]),
+                    "part_b": pa.array(pk[right_idx]),
+                }
+            )
+            .group_by(["part_a", "part_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["part_a", "part_b", "n_ab"])
+        )
+        a = g2.column("part_a").to_numpy(zero_copy_only=False)
+        b = g2.column("part_b").to_numpy(zero_copy_only=False)
+        mix = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b.astype(np.uint64)
+        )
+        return g2.append_column(
+            "ppart", pa.array((mix % np.uint64(parts)).astype(np.int32))
+        )
+
+    pair_partial_refs = task_exchange(
+        li.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "opart",
+        parts,
+        expand_part,
+        return_refs=True,
+    )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["part_a", "part_b", "n_ab"])
+            .group_by(["part_a", "part_b"])
+            .aggregate([("n_ab", "sum")])
+            .rename_columns(["part_a", "part_b", "n_ab"])
+        )
+        return g.filter(pc.greater_equal(g.column("n_ab"), minsup))
+
+    rules = task_exchange(
+        pair_partial_refs, "ppart", parts, count_part
+    )
+
+    item_counts = distinct_count_by(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_partkey",
+        "l_orderkey",
+        alias="n_item",
+    )
+
+    def as_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["part_a", "n_a"])
+
+    def as_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["part_b", "n_b"])
+
+    j1 = hash_join(
+        rules,
+        item_counts.map_batches(
+            as_a, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="part_a",
+    )
+    j2 = hash_join(
+        j1,
+        item_counts.map_batches(
+            as_b, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="part_b",
+    )
+
+    N_d = float(n_orders)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        na = t.column("n_a").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nb = t.column("n_b").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "part_a": pc.cast(t.column("part_a"), pa.int64()),
+                "part_b": pc.cast(t.column("part_b"), pa.int64()),
+                "n_ab": pc.cast(t.column("n_ab"), pa.int64()),
+                "n_a": pc.cast(t.column("n_a"), pa.int64()),
+                "n_b": pc.cast(t.column("n_b"), pa.int64()),
+                "conf_ab": pa.array(nab / na, pa.float64()),
+                "conf_ba": pa.array(nab / nb, pa.float64()),
+                "lift": pa.array(
+                    (nab * N_d) / (na * nb), pa.float64()
+                ),
+            }
+        )
+
+    return j2.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_embedding_dim_range(sf_dir: str):
+    """Per-dimension range audit of the embedding corpus: min/max/count
+    for every vector slot — the feature-drift screen run before any
+    quantization or index build.  Each batch reshapes the list column
+    to a rectangular (n, d) float32 view and folds column-wise
+    min/max (exact and order-free, unlike float sums); the 64-key
+    partials ride the combiner tree.  float32 end-to-end — DuckDB
+    min(FLOAT) stays FLOAT and a float64 round-trip would reprint."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        emb = emb.filter(pc.is_valid(emb))
+        if not len(emb):
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "min_v": pa.array([], pa.float32()),
+                    "max_v": pa.array([], pa.float32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column")
+        m = (
+            pc.list_flatten(emb)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float32, copy=False)
+            .reshape(len(emb), d)
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "min_v": pa.array(m.min(axis=0), pa.float32()),
+                "max_v": pa.array(m.max(axis=0), pa.float32()),
+                "n": pa.array(np.full(d, len(emb), np.int64)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["dim"])
+            .aggregate([("min_v", "min"), ("max_v", "max"), ("n", "sum")])
+            .rename_columns(["dim", "min_v", "max_v", "n"])
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "min_v": pa.array([], pa.float32()),
+                    "max_v": pa.array([], pa.float32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+    )
+
+
+def q_session_type_pairs(sf_dir: str):
+    """Session-level co-occurrence: unordered event-type pairs seen in
+    the same gap-session (30-min rule), counted over sessions — the
+    basket expansion composed WITH sessionization.  One user-hash
+    exchange (a user's timeline resolves whole in a part): vectorized
+    lexsort -> gap flags -> running session ids -> distinct (session,
+    type) -> the C(n,2) run expansion (n <= |types|) -> local pair
+    counts; the <= |types|^2-key partials ride the combiner tree."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange, tree_aggregate
+    from rayslog.stages.events import _user_codes
+
+    parts = 64
+    GAP_US = np.int64(1_800_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("user_id"))
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, codes))
+        c, s = codes[order], ts[order]
+        new_s = np.r_[
+            True, (c[1:] != c[:-1]) | (s[1:] - s[:-1] > GAP_US)
+        ]
+        sid = np.cumsum(new_s)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        st = (
+            pa.table(
+                {
+                    "sid": pa.array(sid),
+                    "event_type": et.take(pa.array(order)),
+                }
+            )
+            .group_by(["sid", "event_type"])
+            .aggregate([])
+            .sort_by(
+                [("sid", "ascending"), ("event_type", "ascending")]
+            )
+        )
+        g = st.column("sid").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        lens = np.diff(np.r_[starts, len(g)])
+        if (lens * (lens - 1) // 2).sum() == 0:
+            return _empty
+        reps = (
+            np.repeat(lens, lens)
+            - (np.arange(lens.sum()) - np.repeat(starts, lens))
+            - 1
+        )
+        left_idx = np.repeat(np.arange(len(g)), reps)
+        seq = np.arange(reps.sum())
+        right_idx = (
+            seq - np.repeat(np.cumsum(reps) - reps, reps) + left_idx + 1
+        )
+        ty = st.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        return (
+            pa.table(
+                {
+                    "type_a": ty.take(pa.array(left_idx)),
+                    "type_b": ty.take(pa.array(right_idx)),
+                }
+            )
+            .group_by(["type_a", "type_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["type_a", "type_b", "n_sessions"])
+        )
+
+    partials = task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+    return tree_aggregate(
+        partials,
+        keys=["type_a", "type_b"],
+        aggs=[("n_sessions", "sum")],
+        out_names=["n_sessions"],
+    )

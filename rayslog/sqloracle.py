@@ -3089,6 +3089,142 @@ SELECT n_steps, coalesce(total_sec, 0) AS total_sec,
        ELSE NULL END AS twa_value
 FROM p
 """
+    # exact per-type Gini (r5 session 9): rank-weighted-sum identity
+    # G = (sum (2r-1)c - nS)/(nS); tie order is irrelevant to the sum,
+    # BIGINT moments, final arithmetic in double on both sides
+    q["value_gini"] = """
+WITH e AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, c,
+    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+  FROM e),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum((2*rn - 1) * c) AS BIGINT) AS rsum
+  FROM r GROUP BY event_type)
+SELECT event_type, n_events,
+  CAST(sc AS DOUBLE)/100 AS sum_value,
+  CASE WHEN sc > 0 THEN
+    (CAST(rsum AS DOUBLE) - CAST(n_events AS DOUBLE)*CAST(sc AS DOUBLE))
+      / (CAST(n_events AS DOUBLE)*CAST(sc AS DOUBLE))
+  ELSE NULL END AS gini
+FROM a
+"""
+    # per-type OLS trend of daily totals (r5 session 9): exact BIGINT
+    # moments over the bounded (type, day) series, slope/intercept in
+    # double with every moment cast FIRST (invariant #4b)
+    q["value_trend_by_type"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+d0 AS (SELECT min(day) AS day0 FROM daily),
+rel AS (
+  SELECT event_type,
+    CAST(date_diff('day', d0.day0, day) AS BIGINT) AS d, cents
+  FROM daily, d0),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(cents) AS BIGINT) AS sy,
+    CAST(sum(d*cents) AS BIGINT) AS sdy, CAST(sum(d*d) AS BIGINT) AS sdd
+  FROM rel GROUP BY event_type),
+s AS (
+  SELECT event_type, n_days, sd, sy,
+    CASE WHEN n_days >= 2 AND CAST(n_days AS DOUBLE)*CAST(sdd AS DOUBLE)
+           - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE) > 0
+      THEN (CAST(n_days AS DOUBLE)*CAST(sdy AS DOUBLE)
+             - CAST(sd AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n_days AS DOUBLE)*CAST(sdd AS DOUBLE)
+             - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))
+      ELSE NULL END AS slope
+  FROM m)
+SELECT event_type, n_days,
+  slope/100 AS slope_per_day,
+  CASE WHEN slope IS NOT NULL THEN
+    ((CAST(sy AS DOUBLE) - slope*CAST(sd AS DOUBLE))
+       / CAST(n_days AS DOUBLE)) / 100
+  ELSE NULL END AS intercept
+FROM s
+"""
+    # per-dimension embedding range audit (r5 session 9): min/max are
+    # order-free exact on floats (unlike sums); float32 end-to-end
+    q["embedding_dim_range"] = """
+SELECT CAST(i AS BIGINT) AS dim, min(v) AS min_v, max(v) AS max_v,
+  CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(embedding) AS v,
+             unnest(generate_series(0, len(embedding)-1)) AS i
+      FROM embeddings WHERE embedding IS NOT NULL)
+GROUP BY i
+"""
+    # session-level type co-occurrence (r5 session 9): the 30-min gap
+    # sessionization composed with the basket C(n,2) expansion
+    q["session_type_pairs"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT user_id, event_type, sum(new_s) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM y)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  CAST(count(*) AS BIGINT) AS n_sessions
+FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+  AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+    # association rules (r5 session 9): support >= 2 part pairs with
+    # both confidences and lift; N = |orders| (the basket universe) on
+    # both sides, all ratios double-for-double the engine expression
+    q["basket_rules"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+  FROM op GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+pr AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.part_a, p.part_b, p.n_ab,
+  ia.n_item AS n_a, ib.n_item AS n_b,
+  CAST(p.n_ab AS DOUBLE)/CAST(ia.n_item AS DOUBLE) AS conf_ab,
+  CAST(p.n_ab AS DOUBLE)/CAST(ib.n_item AS DOUBLE) AS conf_ba,
+  (CAST(p.n_ab AS DOUBLE)*CAST(t.n_orders AS DOUBLE))
+    /(CAST(ia.n_item AS DOUBLE)*CAST(ib.n_item AS DOUBLE)) AS lift
+FROM pr p
+JOIN ic ia ON p.part_a = ia.l_partkey
+JOIN ic ib ON p.part_b = ib.l_partkey, tot t
+"""
+    # type x day-of-week independence audit (r5 session 9): exact cell
+    # counts + window-sum marginals, expected/residual in double with
+    # identical expression trees (hardware sqrt == DuckDB sqrt)
+    q["type_dow_independence"] = """
+WITH c AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, dow, n,
+    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+    CAST(sum(n) OVER () AS BIGINT) AS tot
+  FROM c)
+SELECT event_type, dow, n,
+  CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(tot AS DOUBLE) AS expected,
+  (CAST(n AS DOUBLE)
+     - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(tot AS DOUBLE))
+    / sqrt(CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(tot AS DOUBLE))
+    AS pearson_resid
+FROM m
+"""
     # lag-1 autocorrelation of daily event counts (r5 session 8):
     # quantity_price_corr's overflow discipline — BIGINT moments, all
     # arithmetic past the moments in DOUBLE on both sides
@@ -3549,5 +3685,18 @@ SELECT m.k AS k, CAST(count(*) AS BIGINT) AS n_msgs,
   CAST(sum(CAST(m.n AS BIGINT)) AS BIGINT) AS sum_n,
   CAST(max(CAST(m.n AS BIGINT)) AS BIGINT) AS max_n
 FROM sdm GROUP BY m.k
+""",
+        # handoff graph (r5 session 9): adjacent cleanly-parsed turns in
+        # a conversation whose hostname changes — LAG over (conv,
+        # turn_idx) restricted to parsed rows on both sides
+        "host_handoffs": base + """
+, hh AS (
+  SELECT hostname,
+    lag(hostname) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_host
+  FROM allok)
+SELECT prev_host, hostname, CAST(count(*) AS BIGINT) AS n
+FROM hh WHERE prev_host IS NOT NULL AND prev_host <> hostname
+GROUP BY prev_host, hostname
 """,
     }

@@ -250,6 +250,13 @@ QUERY_NAMES = [
     "wow_traffic",
     "user_type_profile",
     "time_weighted_value",
+    "value_gini",
+    "host_handoffs",
+    "value_trend_by_type",
+    "type_dow_independence",
+    "basket_rules",
+    "embedding_dim_range",
+    "session_type_pairs",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

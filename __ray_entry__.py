@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": p.q_basket_rules,  # confidence/lift mining
         "embedding_dim_range": p.q_embedding_dim_range,  # drift screen
         "session_type_pairs": p.q_session_type_pairs,  # sessionized basket
+        "token_gini_by_lang": p.q_token_gini_by_lang,  # corpus balance
+        "conv_tool_path": p.q_conv_tool_path,  # first-use tool journey
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

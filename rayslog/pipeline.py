@@ -10471,30 +10471,11 @@ def q_time_weighted_value(sf_dir: str):
 def q_value_gini(sf_dir: str):
     """Exact per-type Gini coefficient of the event value — the
     rank-weighted-sum identity G = (sum (2r-1)x - nS) / (nS) computed
-    WITHOUT a global sort operator: (1) (type, cents) partials
-    materialize once; (2) a scalar tree finds the global cents range;
-    (3) one exchange partitions rows by VALUE RANGE (equal cents can
-    never straddle a range, and the identity is tie-order invariant);
-    (4) each range part sorts locally per type and folds exact int64
-    (m, sum, sum (2j-1)c) triples; (5) the driver stitches the P
-    triples per type in range order — global rank = local rank +
-    cumulative lower-range count, so rsum_global = sum rsum_p +
-    2*sum off_p*s_p.  Final arithmetic mirrors the oracle expression
-    double-for-double (CAST each BIGINT moment, then subtract/divide
-    — invariant #4b).  int64 rsum overflows past ~1e9 rows/type
-    (n^2 * max_cents); split types into value-range sub-keys before
-    that scale."""
-    import numpy as np
-    import ray
-    import ray.data as rd
-
-    from rayslog.stages.aggregate import (
-        live_block_refs,
-        task_exchange,
-        tree_reduce_refs,
-    )
-
-    R = 32
+    WITHOUT a global sort operator (stages/stats.grouped_gini: value-
+    range exchange + local sorted folds + driver rank-offset stitch;
+    tie-order invariant, exact int64 moments, oracle-mirrored double
+    expression).  Cents scaling keeps the moments integral."""
+    from rayslog.stages.stats import grouped_gini
 
     def prep_cents(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("value")))
@@ -10510,142 +10491,30 @@ def q_value_gini(sf_dir: str):
             }
         )
 
-    mat = (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(prep_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()
+    g = grouped_gini(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            prep_cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "event_type",
+        "c",
     )
-    brefs = live_block_refs(mat)
-    empty_out = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "n_events": pa.array([], pa.int64()),
-            "sum_value": pa.array([], pa.float64()),
-            "gini": pa.array([], pa.float64()),
-        }
-    )
-    if not brefs:
-        return rd.from_arrow(empty_out)
 
-    def minmax(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return pa.table(
-                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
-            )
-        col = "c" if "c" in t.column_names else "lo"
-        if col == "c":
-            return pa.table(
-                {
-                    "lo": pa.array([int(pc.min(t.column("c")).as_py())]),
-                    "hi": pa.array([int(pc.max(t.column("c")).as_py())]),
-                }
-            )
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tot = t.column("total").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "lo": pa.array([int(pc.min(t.column("lo")).as_py())]),
-                "hi": pa.array([int(pc.max(t.column("hi")).as_py())]),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n"),
+                "sum_value": pa.array(
+                    tot.astype(np.float64) / 100.0, pa.float64()
+                ),
+                "gini": t.column("gini"),
             }
         )
 
-    @ray.remote
-    def _mm(t):
-        return minmax(t)
-
-    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], minmax)
-    if not mm.num_rows:
-        return rd.from_arrow(empty_out)
-    lo = int(mm.column("lo")[0].as_py())
-    hi = int(mm.column("hi")[0].as_py())
-    span = max(hi - lo + 1, 1)
-
-    def pre(t: pa.Table) -> pa.Table:
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        rp = ((c - lo) * R // span).astype(np.int32)
-        return t.append_column("rpart", pa.array(rp))
-
-    _partials_empty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "rpart": pa.array([], pa.int32()),
-            "m": pa.array([], pa.int64()),
-            "s": pa.array([], pa.int64()),
-            "rsum": pa.array([], pa.int64()),
-        }
-    )
-
-    def per_part(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return _partials_empty
-        t = t.sort_by(
-            [("event_type", "ascending"), ("c", "ascending")]
-        )
-        et = t.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        codes = pc.dictionary_encode(et).indices.to_numpy(
-            zero_copy_only=False
-        )
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        change = np.r_[True, codes[1:] != codes[:-1]]
-        starts = np.nonzero(change)[0]
-        seg_id = np.cumsum(change) - 1
-        j = np.arange(len(c), dtype=np.int64) - starts[seg_id] + 1
-        contrib = (2 * j - 1) * c
-        m = np.diff(np.r_[starts, len(c)]).astype(np.int64)
-        s = np.add.reduceat(c, starts)
-        rsum = np.add.reduceat(contrib, starts)
-        rp = int(t.column("rpart")[0].as_py())
-        return pa.table(
-            {
-                "event_type": et.take(pa.array(starts)),
-                "rpart": pa.array(np.full(len(starts), rp, np.int32)),
-                "m": pa.array(m),
-                "s": pa.array(s.astype(np.int64)),
-                "rsum": pa.array(rsum.astype(np.int64)),
-            }
-        )
-
-    parts_ds = task_exchange(
-        brefs, "rpart", R, per_part, drop_part_col=False, pre_fn=pre
-    )
-    df = parts_ds.to_pandas()
-    if df.empty or "event_type" not in df.columns:
-        return rd.from_arrow(empty_out)
-    df = df.sort_values(["event_type", "rpart"], ignore_index=True)
-    types, ns, sums, ginis = [], [], [], []
-    for et, g in df.groupby("event_type", sort=True):
-        off = 0
-        n = 0
-        S = 0
-        rsum_g = 0
-        # Python-int fold: exact regardless of magnitude
-        for m_, s_, r_ in zip(
-            g["m"].tolist(), g["s"].tolist(), g["rsum"].tolist()
-        ):
-            rsum_g += int(r_) + 2 * off * int(s_)
-            off += int(m_)
-            n += int(m_)
-            S += int(s_)
-        types.append(et)
-        ns.append(n)
-        sums.append(float(S) / 100.0)
-        if S > 0:
-            ginis.append(
-                (float(rsum_g) - float(n) * float(S))
-                / (float(n) * float(S))
-            )
-        else:
-            ginis.append(None)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "event_type": pa.array(types, pa.string()),
-                "n_events": pa.array(ns, pa.int64()),
-                "sum_value": pa.array(sums, pa.float64()),
-                "gini": pa.array(ginis, pa.float64()),
-            }
-        )
-    )
+    return g.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_host_handoffs(sf_dir: str):
@@ -11298,4 +11167,133 @@ def q_session_type_pairs(sf_dir: str):
         keys=["type_a", "type_b"],
         aggs=[("n_sessions", "sum")],
         out_names=["n_sessions"],
+    )
+
+
+def q_token_gini_by_lang(sf_dir: str):
+    """Token-mass inequality per language: exact Gini of per-doc
+    whitespace token counts within each lang — the corpus-balance
+    audit behind length-stratified sampling (a high Gini means a few
+    giant docs own the lang's token budget).  Same sort-free
+    grouped_gini machinery as value_gini; token counts are already
+    integral so no cents scaling."""
+    from rayslog.stages.stats import grouped_gini
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "c": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    g = grouped_gini(
+        _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "lang",
+        "c",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n"),
+                "sum_tokens": t.column("total"),
+                "gini": t.column("gini"),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_conv_tool_path(sf_dir: str):
+    """Per-conversation tool journey: the '>'-joined sequence of
+    DISTINCT tools in FIRST-USE order (empty-string rows are non-tool
+    turns and drop) — the agent-behavior fingerprint mined before
+    clustering trajectories.  One conv-hash exchange; per part the
+    (conv, tool) first turns resolve with one Arrow group_by min, and
+    each conversation's ordered run assembles via ListArray offsets +
+    binary_join (the conv_assemble machinery).  Arrow's stable sort on
+    (conv, first_turn) gives the exact string_agg ORDER BY order —
+    first turns are unique within a conversation."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange
+    from rayslog.stages.events import _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("tool"), ""))
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "tool": t.column("tool"),
+                "cpart": pa.array(
+                    (h % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "tool_path": pa.array([], pa.string()),
+            "n_tools": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        f = (
+            t.select(["conv_id", "tool", "turn_idx"])
+            .group_by(["conv_id", "tool"])
+            .aggregate([("turn_idx", "min")])
+            .rename_columns(["conv_id", "tool", "first_turn"])
+            .sort_by(
+                [("conv_id", "ascending"), ("first_turn", "ascending")]
+            )
+        )
+        if not f.num_rows:
+            return _empty
+        cv = f.column("conv_id")
+        if isinstance(cv, pa.ChunkedArray):
+            cv = cv.combine_chunks()
+        codes = pc.dictionary_encode(cv).indices.to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[0, np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+        counts = np.diff(np.r_[starts, len(codes)])
+        offs = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        tool = f.column("tool")
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), tool)
+        return pa.table(
+            {
+                "conv_id": cv.take(pa.array(starts)),
+                "tool_path": pc.binary_join(lists, pa.scalar(">")).cast(
+                    pa.string()
+                ),
+                "n_tools": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return task_exchange(
+        read_transcripts(sf_dir, ["conv_id", "turn_idx", "tool"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
     )

@@ -3149,6 +3149,28 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # token-mass inequality per lang (r5 session 9): grouped_gini over
+    # per-doc whitespace token counts; same identity as value_gini
+    q["token_gini_by_lang"] = r"""
+WITH e AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS c
+  FROM documents),
+r AS (
+  SELECT lang, c,
+    row_number() OVER (PARTITION BY lang ORDER BY c) AS rn
+  FROM e),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum((2*rn - 1) * c) AS BIGINT) AS rsum
+  FROM r GROUP BY lang)
+SELECT lang, n_docs, sc AS sum_tokens,
+  CASE WHEN sc > 0 THEN
+    (CAST(rsum AS DOUBLE) - CAST(n_docs AS DOUBLE)*CAST(sc AS DOUBLE))
+      / (CAST(n_docs AS DOUBLE)*CAST(sc AS DOUBLE))
+  ELSE NULL END AS gini
+FROM a
+"""
     # per-dimension embedding range audit (r5 session 9): min/max are
     # order-free exact on floats (unlike sums); float32 end-to-end
     q["embedding_dim_range"] = """
@@ -3685,6 +3707,19 @@ SELECT m.k AS k, CAST(count(*) AS BIGINT) AS n_msgs,
   CAST(sum(CAST(m.n AS BIGINT)) AS BIGINT) AS sum_n,
   CAST(max(CAST(m.n AS BIGINT)) AS BIGINT) AS max_n
 FROM sdm GROUP BY m.k
+""",
+        # tool journey (r5 session 9): distinct tools per conversation
+        # joined in FIRST-USE order ('' rows are non-tool turns); min
+        # first_turn is unique per (conv, tool) so the agg order is total
+        "conv_tool_path": f"""
+WITH f AS (
+  SELECT conv_id, tool, min(turn_idx) AS first_turn
+  FROM read_parquet('{path}/*.parquet') WHERE tool <> ''
+  GROUP BY 1, 2)
+SELECT conv_id,
+  string_agg(tool, '>' ORDER BY first_turn) AS tool_path,
+  CAST(count(*) AS BIGINT) AS n_tools
+FROM f GROUP BY conv_id
 """,
         # handoff graph (r5 session 9): adjacent cleanly-parsed turns in
         # a conversation whose hostname changes — LAG over (conv,

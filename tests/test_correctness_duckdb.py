@@ -257,6 +257,8 @@ QUERY_NAMES = [
     "basket_rules",
     "embedding_dim_range",
     "session_type_pairs",
+    "token_gini_by_lang",
+    "conv_tool_path",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

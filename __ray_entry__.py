@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_pairs": p.q_session_type_pairs,  # sessionized basket
         "token_gini_by_lang": p.q_token_gini_by_lang,  # corpus balance
         "conv_tool_path": p.q_conv_tool_path,  # first-use tool journey
+        "top_events_with_ties": p.q_top_events_with_ties,  # DENSE_RANK<=k
+        "embedding_argmax": p.q_embedding_argmax,  # dominant dimension
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

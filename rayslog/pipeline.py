@@ -11297,3 +11297,106 @@ def q_conv_tool_path(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_top_events_with_ties(sf_dir: str, k: int = 3):
+    """Per-type top-k events WITH TIES (DENSE_RANK <= k): every row
+    whose value is among the group's k largest DISTINCT values — the
+    leaderboard semantics grouped_top_k (ROW_NUMBER) cannot express,
+    because tie rows must all survive.  The keep rule is re-applicable
+    (stages/stats.keep_dense_topk docstring), so qualifying rows ride
+    the combiner tree; dense ranks attach once on the final block.
+    Values pass through untouched — no float arithmetic to mirror.
+    Planted-tie fuzz in tests/test_r5_session9.py (the driver corpus
+    happens to be tie-free at the top ranks)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+    from rayslog.stages.stats import grouped_dense_ranks, keep_dense_topk
+
+    COLS = ["event_id", "event_type", "value"]
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return keep_dense_topk(t, "event_type", "value", k, COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _keep(t.filter(pc.is_valid(t.column("value"))))
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        t, dr = grouped_dense_ranks(_keep(t), "event_type", "value")
+        keep = dr <= k
+        t = t.filter(pa.array(keep))
+        return t.append_column(
+            "rnk", pa.array(dr[keep].astype(np.int64), pa.int64())
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        _keep,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_embedding_argmax(sf_dir: str):
+    """Per-vector dominant dimension: the FIRST argmax slot and its
+    value — the quantization sanity probe (is one dimension eating the
+    norm?).  Pure per-batch map over the rectangular (n, d) float32
+    view; np.argmax's first-occurrence rule == DuckDB list_indexof on
+    the identical float32 bits."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        valid = pc.is_valid(emb)
+        vid = t.column("vec_id").filter(valid)
+        emb = emb.filter(valid)
+        if not len(emb):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "max_v": pa.array([], pa.float32()),
+                }
+            )
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column")
+        m = (
+            pc.list_flatten(emb)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float32, copy=False)
+            .reshape(len(emb), d)
+        )
+        am = m.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": vid,
+                "dim": pa.array(am.astype(np.int64), pa.int64()),
+                "max_v": pa.array(
+                    m[np.arange(len(am)), am], pa.float32()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -3149,6 +3149,26 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # leaderboard WITH TIES (r5 session 9): DENSE_RANK <= 3 — every
+    # row carrying one of the group's 3 largest distinct values
+    q["top_events_with_ties"] = """
+WITH r AS (
+  SELECT event_id, event_type, value,
+    dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+      AS rnk
+  FROM events WHERE value IS NOT NULL)
+SELECT event_id, event_type, value, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+    # per-vector dominant dimension (r5 session 9): first argmax slot;
+    # np.argmax first-occurrence == list_indexof on identical float32
+    q["embedding_argmax"] = """
+SELECT vec_id,
+  CAST(list_indexof(embedding, list_aggregate(embedding, 'max')) - 1
+       AS BIGINT) AS dim,
+  list_aggregate(embedding, 'max') AS max_v
+FROM embeddings WHERE embedding IS NOT NULL
+"""
     # token-mass inequality per lang (r5 session 9): grouped_gini over
     # per-doc whitespace token counts; same identity as value_gini
     q["token_gini_by_lang"] = r"""

@@ -182,3 +182,38 @@ def grouped_gini(ds, group_col: str, val_col: str, parts: int = 32):
             }
         )
     )
+
+
+def grouped_dense_ranks(t: pa.Table, group_col: str, val_col: str):
+    """Sort ``t`` by (group asc, value DESC) and return ``(sorted_t,
+    dense_ranks)`` — rank 1 = the group's largest distinct value, tie
+    rows share a rank.  One sort + two cumsum passes, no per-group
+    Python; the kernel under top_events_with_ties' keep tree."""
+    import numpy as np
+
+    t = t.sort_by([(group_col, "ascending"), (val_col, "descending")])
+    g = t.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    codes = pc.dictionary_encode(g).indices.to_numpy(zero_copy_only=False)
+    v = t.column(val_col).to_numpy(zero_copy_only=False)
+    new_g = np.r_[True, codes[1:] != codes[:-1]]
+    new_v = np.r_[True, (v[1:] != v[:-1]) | new_g[1:]]
+    grp_start = np.maximum.accumulate(
+        np.where(new_g, np.arange(len(v)), 0)
+    )
+    cs = np.cumsum(new_v)
+    dr = cs - cs[grp_start] + 1
+    return t, dr.astype(np.int64)
+
+
+def keep_dense_topk(
+    t: pa.Table, group_col: str, val_col: str, k: int, keep_cols
+) -> pa.Table:
+    """Rows whose per-group dense rank (value DESC) is <= k.  The rule
+    is RE-APPLICABLE — top-k distinct of a union equals top-k distinct
+    over each side's top-k distinct keeps — so it rides tree_reduce."""
+    if not t.num_rows:
+        return t.select(keep_cols) if t.column_names else t
+    t, dr = grouped_dense_ranks(t, group_col, val_col)
+    return t.filter(pa.array(dr <= k)).select(keep_cols)

@@ -259,6 +259,8 @@ QUERY_NAMES = [
     "session_type_pairs",
     "token_gini_by_lang",
     "conv_tool_path",
+    "top_events_with_ties",
+    "embedding_argmax",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

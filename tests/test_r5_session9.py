@@ -69,3 +69,74 @@ def test_gini_fold_all_zero_values():
     gs, ns, totals, ginis = gini_partials_fold(df)
     assert ginis == [None] * len(gs)
     assert totals == [0] * len(gs)
+
+
+def test_keep_dense_topk_tree_matches_duckdb_fuzz():
+    """Planted-tie fuzz: per-part keep -> tree merge -> final ranks
+    must equal DuckDB's DENSE_RANK() <= k WITH every tie row kept (the
+    driver corpus is tie-free at the top ranks, so this is the only
+    place the tie semantics is exercised)."""
+    import duckdb
+    import pyarrow as pa
+
+    from rayslog.stages.stats import grouped_dense_ranks, keep_dense_topk
+
+    rng = np.random.default_rng(7)
+    COLS = ["event_id", "event_type", "value"]
+    for trial in range(20):
+        n = int(rng.integers(1, 500))
+        k = int(rng.integers(1, 5))
+        # tiny value domain -> dense ties, including at the top
+        vals = rng.integers(0, int(rng.integers(2, 8)), n) / 2.0
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(
+                    rng.integers(0, 3, n).astype(str)
+                ),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        # split into parts, keep per part, merge through a 2-level tree
+        n_parts = int(rng.integers(1, 6))
+        bounds = np.sort(rng.integers(0, n + 1, n_parts - 1)) if n_parts > 1 else np.array([], np.int64)
+        pieces = []
+        prev = 0
+        for b in list(bounds) + [n]:
+            pieces.append(
+                keep_dense_topk(t.slice(prev, b - prev), "event_type",
+                                "value", k, COLS)
+            )
+            prev = b
+        merged = pieces[0]
+        for piece in pieces[1:]:
+            merged = keep_dense_topk(
+                pa.concat_tables([merged, piece]), "event_type", "value",
+                k, COLS,
+            )
+        got, dr = grouped_dense_ranks(merged, "event_type", "value")
+        got = got.append_column("rnk", pa.array(dr))
+        con = duckdb.connect()
+        con.register("t_in", t.to_pandas())
+        ref = con.execute(
+            f"""
+            WITH r AS (
+              SELECT event_id, event_type, value,
+                dense_rank() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC) AS rnk
+              FROM t_in)
+            SELECT event_id, event_type, value, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= {k}
+            ORDER BY event_type, value DESC, event_id
+            """
+        ).df()
+        gdf = (
+            got.to_pandas()
+            .sort_values(["event_type", "value", "event_id"],
+                         ascending=[True, False, True],
+                         ignore_index=True)
+        )
+        assert len(gdf) == len(ref), (trial, len(gdf), len(ref))
+        pd.testing.assert_frame_equal(
+            gdf, ref, check_dtype=True
+        )

@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_path": p.q_conv_tool_path,  # first-use tool journey
         "top_events_with_ties": p.q_top_events_with_ties,  # DENSE_RANK<=k
         "embedding_argmax": p.q_embedding_argmax,  # dominant dimension
+        "df_split_drift": p.q_df_split_drift,  # train/holdout vocab skew
+        "value_percent_rank_global": p.q_value_percent_rank_global,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

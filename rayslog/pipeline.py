@@ -11400,3 +11400,274 @@ def q_embedding_argmax(sf_dir: str):
     return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_df_split_drift(sf_dir: str):
+    """Train/holdout vocabulary-skew audit: per token, document
+    frequency inside the deterministic 90% train split vs the 10%
+    holdout (dataset_split's splitmix64 rule), plus the rate ratio —
+    the leakage/shift screen run before trusting any held-out eval.
+    Per batch the per-doc DISTINCT tokens (texthash.tokens + the
+    doc_freq within-doc dedupe) explode once with the row's split
+    flag; (token, df_train, df_rest) partials ride the
+    cardinality-adaptive tree (vocab is an unbounded key —
+    split_keys engages past the threshold); the two doc totals ride a
+    scalar tree and the ratio attaches as closure constants."""
+    import numpy as np
+
+    from rayslog.kernels import texthash as tx
+    from rayslog.stages.aggregate import tree_aggregate, tree_reduce
+    from rayslog.stages.sample import rate_threshold, splitmix64
+
+    t_val = rate_threshold(SPLIT_RATES[1])
+
+    def _train_mask(ids: np.ndarray) -> np.ndarray:
+        return splitmix64(ids.astype(np.uint64), SPLIT_SEED) >= np.uint64(
+            t_val
+        )
+
+    _tok_empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df_train": pa.array([], pa.int64()),
+            "df_rest": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        train = _train_mask(ids)
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, offs = tx.tokens(txt, lower=True)
+        if len(flat) == 0:
+            return _tok_empty
+        h = tx.hash_utf8(flat, seed=0)
+        seg = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        order = np.lexsort((h, seg))
+        s, hh = seg[order], h[order]
+        first = np.r_[True, (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])]
+        idx = np.asarray(order)[first]
+        uniq = flat.take(pa.array(idx))
+        tr = train[seg[idx]].astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "token": uniq,
+                    "df_train": pa.array(tr),
+                    "df_rest": pa.array(np.int64(1) - tr),
+                }
+            )
+            .group_by(["token"])
+            .aggregate([("df_train", "sum"), ("df_rest", "sum")])
+            .rename_columns(["token", "df_train", "df_rest"])
+        )
+
+    freqs = tree_aggregate(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=8_192,
+        ),
+        keys=["token"],
+        aggs=[("df_train", "sum"), ("df_rest", "sum")],
+        out_names=["df_train", "df_rest"],
+        split_keys=["token"],
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ntr = int(_train_mask(ids).sum())
+        return pa.table(
+            {
+                "n_train": pa.array([ntr], pa.int64()),
+                "n_rest": pa.array([len(ids) - ntr], pa.int64()),
+            }
+        )
+
+    def count_reduce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_train": pa.array(
+                    [int(pc.sum(t.column("n_train")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "n_rest": pa.array(
+                    [int(pc.sum(t.column("n_rest")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    totals = tree_reduce(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        count_reduce,
+    ).to_pandas()
+    n_train = int(totals["n_train"].iloc[0]) if len(totals) else 0
+    n_rest = int(totals["n_rest"].iloc[0]) if len(totals) else 0
+
+    def finish(t: pa.Table) -> pa.Table:
+        dft = t.column("df_train").to_numpy(zero_copy_only=False)
+        dfr = t.column("df_rest").to_numpy(zero_copy_only=False)
+        ok = (dfr > 0) & (n_train > 0)
+        safe_r = np.where(dfr > 0, dfr, 1).astype(np.float64)
+        ratio = (dft.astype(np.float64) / float(max(n_train, 1))) / (
+            safe_r / float(max(n_rest, 1))
+        )
+        return pa.table(
+            {
+                "token": t.column("token"),
+                "df_train": t.column("df_train"),
+                "df_rest": t.column("df_rest"),
+                "rate_ratio": pa.array(ratio, pa.float64(), mask=~ok),
+            }
+        )
+
+    return freqs.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_value_percent_rank_global(sf_dir: str):
+    """GLOBAL PERCENT_RANK for every event — a row-level window over
+    the WHOLE table computed without a global sort operator: (1)
+    (event_id, value) partials materialize once; (2) rows exchange by
+    VALUE RANGE (the monotone map sends equal values to one part, so
+    tie groups never straddle a range and min-rank is locally
+    decidable); (3) each range part sorts locally and returns its row
+    count; (4) the driver prefix-sums counts into range offsets; (5) a
+    second task round attaches rank = offset + local min-rank and
+    pct = (rank-1)/(n-1) — DuckDB's exact expression (verified: its
+    percent_rank is rank()-min-rank based).  The same two-round
+    offsets discipline as shuffle_shards' global NTILE, generalized to
+    per-row output."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce_refs,
+    )
+
+    R = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return t.select(["event_id", "value"])
+
+    mat = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    brefs = live_block_refs(mat)
+    empty_out = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+            "pct_rank": pa.array([], pa.float64()),
+        }
+    )
+    if not brefs:
+        return rd.from_arrow(empty_out)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                }
+            )
+        col = "value" if "value" in t.column_names else "lo"
+        if col == "value":
+            return pa.table(
+                {
+                    "lo": pa.array(
+                        [float(pc.min(t.column("value")).as_py())]
+                    ),
+                    "hi": pa.array(
+                        [float(pc.max(t.column("value")).as_py())]
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "lo": pa.array([float(pc.min(t.column("lo")).as_py())]),
+                "hi": pa.array([float(pc.max(t.column("hi")).as_py())]),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], minmax)
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    lo = float(mm.column("lo")[0].as_py())
+    hi = float(mm.column("hi")[0].as_py())
+    span = max(hi - lo, 0.0)
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        if span > 0.0:
+            rp = np.clip(
+                ((v - lo) * R / span).astype(np.int64), 0, R - 1
+            ).astype(np.int32)
+        else:
+            rp = np.zeros(len(v), np.int32)
+        return t.append_column("rpart", pa.array(rp))
+
+    def sort_part(t: pa.Table) -> pa.Table:
+        return t.sort_by([("value", "ascending")])
+
+    part_refs = task_exchange(
+        brefs, "rpart", R, sort_part, pre_fn=pre, return_refs=True
+    )
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in part_refs])
+    n = int(sum(counts))
+    if n == 0:
+        return rd.from_arrow(empty_out)
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    denom = float(n - 1) if n > 1 else 1.0
+
+    @ray.remote
+    def rank_part(t: pa.Table, off: int) -> pa.Table:
+        if not t.num_rows:
+            return empty_out
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        idx = np.arange(len(v), dtype=np.int64)
+        new_v = np.r_[True, v[1:] != v[:-1]]
+        min_rank_local = np.maximum.accumulate(np.where(new_v, idx, 0))
+        rank = min_rank_local + off + 1
+        pct = (rank - 1).astype(np.float64) / denom
+        if n <= 1:
+            pct = np.zeros(len(v), np.float64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    out = ray.get(
+        [
+            rank_part.remote(r, int(o))
+            for r, o in zip(part_refs, offs)
+        ]
+    )
+    non_empty = [t for t in out if t.num_rows] or out[:1]
+    return rd.from_arrow(pa.concat_tables(non_empty))

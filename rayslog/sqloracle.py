@@ -2482,6 +2482,32 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM a GROUP BY split, lang
 """
+    # train/holdout vocabulary-skew audit (r5 session 9): per-token doc
+    # frequency inside the splitmix64 90% train split vs the holdout,
+    # rate ratio in the engine's exact double expression
+    q["df_split_drift"] = f"""
+WITH s AS (
+  SELECT {_split_h} >= {_rt(SPLIT_RATES[1])} AS is_train,
+    list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
+  FROM documents),
+tot AS (
+  SELECT
+    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+  FROM s),
+d AS (SELECT is_train, unnest(toks) AS token FROM s),
+f AS (
+  SELECT token,
+    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS df_train,
+    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS df_rest
+  FROM d GROUP BY token)
+SELECT f.token, f.df_train, f.df_rest,
+  CASE WHEN f.df_rest > 0 AND t.n_train > 0 THEN
+    (CAST(f.df_train AS DOUBLE)/CAST(t.n_train AS DOUBLE))
+      / (CAST(f.df_rest AS DOUBLE)/CAST(t.n_rest AS DOUBLE))
+  ELSE NULL END AS rate_ratio
+FROM f, tot t
+"""
     # per-user out-of-order audit (r5): exact inversion counts — the
     # strict self-join pair count the mergesort kernel computes
     q["event_inversions"] = """
@@ -3148,6 +3174,13 @@ SELECT event_type, n_days,
        / CAST(n_days AS DOUBLE)) / 100
   ELSE NULL END AS intercept
 FROM s
+"""
+    # global per-row PERCENT_RANK (r5 session 9): the whole-table
+    # window computed range-partitioned; ties share the min rank
+    q["value_percent_rank_global"] = """
+SELECT event_id, value,
+  percent_rank() OVER (ORDER BY value) AS pct_rank
+FROM events WHERE value IS NOT NULL
 """
     # leaderboard WITH TIES (r5 session 9): DENSE_RANK <= 3 — every
     # row carrying one of the group's 3 largest distinct values

@@ -261,6 +261,8 @@ QUERY_NAMES = [
     "conv_tool_path",
     "top_events_with_ties",
     "embedding_argmax",
+    "df_split_drift",
+    "value_percent_rank_global",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

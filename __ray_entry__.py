@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_argmax": p.q_embedding_argmax,  # dominant dimension
         "df_split_drift": p.q_df_split_drift,  # train/holdout vocab skew
         "value_percent_rank_global": p.q_value_percent_rank_global,
+        "nation_customer_hhi": p.q_nation_customer_hhi,  # concentration
+        "type_traffic_similarity": p.q_type_traffic_similarity,  # wJaccard
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

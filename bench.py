@@ -711,6 +711,102 @@ def _run_bench() -> dict:
             "conv_max_gap",
             lambda: p.q_conv_max_gap(SF_DIR).count(),
         )
+        timed_extra(
+            "log_templates",
+            lambda: p.q_log_templates(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "procid_churn",
+            lambda: p.q_procid_churn(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_ffill_severity",
+            lambda: p.q_conv_ffill_severity(SF_DIR).count(),
+        )
+        timed_extra(
+            "maintenance_windows",
+            lambda: p.q_maintenance_windows(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "daily_autocorr",
+            lambda: p.q_daily_autocorr(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "sd_params",
+            lambda: p.q_sd_params(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "wow_traffic",
+            lambda: p.q_wow_traffic(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "user_type_profile",
+            lambda: p.q_user_type_profile(SF_DIR).count(),
+        )
+        timed_extra(
+            "time_weighted_value",
+            lambda: p.q_time_weighted_value(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "value_gini",
+            lambda: p.q_value_gini(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "host_handoffs",
+            lambda: p.q_host_handoffs(SF_DIR).count(),
+        )
+        timed_extra(
+            "value_trend_by_type",
+            lambda: p.q_value_trend_by_type(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "type_dow_independence",
+            lambda: p.q_type_dow_independence(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "basket_rules",
+            lambda: p.q_basket_rules(SF_DIR).count(),
+        )
+        timed_extra(
+            "embedding_dim_range",
+            lambda: p.q_embedding_dim_range(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "session_type_pairs",
+            lambda: p.q_session_type_pairs(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "token_gini_by_lang",
+            lambda: p.q_token_gini_by_lang(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "conv_tool_path",
+            lambda: p.q_conv_tool_path(SF_DIR).count(),
+        )
+        timed_extra(
+            "top_events_with_ties",
+            lambda: p.q_top_events_with_ties(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "embedding_argmax",
+            lambda: p.q_embedding_argmax(SF_DIR).count(),
+        )
+        timed_extra(
+            "df_split_drift",
+            lambda: p.q_df_split_drift(SF_DIR).count(),
+        )
+        timed_extra(
+            "value_percent_rank_global",
+            lambda: p.q_value_percent_rank_global(SF_DIR).count(),
+        )
+        timed_extra(
+            "nation_customer_hhi",
+            lambda: p.q_nation_customer_hhi(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "type_traffic_similarity",
+            lambda: p.q_type_traffic_similarity(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -11671,3 +11671,280 @@ def q_value_percent_rank_global(sf_dir: str):
     )
     non_empty = [t for t in out if t.num_rows] or out[:1]
     return rd.from_arrow(pa.concat_tables(non_empty))
+
+
+def q_nation_customer_hhi(sf_dir: str):
+    """Revenue concentration per nation: the Herfindahl-Hirschman index
+    of customer spend shares plus the single largest share — the
+    dependency-risk audit next to the Gini family.  Per-customer
+    dollar totals resolve in one custkey exchange; the nationkey
+    attaches via a partitioned hash join (scale-safe at any dim size);
+    per-nation (n, S, sum d^2, max d) moments ride the bounded tree.
+    DOLLAR-rounded spend keeps sum(d^2) under 2^63 at driver scales —
+    a cents-squared moment would cross the HUGEINT->DOUBLE 1-ULP trap
+    (invariant #4b); past ~1e18 dollar-squared mass, range-split the
+    moments."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+    from rayslog.stages.relational import hash_join
+
+    parts = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                # DuckDB round() is half-AWAY (Arrow's default is
+                # half-to-even, and dollar rounding hits exact .50
+                # boundaries — cents never do)
+                "d": pc.cast(
+                    pc.round(
+                        t.column("o_totalprice"),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                "upart": pa.array(
+                    (u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        return (
+            t.select(["o_custkey", "d"])
+            .group_by(["o_custkey"])
+            .aggregate([("d", "sum")])
+            .rename_columns(["o_custkey", "d"])
+        )
+
+    cust_spend = task_exchange(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+    def dim_prep(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_nationkey"])
+
+    joined = hash_join(
+        cust_spend,
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            dim_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="o_custkey",
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        d = t.column("d")
+        return (
+            pa.table(
+                {
+                    "c_nationkey": t.column("c_nationkey"),
+                    "n_customers": pa.array(
+                        np.ones(t.num_rows, np.int64)
+                    ),
+                    "s": d,
+                    "ssq": pc.multiply(d, d),
+                    "mx": d,
+                }
+            )
+            .group_by(["c_nationkey"])
+            .aggregate(
+                [
+                    ("n_customers", "sum"),
+                    ("s", "sum"),
+                    ("ssq", "sum"),
+                    ("mx", "max"),
+                ]
+            )
+            .rename_columns(
+                ["c_nationkey", "n_customers", "s", "ssq", "mx"]
+            )
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["c_nationkey"])
+            .aggregate(
+                [
+                    ("n_customers", "sum"),
+                    ("s", "sum"),
+                    ("ssq", "sum"),
+                    ("mx", "max"),
+                ]
+            )
+            .rename_columns(
+                ["c_nationkey", "n_customers", "s", "ssq", "mx"]
+            )
+        )
+
+    names = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(
+            names.column("n_nationkey").to_pylist(),
+            names.column("n_name").to_pylist(),
+        )
+    )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        mx = t.column("mx").to_numpy(zero_copy_only=False)
+        ok = s > 0
+        s_d = s.astype(np.float64)
+        hhi = np.where(ok, ssq.astype(np.float64) / (s_d * s_d), np.nan)
+        top = np.where(ok, mx.astype(np.float64) / s_d, np.nan)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [name_of.get(int(k)) for k in nk], pa.string()
+                ),
+                "n_customers": t.column("n_customers"),
+                "revenue_dollars": t.column("s"),
+                "hhi": pa.array(hhi, pa.float64(), mask=~ok),
+                "top_share": pa.array(top, pa.float64(), mask=~ok),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "revenue_dollars": pa.array([], pa.int64()),
+                    "hhi": pa.array([], pa.float64()),
+                    "top_share": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    return tree_reduce(
+        joined.map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )
+
+
+def q_type_traffic_similarity(sf_dir: str):
+    """Weighted-Jaccard similarity of every event-type PAIR's daily
+    traffic profile — sum min(a_d, b_d) / sum max(a_d, b_d) over the
+    shared calendar spine (absent days count 0) — the redundancy
+    screen run before collapsing near-identical signals.  The bounded
+    (type, day) count matrix rides the combiner tree; the pairwise
+    min/max sums are exact int64 on the final dense block, the ratio
+    mirrors the oracle's double expression."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "day": pc.floor_temporal(
+                        t.column("ts").cast(pa.timestamp("us")), unit="day"
+                    ),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "day", "n"])
+        )
+
+    _schema_empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "sum_min": pa.array([], pa.int64()),
+            "sum_max": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _schema_empty
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        types = sorted(set(et.to_pylist()))
+        days = sorted(
+            set(t.column("day").cast(pa.int64()).to_pylist())
+        )
+        ti = {v: i for i, v in enumerate(types)}
+        di = {v: i for i, v in enumerate(days)}
+        m = np.zeros((len(types), len(days)), np.int64)
+        dd = t.column("day").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nn = t.column("n").to_numpy(zero_copy_only=False)
+        for e, d, v in zip(et.to_pylist(), dd, nn):
+            m[ti[e], di[int(d)]] = v
+        rows_a, rows_b, smin, smax, sims = [], [], [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                mn = int(np.minimum(m[i], m[j]).sum())
+                mxs = int(np.maximum(m[i], m[j]).sum())
+                rows_a.append(types[i])
+                rows_b.append(types[j])
+                smin.append(mn)
+                smax.append(mxs)
+                sims.append(
+                    float(mn) / float(mxs) if mxs > 0 else None
+                )
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "sum_min": pa.array(smin, pa.int64()),
+                "sum_max": pa.array(smax, pa.int64()),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_schema_empty)
+
+    return tree_reduce(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_fn,
+        final_fn=final_fn,
+    )

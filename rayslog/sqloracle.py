@@ -3175,6 +3175,57 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # revenue concentration per nation (r5 session 9): HHI of customer
+    # spend shares + max share; DOLLAR-rounded spend keeps sum(d^2)
+    # inside BIGINT (a cents moment would cross the HUGEINT->DOUBLE
+    # 1-ULP trap, invariant #4b)
+    q["nation_customer_hhi"] = """
+WITH cs AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS d
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT c.c_nationkey, cs.d
+  FROM cs JOIN customer c ON cs.o_custkey = c.c_custkey),
+a AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(sum(d) AS BIGINT) AS s, CAST(sum(d*d) AS BIGINT) AS ssq,
+    CAST(max(d) AS BIGINT) AS mx
+  FROM j GROUP BY 1)
+SELECT n.n_name, a.n_customers, a.s AS revenue_dollars,
+  CASE WHEN a.s > 0 THEN
+    CAST(a.ssq AS DOUBLE)/(CAST(a.s AS DOUBLE)*CAST(a.s AS DOUBLE))
+  ELSE NULL END AS hhi,
+  CASE WHEN a.s > 0 THEN CAST(a.mx AS DOUBLE)/CAST(a.s AS DOUBLE)
+  ELSE NULL END AS top_share
+FROM a JOIN nation n ON a.c_nationkey = n.n_nationkey
+"""
+    # pairwise weighted-Jaccard of daily traffic profiles (r5 session
+    # 9): absent days count 0 via the dense type x day grid
+    q["type_traffic_similarity"] = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+grid AS (
+  SELECT t.event_type, dy.day, coalesce(d.n, 0) AS n
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(sum(least(a.n, b.n)) AS BIGINT) AS sum_min,
+    CAST(sum(greatest(a.n, b.n)) AS BIGINT) AS sum_max
+  FROM grid a JOIN grid b
+    ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, sum_min, sum_max,
+  CASE WHEN sum_max > 0 THEN
+    CAST(sum_min AS DOUBLE)/CAST(sum_max AS DOUBLE)
+  ELSE NULL END AS sim
+FROM pairs
+"""
     # global per-row PERCENT_RANK (r5 session 9): the whole-table
     # window computed range-partitioned; ties share the min rank
     q["value_percent_rank_global"] = """

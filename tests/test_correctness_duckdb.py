@@ -263,6 +263,8 @@ QUERY_NAMES = [
     "embedding_argmax",
     "df_split_drift",
     "value_percent_rank_global",
+    "nation_customer_hhi",
+    "type_traffic_similarity",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

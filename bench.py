@@ -807,6 +807,10 @@ def _run_bench() -> dict:
             "type_traffic_similarity",
             lambda: p.q_type_traffic_similarity(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_drift_ks",
+            lambda: p.q_value_drift_ks(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -11948,3 +11948,205 @@ def q_type_traffic_similarity(sf_dir: str):
         empty_fn=empty_fn,
         final_fn=final_fn,
     )
+
+
+def q_value_drift_ks(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov drift test between the
+    first and second time-half of the event stream, over the value
+    distribution — the deployment-drift gate, computed distributed
+    with NO float CDFs: the sup runs over the integer cross-product
+    |F1(v)*n2 - F2(v)*n1| (exact at any prefix), so only the final
+    division is double.  Plan: one materialized (us, value) pass
+    feeds (a) a scalar tree for the ts midpoint + value range, (b) a
+    VALUE-RANGE exchange producing per-part (value, c1, c2) grouped
+    counts, (c) per-part (n1_p, n2_p) totals prefix-summed on the
+    driver into offsets, (d) a second task round taking each part's
+    local sup given its offsets.  Equal values share a range part, so
+    every global prefix boundary is visible to exactly one part.
+    Integer sup needs f*n < 2^63 — past ~3e9 rows per sample, split
+    the cross-product (same discipline as the Gini rsum bound)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce_refs,
+    )
+
+    R = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table(
+            {
+                "us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "value": t.column("value"),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    brefs = live_block_refs(mat)
+    empty_out = pa.table(
+        {
+            "n1": pa.array([0], pa.int64()),
+            "n2": pa.array([0], pa.int64()),
+            "ks": pa.array([None], pa.float64()),
+        }
+    )
+    if not brefs:
+        return rd.from_arrow(empty_out)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "tlo": pa.array([], pa.int64()),
+                    "thi": pa.array([], pa.int64()),
+                    "vlo": pa.array([], pa.float64()),
+                    "vhi": pa.array([], pa.float64()),
+                }
+            )
+        if "us" in t.column_names:
+            return pa.table(
+                {
+                    "tlo": pa.array([int(pc.min(t.column("us")).as_py())]),
+                    "thi": pa.array([int(pc.max(t.column("us")).as_py())]),
+                    "vlo": pa.array(
+                        [float(pc.min(t.column("value")).as_py())]
+                    ),
+                    "vhi": pa.array(
+                        [float(pc.max(t.column("value")).as_py())]
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "tlo": pa.array([int(pc.min(t.column("tlo")).as_py())]),
+                "thi": pa.array([int(pc.max(t.column("thi")).as_py())]),
+                "vlo": pa.array([float(pc.min(t.column("vlo")).as_py())]),
+                "vhi": pa.array([float(pc.max(t.column("vhi")).as_py())]),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], minmax)
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    mid = (
+        int(mm.column("tlo")[0].as_py()) + int(mm.column("thi")[0].as_py())
+    ) // 2
+    vlo = float(mm.column("vlo")[0].as_py())
+    vhi = float(mm.column("vhi")[0].as_py())
+    vspan = max(vhi - vlo, 0.0)
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        if vspan > 0.0:
+            rp = np.clip(
+                ((v - vlo) * R / vspan).astype(np.int64), 0, R - 1
+            ).astype(np.int32)
+        else:
+            rp = np.zeros(len(v), np.int32)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "value": t.column("value"),
+                "s1": pa.array(us <= mid),
+                "rpart": pa.array(rp),
+            }
+        )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "c1": pa.array([], pa.int64()),
+                    "c2": pa.array([], pa.int64()),
+                }
+            )
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "value": t.column("value"),
+                    "c1": pa.array(s1.astype(np.int64)),
+                    "c2": pa.array((~s1).astype(np.int64)),
+                }
+            )
+            .group_by(["value"])
+            .aggregate([("c1", "sum"), ("c2", "sum")])
+            .rename_columns(["value", "c1", "c2"])
+            .sort_by([("value", "ascending")])
+        )
+
+    part_refs = task_exchange(
+        brefs, "rpart", R, count_part, pre_fn=pre, return_refs=True
+    )
+
+    @ray.remote(num_returns=2)
+    def _totals(t: pa.Table):
+        if not t.num_rows:
+            return 0, 0
+        return (
+            int(pc.sum(t.column("c1")).as_py() or 0),
+            int(pc.sum(t.column("c2")).as_py() or 0),
+        )
+
+    tot_refs = [_totals.remote(r) for r in part_refs]
+    c1s = ray.get([a for a, _ in tot_refs])
+    c2s = ray.get([b for _, b in tot_refs])
+    n1, n2 = int(sum(c1s)), int(sum(c2s))
+    if n1 == 0 or n2 == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n1": pa.array([n1], pa.int64()),
+                    "n2": pa.array([n2], pa.int64()),
+                    "ks": pa.array([None], pa.float64()),
+                }
+            )
+        )
+    off1 = np.r_[0, np.cumsum(c1s)[:-1]]
+    off2 = np.r_[0, np.cumsum(c2s)[:-1]]
+
+    @ray.remote
+    def sup_part(t: pa.Table, o1: int, o2: int) -> int:
+        if not t.num_rows:
+            return 0
+        f1 = np.cumsum(
+            t.column("c1").to_numpy(zero_copy_only=False)
+        ) + np.int64(o1)
+        f2 = np.cumsum(
+            t.column("c2").to_numpy(zero_copy_only=False)
+        ) + np.int64(o2)
+        return int(np.abs(f1 * np.int64(n2) - f2 * np.int64(n1)).max())
+
+    sups = ray.get(
+        [
+            sup_part.remote(r, int(a), int(b))
+            for r, a, b in zip(part_refs, off1, off2)
+        ]
+    )
+    mx = max(sups) if sups else 0
+    ks = float(mx) / (float(n1) * float(n2))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "ks": pa.array([ks], pa.float64()),
+            }
+        )
+    )

@@ -3175,6 +3175,36 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # exact two-sample KS drift (r5 session 9): sup over the INTEGER
+    # cross-product |F1*n2 - F2*n1| — only the final division is double
+    q["value_drift_ks"] = """
+WITH b AS (
+  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+    AS mid FROM events),
+e AS (
+  SELECT value, epoch_us(ts) <= b.mid AS s1
+  FROM events, b WHERE value IS NOT NULL),
+t AS (
+  SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM e),
+d AS (
+  SELECT value,
+    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM e GROUP BY value),
+c AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+  FROM d),
+m AS (SELECT CAST(max(abs(f1*t.n2 - f2*t.n1)) AS BIGINT) AS mx
+      FROM c, t)
+SELECT t.n1, t.n2,
+  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+    CAST(m.mx AS DOUBLE)/(CAST(t.n1 AS DOUBLE)*CAST(t.n2 AS DOUBLE))
+  ELSE NULL END AS ks
+FROM t, m
+"""
     # revenue concentration per nation (r5 session 9): HHI of customer
     # spend shares + max share; DOLLAR-rounded spend keeps sum(d^2)
     # inside BIGINT (a cents moment would cross the HUGEINT->DOUBLE

@@ -265,6 +265,7 @@ QUERY_NAMES = [
     "value_percent_rank_global",
     "nation_customer_hhi",
     "type_traffic_similarity",
+    "value_drift_ks",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

@@ -140,3 +140,62 @@ def test_keep_dense_topk_tree_matches_duckdb_fuzz():
         pd.testing.assert_frame_equal(
             gdf, ref, check_dtype=True
         )
+
+
+def test_ks_range_partition_sup_matches_direct_fuzz():
+    """The value-range-partitioned KS sup (per-part local cumsum +
+    driver prefix offsets, integer cross-product) must equal the
+    direct single-pass sup for ANY split that keeps equal values in
+    one part — including heavy ties and all-one-sample parts."""
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        n = int(rng.integers(2, 600))
+        R = int(rng.integers(1, 9))
+        vals = rng.integers(0, int(rng.integers(2, 40)), n).astype(
+            np.float64
+        ) / 4.0
+        s1 = rng.random(n) < rng.random()
+        n1, n2 = int(s1.sum()), int((~s1).sum())
+        if n1 == 0 or n2 == 0:
+            continue
+        # direct: cumulative counts over sorted distinct values
+        order = np.argsort(vals, kind="stable")
+        v_s, s_s = vals[order], s1[order]
+        newv = np.r_[True, v_s[1:] != v_s[:-1]]
+        c1 = np.add.reduceat(s_s.astype(np.int64), np.nonzero(newv)[0])
+        c2 = np.add.reduceat(
+            (~s_s).astype(np.int64), np.nonzero(newv)[0]
+        )
+        direct = int(
+            np.abs(
+                np.cumsum(c1) * n2 - np.cumsum(c2) * n1
+            ).max()
+        )
+        # partitioned: range id from value, per-part grouped counts,
+        # prefix offsets, per-part sup
+        lo, hi = vals.min(), vals.max()
+        span = max(hi - lo, 0.0)
+        rp = (
+            np.clip(((vals - lo) * R / span).astype(np.int64), 0, R - 1)
+            if span > 0
+            else np.zeros(n, np.int64)
+        )
+        sups = []
+        o1 = o2 = 0
+        for p in range(R):
+            m = rp == p
+            if not m.any():
+                continue
+            pv, ps = vals[m], s1[m]
+            po = np.argsort(pv, kind="stable")
+            pv, ps = pv[po], ps[po]
+            pn = np.r_[True, pv[1:] != pv[:-1]]
+            starts = np.nonzero(pn)[0]
+            pc1 = np.add.reduceat(ps.astype(np.int64), starts)
+            pc2 = np.add.reduceat((~ps).astype(np.int64), starts)
+            f1 = np.cumsum(pc1) + o1
+            f2 = np.cumsum(pc2) + o2
+            sups.append(int(np.abs(f1 * n2 - f2 * n1).max()))
+            o1 += int(pc1.sum())
+            o2 += int(pc2.sum())
+        assert max(sups) == direct, (trial, max(sups), direct)

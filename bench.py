@@ -811,6 +811,10 @@ def _run_bench() -> dict:
             "value_drift_ks",
             lambda: p.q_value_drift_ks(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "user_day_streaks",
+            lambda: p.q_user_day_streaks(SF_DIR).count(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -12150,3 +12150,89 @@ def q_value_drift_ks(sf_dir: str):
             }
         )
     )
+
+
+def q_user_day_streaks(sf_dir: str):
+    """Consecutive-activity-day streaks per user (gaps-and-islands on
+    the DISTINCT-day calendar): longest streak, streak count, total
+    active days — the engagement-loyalty profile.  Batch-local
+    distinct (user, day) pairs cross one user-hash exchange; per part
+    a single lexsort finds island starts ((user change) | (day gap !=
+    1 day)) and np.add.reduceat-style run math yields all three stats
+    with no per-user Python."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import task_exchange
+
+    parts = 64
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "day_us": pc.floor_temporal(
+                        t.column("ts").cast(pa.timestamp("us")), unit="day"
+                    ).cast(pa.int64()),
+                }
+            )
+            .group_by(["user_id", "day_us"])
+            .aggregate([])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "upart",
+            pa.array((u.astype(np.uint64) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "max_streak_days": pa.array([], pa.int64()),
+            "n_streaks": pa.array([], pa.int64()),
+            "active_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        g = (
+            t.select(["user_id", "day_us"])
+            .group_by(["user_id", "day_us"])
+            .aggregate([])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new_streak = np.r_[
+            True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != DAY_US)
+        ]
+        sid = np.cumsum(new_streak) - 1
+        streak_len = np.bincount(sid)
+        streak_user = u[new_streak]
+        # per-user stats over the (streak_user, streak_len) pairs
+        uu, inv = np.unique(streak_user, return_inverse=True)
+        mx = np.zeros(len(uu), np.int64)
+        np.maximum.at(mx, inv, streak_len)
+        cnt = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        tot = np.zeros(len(uu), np.int64)
+        np.add.at(tot, inv, streak_len)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "max_streak_days": pa.array(mx),
+                "n_streaks": pa.array(cnt),
+                "active_days": pa.array(tot),
+            }
+        )
+
+    return task_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        "upart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )

@@ -3175,6 +3175,23 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # consecutive-activity-day streaks (r5 session 9): gaps-and-islands
+    # on the distinct-day calendar per user
+    q["user_day_streaks"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d),
+g AS (SELECT user_id, day - to_days(CAST(rn AS INTEGER)) AS grp FROM r),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak_days,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  CAST(sum(len) AS BIGINT) AS active_days
+FROM s GROUP BY user_id
+"""
     # exact two-sample KS drift (r5 session 9): sup over the INTEGER
     # cross-product |F1*n2 - F2*n1| — only the final division is double
     q["value_drift_ks"] = """

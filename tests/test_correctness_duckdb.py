@@ -266,6 +266,7 @@ QUERY_NAMES = [
     "nation_customer_hhi",
     "type_traffic_similarity",
     "value_drift_ks",
+    "user_day_streaks",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

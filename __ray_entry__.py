@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_traffic_similarity": p.q_type_traffic_similarity,  # wJaccard
         "value_drift_ks": p.q_value_drift_ks,  # exact integer-sup KS
         "user_day_streaks": p.q_user_day_streaks,  # gaps-and-islands
+        "price_benford": p.q_price_benford,  # exact-digit Benford screen
+        "value_collision_stats": p.q_value_collision_stats,  # birthday mass
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -815,6 +815,14 @@ def _run_bench() -> dict:
             "user_day_streaks",
             lambda: p.q_user_day_streaks(SF_DIR).count(),
         )
+        timed_extra(
+            "price_benford",
+            lambda: p.q_price_benford(SF_DIR).to_pandas(),
+        )
+        timed_extra(
+            "value_collision_stats",
+            lambda: p.q_value_collision_stats(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -12236,3 +12236,185 @@ def q_user_day_streaks(sf_dir: str):
         per_part,
         pre_fn=prep,
     )
+
+
+def q_price_benford(sf_dir: str):
+    """Benford first-digit screen on order totals — the fraud/synthetic
+    -data smell test.  The leading digit extracts with EXACT integer
+    math (vectorized repeated //10 on cents — a float log10 is 1 ULP
+    from wrong at powers of ten); digit counts ride the 9-key tree;
+    shares and the Benford expectation ln(1+1/d)/ln(10) attach on the
+    final block with math.log (== DuckDB ln, CLAUDE invariant ULP
+    note c)."""
+    import math
+
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), 0.0))
+        c = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
+        while (c >= 10).any():
+            m = c >= 10
+            c[m] //= 10
+        return (
+            pa.table(
+                {
+                    "digit": pa.array(c),
+                    "n_orders": pa.array(np.ones(len(c), np.int64)),
+                }
+            )
+            .group_by(["digit"])
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["digit", "n_orders"])
+        )
+
+    counts = tree_aggregate(
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["digit"],
+        aggs=[("n_orders", "sum")],
+        out_names=["n_orders"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("digit").to_numpy(zero_copy_only=False)
+        n = t.column("n_orders").to_numpy(zero_copy_only=False)
+        # the 9-key table is ONE block (bounded domain), so the total
+        # is exact here — and it counts the same filtered rows the
+        # oracle's denominator does
+        share = n.astype(np.float64) / float(int(n.sum()))
+        exp = pa.array(
+            [
+                math.log(1.0 + 1.0 / float(int(x))) / math.log(10.0)
+                for x in d
+            ],
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "digit": t.column("digit"),
+                "n_orders": t.column("n_orders"),
+                "share": pa.array(share, pa.float64()),
+                "expected_share": exp,
+            }
+        )
+
+    return counts.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_value_collision_stats(sf_dir: str):
+    """Exact-value collision audit: distinct values, the number of
+    event PAIRS sharing a value (sum C(n,2) — the birthday-collision
+    mass a dedup-by-value rule would conflate) and the hottest value's
+    count.  Per-value counts flow through the cardinality-adaptive
+    tree (values are an unbounded key; under the split the output is S
+    disjoint key-range blocks, so the scalars collapse per BLOCK and
+    merge through a second scalar tree — the turn_dup_stats
+    discipline, never a cross-key final_fn)."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return (
+            t.select(["value"])
+            .group_by(["value"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["value", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["value"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["value", "n"])
+        )
+
+    _scalar_empty = pa.table(
+        {
+            "n_distinct": pa.array([0], pa.int64()),
+            "n_pairs": pa.array([0], pa.int64()),
+            "max_count": pa.array([0], pa.int64()),
+        }
+    )
+
+    def empty_values():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    per_value = tree_reduce(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_values,
+        split_keys=["value"],
+    )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        if not len(n):
+            return _scalar_empty
+        return pa.table(
+            {
+                "n_distinct": pa.array([len(n)], pa.int64()),
+                "n_pairs": pa.array(
+                    [int((n * (n - 1) // 2).sum())], pa.int64()
+                ),
+                "max_count": pa.array([int(n.max())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_distinct": pa.array(
+                    [int(pc.sum(t.column("n_distinct")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "n_pairs": pa.array(
+                    [int(pc.sum(t.column("n_pairs")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "max_count": pa.array(
+                    [int(pc.max(t.column("max_count")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_scalar_empty)
+
+    return tree_reduce(
+        per_value.map_batches(
+            collapse, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
+        empty_fn=empty_fn,
+    )

@@ -3175,6 +3175,31 @@ SELECT event_type, n_days,
   ELSE NULL END AS intercept
 FROM s
 """
+    # Benford first-digit screen (r5 session 9): exact integer leading
+    # digit (a float log10 is 1 ULP from wrong at powers of ten);
+    # expectation via ln == math.log (ULP note c)
+    q["price_benford"] = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+d AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+      FROM c GROUP BY 1)
+SELECT d.digit, d.n_orders,
+  CAST(d.n_orders AS DOUBLE)/CAST(t.n AS DOUBLE) AS share,
+  ln(1.0 + 1.0/CAST(d.digit AS DOUBLE))/ln(10.0) AS expected_share
+FROM d, t
+"""
+    # exact-value collision audit (r5 session 9): birthday-pair mass
+    q["value_collision_stats"] = """
+WITH c AS (SELECT value, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY value)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(sum(n*(n-1)//2) AS BIGINT) AS n_pairs,
+  CAST(max(n) AS BIGINT) AS max_count
+FROM c
+"""
     # consecutive-activity-day streaks (r5 session 9): gaps-and-islands
     # on the distinct-day calendar per user
     q["user_day_streaks"] = """

@@ -267,6 +267,8 @@ QUERY_NAMES = [
     "type_traffic_similarity",
     "value_drift_ks",
     "user_day_streaks",
+    "price_benford",
+    "value_collision_stats",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

@@ -823,6 +823,10 @@ def _run_bench() -> dict:
             "value_collision_stats",
             lambda: p.q_value_collision_stats(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "conv_reply_latency_by_role",
+            lambda: p.q_conv_reply_latency_by_role(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -12418,3 +12418,130 @@ def q_value_collision_stats(sf_dir: str):
         merge,
         empty_fn=empty_fn,
     )
+
+
+def q_conv_reply_latency_by_role(sf_dir: str):
+    """Reply-latency profile by role handoff: for every adjacent turn
+    pair in a conversation, the (prev_role -> role) bucket's pair
+    count, exact summed gap, worst gap and mean seconds — the
+    assistant-responsiveness metric of an LLM-ops dashboard.  One
+    conv-hash exchange; vectorized lexsort + shifted compare; the
+    <= |roles|^2-key partials ride the combiner tree; the mean divides
+    exact integer microseconds in double on the final block, mirroring
+    the oracle expression."""
+    import numpy as np
+
+    from rayslog.sources.testgen import rows_for
+    from rayslog.stages.aggregate import task_exchange, tree_reduce
+    from rayslog.stages.events import _user_codes, _user_hash
+
+    n_rows = rows_for(sf_dir)
+    parts = max(16, min(4096, -(-n_rows // 500_000)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _user_hash(t.column("conv_id"))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "role": t.column("role"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "cpart": pa.array(
+                    (h % np.uint64(parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "prev_role": pa.array([], pa.string()),
+            "role": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        codes = _user_codes(t.column("conv_id"))
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, codes))
+        c = codes[order]
+        us = t.column("ts_us").to_numpy(zero_copy_only=False)[order]
+        same = c[1:] == c[:-1]
+        gaps = (us[1:] - us[:-1])[same]
+        cur = order[1:][same]
+        prv = order[:-1][same]
+        role = t.column("role")
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        return (
+            pa.table(
+                {
+                    "prev_role": role.take(pa.array(prv)),
+                    "role": role.take(pa.array(cur)),
+                    "n_pairs": pa.array(np.ones(len(gaps), np.int64)),
+                    "sum_gap_us": pa.array(gaps),
+                    "max_gap_us": pa.array(gaps),
+                }
+            )
+            .group_by(["prev_role", "role"])
+            .aggregate(
+                [
+                    ("n_pairs", "sum"),
+                    ("sum_gap_us", "sum"),
+                    ("max_gap_us", "max"),
+                ]
+            )
+            .rename_columns(
+                ["prev_role", "role", "n_pairs", "sum_gap_us", "max_gap_us"]
+            )
+        )
+
+    partials = task_exchange(
+        read_transcripts(sf_dir, ["conv_id", "turn_idx", "role", "ts"]),
+        "cpart",
+        parts,
+        per_part,
+        pre_fn=prep,
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["prev_role", "role"])
+            .aggregate(
+                [
+                    ("n_pairs", "sum"),
+                    ("sum_gap_us", "sum"),
+                    ("max_gap_us", "max"),
+                ]
+            )
+            .rename_columns(
+                ["prev_role", "role", "n_pairs", "sum_gap_us", "max_gap_us"]
+            )
+        )
+
+    def final_fn(t: pa.Table) -> pa.Table:
+        n = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        s = t.column("sum_gap_us").to_numpy(zero_copy_only=False)
+        mean = s.astype(np.float64) / n.astype(np.float64) / 1e6
+        return t.append_column(
+            "mean_gap_sec", pa.array(mean, pa.float64())
+        )
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            _empty.append_column(
+                "mean_gap_sec", pa.array([], pa.float64())
+            )
+        )
+
+    return tree_reduce(
+        partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
+    )

@@ -3897,6 +3897,29 @@ SELECT conv_id,
   CAST(count(*) AS BIGINT) AS n_tools
 FROM f GROUP BY conv_id
 """,
+        # reply-latency by role handoff (r5 session 9): adjacent-turn
+        # gap stats per (prev_role, role); mean divides exact integer
+        # microseconds in double
+        "conv_reply_latency_by_role": f"""
+WITH x AS (
+  SELECT role, epoch_us(ts) AS us,
+    lag(role) OVER w AS prev_role,
+    lag(epoch_us(ts)) OVER w AS prev_us
+  FROM read_parquet('{path}/*.parquet')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+p AS (
+  SELECT prev_role, role, us - prev_us AS gap
+  FROM x WHERE prev_role IS NOT NULL),
+a AS (
+  SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+    CAST(max(gap) AS BIGINT) AS max_gap_us
+  FROM p GROUP BY 1, 2)
+SELECT prev_role, role, n_pairs, sum_gap_us, max_gap_us,
+  CAST(sum_gap_us AS DOUBLE)/CAST(n_pairs AS DOUBLE)/1e6
+    AS mean_gap_sec
+FROM a
+""",
         # handoff graph (r5 session 9): adjacent cleanly-parsed turns in
         # a conversation whose hostname changes — LAG over (conv,
         # turn_idx) restricted to parsed rows on both sides

@@ -269,6 +269,7 @@ QUERY_NAMES = [
     "user_day_streaks",
     "price_benford",
     "value_collision_stats",
+    "conv_reply_latency_by_role",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

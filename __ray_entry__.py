@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_benford": p.q_price_benford,  # exact-digit Benford screen
         "value_collision_stats": p.q_value_collision_stats,  # birthday mass
         "conv_reply_latency_by_role": p.q_conv_reply_latency_by_role,
+        "value_drift_wasserstein": p.q_value_drift_wasserstein,
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -827,6 +827,10 @@ def _run_bench() -> dict:
             "conv_reply_latency_by_role",
             lambda: p.q_conv_reply_latency_by_role(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_drift_wasserstein",
+            lambda: p.q_value_drift_wasserstein(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

@@ -12545,3 +12545,216 @@ def q_conv_reply_latency_by_role(sf_dir: str):
     return tree_reduce(
         partials, reduce_fn, empty_fn=empty_fn, final_fn=final_fn
     )
+
+
+def q_value_drift_wasserstein(sf_dir: str):
+    """Exact Wasserstein-1 (earth-mover) distance between the first
+    and second time-half value distributions — KS tells you drift
+    EXISTS, W1 tells you how much mass moved how far.  The integral
+    sum |F1 - F2| dv runs over the INTEGER product |f1*n2 - f2*n1| *
+    (cents gap) — exact at every prefix, only the final division is
+    double.  Same plan as value_drift_ks (scalar tree for midpoint +
+    cents range, cents-range exchange of grouped counts, driver prefix
+    offsets) plus the time_weighted_value boundary stitch: each part
+    also reports its first/last cents, and the inter-part segment
+    weights the part-end cumulative F across the seam.  num < 2^63
+    needs n1*n2*max_cents_gap under ~9e18 — range-split past ~1e9 rows
+    per sample."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import (
+        live_block_refs,
+        task_exchange,
+        tree_reduce_refs,
+    )
+
+    R = 32
+
+    def prep0(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table(
+            {
+                "us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "c": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), pa.scalar(100.0))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(prep0, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    brefs = live_block_refs(mat)
+    empty_out = pa.table(
+        {
+            "n1": pa.array([0], pa.int64()),
+            "n2": pa.array([0], pa.int64()),
+            "w1": pa.array([None], pa.float64()),
+        }
+    )
+    if not brefs:
+        return rd.from_arrow(empty_out)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "tlo": pa.array([], pa.int64()),
+                    "thi": pa.array([], pa.int64()),
+                    "clo": pa.array([], pa.int64()),
+                    "chi": pa.array([], pa.int64()),
+                }
+            )
+        if "us" in t.column_names:
+            return pa.table(
+                {
+                    "tlo": pa.array([int(pc.min(t.column("us")).as_py())]),
+                    "thi": pa.array([int(pc.max(t.column("us")).as_py())]),
+                    "clo": pa.array([int(pc.min(t.column("c")).as_py())]),
+                    "chi": pa.array([int(pc.max(t.column("c")).as_py())]),
+                }
+            )
+        return pa.table(
+            {
+                "tlo": pa.array([int(pc.min(t.column("tlo")).as_py())]),
+                "thi": pa.array([int(pc.max(t.column("thi")).as_py())]),
+                "clo": pa.array([int(pc.min(t.column("clo")).as_py())]),
+                "chi": pa.array([int(pc.max(t.column("chi")).as_py())]),
+            }
+        )
+
+    @ray.remote
+    def _mm(t):
+        return minmax(t)
+
+    mm = tree_reduce_refs([_mm.remote(r) for r in brefs], minmax)
+    if not mm.num_rows:
+        return rd.from_arrow(empty_out)
+    mid = (
+        int(mm.column("tlo")[0].as_py()) + int(mm.column("thi")[0].as_py())
+    ) // 2
+    clo = int(mm.column("clo")[0].as_py())
+    chi = int(mm.column("chi")[0].as_py())
+    span = max(chi - clo + 1, 1)
+
+    def pre(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": t.column("c"),
+                "s1": pa.array(us <= mid),
+                "rpart": pa.array(
+                    ((c - clo) * R // span).astype(np.int32)
+                ),
+            }
+        )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "c1": pa.array([], pa.int64()),
+                    "c2": pa.array([], pa.int64()),
+                }
+            )
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "c": t.column("c"),
+                    "c1": pa.array(s1.astype(np.int64)),
+                    "c2": pa.array((~s1).astype(np.int64)),
+                }
+            )
+            .group_by(["c"])
+            .aggregate([("c1", "sum"), ("c2", "sum")])
+            .rename_columns(["c", "c1", "c2"])
+            .sort_by([("c", "ascending")])
+        )
+
+    part_refs = task_exchange(
+        brefs, "rpart", R, count_part, pre_fn=pre, return_refs=True
+    )
+
+    @ray.remote
+    def _summ(t: pa.Table):
+        if not t.num_rows:
+            return (0, 0, None, None)
+        return (
+            int(pc.sum(t.column("c1")).as_py() or 0),
+            int(pc.sum(t.column("c2")).as_py() or 0),
+            int(t.column("c")[0].as_py()),
+            int(t.column("c")[-1].as_py()),
+        )
+
+    summaries = ray.get([_summ.remote(r) for r in part_refs])
+    n1 = int(sum(s[0] for s in summaries))
+    n2 = int(sum(s[1] for s in summaries))
+    if n1 == 0 or n2 == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n1": pa.array([n1], pa.int64()),
+                    "n2": pa.array([n2], pa.int64()),
+                    "w1": pa.array([None], pa.float64()),
+                }
+            )
+        )
+
+    @ray.remote
+    def num_part(t: pa.Table, o1: int, o2: int) -> int:
+        if t.num_rows < 2:
+            return 0
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        f1 = np.cumsum(
+            t.column("c1").to_numpy(zero_copy_only=False)
+        ) + np.int64(o1)
+        f2 = np.cumsum(
+            t.column("c2").to_numpy(zero_copy_only=False)
+        ) + np.int64(o2)
+        return int(
+            (
+                np.abs(f1[:-1] * np.int64(n2) - f2[:-1] * np.int64(n1))
+                * (c[1:] - c[:-1])
+            ).sum()
+        )
+
+    o1 = o2 = 0
+    num = 0
+    tasks = []
+    seams = []
+    prev = None  # (end_f1, end_f2, last_c)
+    for ref, (p1, p2, first_c, last_c) in zip(part_refs, summaries):
+        if first_c is None:
+            continue
+        if prev is not None:
+            ef1, ef2, lc = prev
+            seams.append((ef1, ef2, first_c - lc))
+        tasks.append(num_part.remote(ref, o1, o2))
+        o1 += p1
+        o2 += p2
+        prev = (o1, o2, last_c)
+    num = int(sum(ray.get(tasks))) if tasks else 0
+    for ef1, ef2, gap in seams:
+        num += abs(ef1 * n2 - ef2 * n1) * gap
+    w1 = float(num) / (float(n1) * float(n2)) / 100.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "w1": pa.array([w1], pa.float64()),
+            }
+        )
+    )

@@ -3200,6 +3200,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_distinct,
   CAST(max(n) AS BIGINT) AS max_count
 FROM c
 """
+    # exact Wasserstein-1 drift (r5 session 9): the integral twin of
+    # value_drift_ks — integer |f1*n2 - f2*n1| * cents-gap products
+    q["value_drift_wasserstein"] = """
+WITH b AS (
+  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+    AS mid FROM events),
+e AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS c,
+         epoch_us(ts) <= b.mid AS s1
+  FROM events, b WHERE value IS NOT NULL),
+t AS (
+  SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM e),
+d AS (
+  SELECT c,
+    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM e GROUP BY c),
+x AS (
+  SELECT c, lead(c) OVER (ORDER BY c) AS cn,
+    CAST(sum(c1) OVER (ORDER BY c) AS BIGINT) AS f1,
+    CAST(sum(c2) OVER (ORDER BY c) AS BIGINT) AS f2
+  FROM d),
+m AS (SELECT CAST(sum(abs(f1*t.n2 - f2*t.n1) * (cn - c)) AS BIGINT)
+        AS num FROM x, t WHERE cn IS NOT NULL)
+SELECT t.n1, t.n2,
+  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+    CAST(m.num AS DOUBLE)
+      /(CAST(t.n1 AS DOUBLE)*CAST(t.n2 AS DOUBLE))/100.0
+  ELSE NULL END AS w1
+FROM t, m
+"""
     # consecutive-activity-day streaks (r5 session 9): gaps-and-islands
     # on the distinct-day calendar per user
     q["user_day_streaks"] = """

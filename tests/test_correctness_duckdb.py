@@ -270,6 +270,7 @@ QUERY_NAMES = [
     "price_benford",
     "value_collision_stats",
     "conv_reply_latency_by_role",
+    "value_drift_wasserstein",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

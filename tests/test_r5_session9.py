@@ -199,3 +199,67 @@ def test_ks_range_partition_sup_matches_direct_fuzz():
             o1 += int(pc1.sum())
             o2 += int(pc2.sum())
         assert max(sups) == direct, (trial, max(sups), direct)
+
+
+def test_w1_range_partition_stitch_matches_direct_fuzz():
+    """The range-partitioned Wasserstein-1 numerator (per-part local
+    integral + seam terms weighting the part-end cumulative F across
+    the gap to the next part's first value) must equal the direct
+    single-pass integral for ANY tie-safe split."""
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        n = int(rng.integers(2, 600))
+        R = int(rng.integers(1, 9))
+        c = rng.integers(0, int(rng.integers(2, 60)), n).astype(np.int64)
+        s1 = rng.random(n) < rng.random()
+        n1, n2 = int(s1.sum()), int((~s1).sum())
+        if n1 == 0 or n2 == 0:
+            continue
+        order = np.argsort(c, kind="stable")
+        cs, ss = c[order], s1[order]
+        newv = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.nonzero(newv)[0]
+        dv = cs[starts]
+        c1 = np.add.reduceat(ss.astype(np.int64), starts)
+        c2 = np.add.reduceat((~ss).astype(np.int64), starts)
+        f1, f2 = np.cumsum(c1), np.cumsum(c2)
+        direct = int(
+            (
+                np.abs(f1[:-1] * n2 - f2[:-1] * n1) * (dv[1:] - dv[:-1])
+            ).sum()
+        ) if len(dv) > 1 else 0
+        # partitioned with seams
+        lo, hi = int(c.min()), int(c.max())
+        span = max(hi - lo + 1, 1)
+        rp = (c - lo) * R // span
+        num = 0
+        o1 = o2 = 0
+        prev = None
+        for p in range(R):
+            m = rp == p
+            if not m.any():
+                continue
+            pc_, ps = c[m], s1[m]
+            po = np.argsort(pc_, kind="stable")
+            pc_, ps = pc_[po], ps[po]
+            pn = np.r_[True, pc_[1:] != pc_[:-1]]
+            st = np.nonzero(pn)[0]
+            pdv = pc_[st]
+            pc1 = np.add.reduceat(ps.astype(np.int64), st)
+            pc2 = np.add.reduceat((~ps).astype(np.int64), st)
+            pf1 = np.cumsum(pc1) + o1
+            pf2 = np.cumsum(pc2) + o2
+            if prev is not None:
+                ef1, ef2, lc = prev
+                num += abs(ef1 * n2 - ef2 * n1) * (int(pdv[0]) - lc)
+            if len(pdv) > 1:
+                num += int(
+                    (
+                        np.abs(pf1[:-1] * n2 - pf2[:-1] * n1)
+                        * (pdv[1:] - pdv[:-1])
+                    ).sum()
+                )
+            o1 += int(pc1.sum())
+            o2 += int(pc2.sum())
+            prev = (o1, o2, int(pdv[-1]))
+        assert num == direct, (trial, num, direct)

@@ -831,6 +831,10 @@ def _run_bench() -> dict:
             "value_drift_wasserstein",
             lambda: p.q_value_drift_wasserstein(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "value_mode",
+            lambda: p.q_value_mode(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

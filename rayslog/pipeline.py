@@ -12758,3 +12758,88 @@ def q_value_drift_wasserstein(sf_dir: str):
             }
         )
     )
+
+
+def q_value_mode(sf_dir: str):
+    """Global exact mode of the value column (most frequent value;
+    ties break to the SMALLEST value) plus its count — the
+    complement of value_collision_stats' anonymous max_count.
+    Per-value counts ride the cardinality-adaptive tree; each output
+    block (a disjoint key range under the split) collapses to its
+    local best row and the winners merge through a scalar tree with
+    the same (count desc, value asc) rule — re-applicable because a
+    range's winner can only be beaten by another range's winner."""
+    import numpy as np
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return (
+            t.select(["value"])
+            .group_by(["value"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["value", "n"])
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["value"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["value", "n"])
+        )
+
+    def empty_values():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    per_value = tree_reduce(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_fn,
+        empty_fn=empty_values,
+        split_keys=["value"],
+    )
+
+    _empty = pa.table(
+        {
+            "mode_value": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def best(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
+        cols = (
+            ["mode_value", "n"]
+            if "mode_value" in t.column_names
+            else ["value", "n"]
+        )
+        t = t.select(cols).rename_columns(["mode_value", "n"])
+        t = t.sort_by(
+            [("n", "descending"), ("mode_value", "ascending")]
+        )
+        return t.slice(0, 1)
+
+    def empty_fn():
+        import ray.data as rd
+
+        return rd.from_arrow(_empty)
+
+    return tree_reduce(
+        per_value.map_batches(
+            best, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        best,
+        empty_fn=empty_fn,
+    )

@@ -3191,6 +3191,12 @@ SELECT d.digit, d.n_orders,
   ln(1.0 + 1.0/CAST(d.digit AS DOUBLE))/ln(10.0) AS expected_share
 FROM d, t
 """
+    # global exact mode (r5 session 9): ties break to smallest value
+    q["value_mode"] = """
+SELECT value AS mode_value, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY value ORDER BY n DESC, mode_value LIMIT 1
+"""
     # exact-value collision audit (r5 session 9): birthday-pair mass
     q["value_collision_stats"] = """
 WITH c AS (SELECT value, CAST(count(*) AS BIGINT) AS n

@@ -271,6 +271,7 @@ QUERY_NAMES = [
     "value_collision_stats",
     "conv_reply_latency_by_role",
     "value_drift_wasserstein",
+    "value_mode",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

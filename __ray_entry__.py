@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_reply_latency_by_role": p.q_conv_reply_latency_by_role,
         "value_drift_wasserstein": p.q_value_drift_wasserstein,
         "value_mode": p.q_value_mode,  # global exact mode, min-tie
+        "null_profile": p.q_null_profile,  # whole-lake null audit
         # --- oracle-backed, driver-green in r1-r4, out of rotation ---
         # (plus 7 never-checked leftovers: brand_supplier_counts,
         #  idle_customers, ship_latency, lang_confusion, dup_rate_by_source,

@@ -835,6 +835,10 @@ def _run_bench() -> dict:
             "value_mode",
             lambda: p.q_value_mode(SF_DIR).to_pandas(),
         )
+        timed_extra(
+            "null_profile",
+            lambda: p.q_null_profile(SF_DIR).to_pandas(),
+        )
 
     total = round(sum(timings.values()), 3)
     headline_tps = (

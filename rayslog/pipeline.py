@@ -12843,3 +12843,69 @@ def q_value_mode(sf_dir: str):
         best,
         empty_fn=empty_fn,
     )
+
+
+_LAKE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def q_null_profile(sf_dir: str):
+    """Whole-lake null audit: for EVERY column of EVERY table, the row
+    and null counts — the first query run against an unfamiliar
+    warehouse.  Column lists derive from parquet metadata on BOTH
+    sides (the oracle generates its UNION ALL from the same files), so
+    the audit needs no hand-maintained schema.  Per batch the null
+    counts come free from Arrow validity-bitmap metadata (zero
+    compute); per-table partials ride the combiner tree and the ten
+    tiny results concatenate on the driver.  The deliberately
+    unpruned full-width read is the point of the query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayslog.stages.aggregate import tree_reduce
+
+    results = []
+    for tbl in _LAKE_TABLES:
+        cols = pq.read_schema(f"{sf_dir}/{tbl}.parquet").names
+
+        def partial(t: pa.Table, _tbl=tbl, _cols=tuple(cols)) -> pa.Table:
+            names, nulls = [], []
+            for c in _cols:
+                col = t.column(c)
+                names.append(c)
+                nulls.append(int(col.null_count))
+            return pa.table(
+                {
+                    "table_name": pa.array(
+                        [_tbl] * len(names), pa.string()
+                    ),
+                    "column_name": pa.array(names, pa.string()),
+                    "n_rows": pa.array(
+                        np.full(len(names), t.num_rows, np.int64)
+                    ),
+                    "n_null": pa.array(
+                        np.asarray(nulls, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def reduce_fn(t: pa.Table) -> pa.Table:
+            return (
+                t.group_by(["table_name", "column_name"])
+                .aggregate([("n_rows", "sum"), ("n_null", "sum")])
+                .rename_columns(
+                    ["table_name", "column_name", "n_rows", "n_null"]
+                )
+            )
+
+        out = tree_reduce(
+            _read(sf_dir, tbl, cols).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            reduce_fn,
+        ).to_pandas()
+        results.append(pa.Table.from_pandas(out, preserve_index=False))
+    return rd.from_arrow(pa.concat_tables(results))

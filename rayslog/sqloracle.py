@@ -3492,6 +3492,25 @@ SELECT d.n_days, p.n AS n_pairs,
 FROM d, p
 """
     if sf_dir is not None:
+        # whole-lake null audit (r5 session 9): the UNION ALL generates
+        # from the SAME parquet schemas the engine reads — no
+        # hand-maintained column lists on either side
+        import pyarrow.parquet as _pq
+
+        _legs = []
+        for _tbl in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            for _c in _pq.read_schema(f"{sf_dir}/{_tbl}.parquet").names:
+                _legs.append(
+                    f"SELECT '{_tbl}' AS table_name, "
+                    f"'{_c}' AS column_name, "
+                    "CAST(count(*) AS BIGINT) AS n_rows, "
+                    f'CAST(sum(CASE WHEN "{_c}" IS NULL THEN 1 ELSE 0 '
+                    f"END) AS BIGINT) AS n_null FROM {_tbl}"
+                )
+        q["null_profile"] = " UNION ALL ".join(_legs)
         q["ann_ivf"] = _ann_ivf_sql(sf_dir)
         q["ann_ivf_incr"] = _ann_ivf_sql(sf_dir, store="sharded")
         q["cosine_dups_ivf"] = _cosine_dups_ivf_sql(sf_dir)

@@ -272,6 +272,7 @@ QUERY_NAMES = [
     "conv_reply_latency_by_role",
     "value_drift_wasserstein",
     "value_mode",
+    "null_profile",
 ]
 
 ROWS_ONLY = ["doc_fingerprint",

@@ -46,7 +46,7 @@ def test_queries_and_oracles_line_up(ray_session):
         "doc_fingerprint",
         "media_features", "media_decode", "approx_distinct",
     }, rows_only
-    assert len(q) == 240 and len(o) == 236
+    assert len(q) == 241 and len(o) == 237
     # the driver oracle-checks only the FIRST 50 entries: every window
     # slot must be oracle-backed (rows-only entries go to the tail)
     assert all(name in o for name in list(q)[:50])

@@ -806,6 +806,13 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def _scaled_parts(n_rows: int) -> int:
+    """Exchange part count sized to the input (~500k rows/part,
+    clamped) — a fixed 64 under-partitions the 100 TB case and
+    over-partitions the driver tables."""
+    return max(16, min(4096, -(-int(n_rows) // 500_000)))
+
+
 def _table_rows(sf_dir: str, table: str) -> int:
     """Row count from parquet FILE METADATA (no data read) — used to
     size shuffle partitioning (bucket_parts) to the corpus."""
@@ -10245,7 +10252,7 @@ def q_user_type_profile(sf_dir: str):
 
     from rayslog.stages.aggregate import task_exchange
 
-    parts = 64
+    parts = _scaled_parts(_table_rows(sf_dir, "events"))
     MIN_VALUE = 80.0
 
     def prep(t: pa.Table) -> pa.Table:
@@ -10526,10 +10533,11 @@ def q_host_handoffs(sf_dir: str):
     pass per part, then a <= |hosts|^2-key combiner tree."""
     import numpy as np
 
+    from rayslog.sources.testgen import rows_for
     from rayslog.stages.aggregate import task_exchange, tree_aggregate
     from rayslog.stages.events import _user_codes, _user_hash
 
-    parts = 64
+    parts = _scaled_parts(rows_for(sf_dir))
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_null(t.column("parse_error"))).select(
@@ -10825,7 +10833,7 @@ def q_basket_rules(sf_dir: str, minsup: int = 2):
     from rayslog.stages.aggregate import distinct_count_by, task_exchange
     from rayslog.stages.relational import hash_join
 
-    parts = 64
+    parts = _scaled_parts(_table_rows(sf_dir, "lineitem"))
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     n_orders = _table_rows(sf_dir, "orders")
 
@@ -11070,7 +11078,7 @@ def q_session_type_pairs(sf_dir: str):
     from rayslog.stages.aggregate import task_exchange, tree_aggregate
     from rayslog.stages.events import _user_codes
 
-    parts = 64
+    parts = _scaled_parts(_table_rows(sf_dir, "events"))
     GAP_US = np.int64(1_800_000_000)
 
     def prep(t: pa.Table) -> pa.Table:
@@ -11691,7 +11699,7 @@ def q_nation_customer_hhi(sf_dir: str):
     from rayslog.stages.aggregate import task_exchange, tree_reduce
     from rayslog.stages.relational import hash_join
 
-    parts = 64
+    parts = _scaled_parts(_table_rows(sf_dir, "orders"))
 
     def prep(t: pa.Table) -> pa.Table:
         u = t.column("o_custkey").to_numpy(zero_copy_only=False)
@@ -12164,7 +12172,7 @@ def q_user_day_streaks(sf_dir: str):
 
     from rayslog.stages.aggregate import task_exchange
 
-    parts = 64
+    parts = _scaled_parts(_table_rows(sf_dir, "events"))
     DAY_US = np.int64(86_400_000_000)
 
     def prep(t: pa.Table) -> pa.Table:

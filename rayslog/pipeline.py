@@ -12963,56 +12963,56 @@ def q_null_profile(sf_dir: str):
     and null counts — the first query run against an unfamiliar
     warehouse.  Column lists derive from parquet metadata on BOTH
     sides (the oracle generates its UNION ALL from the same files), so
-    the audit needs no hand-maintained schema.  Per batch the null
-    counts come free from Arrow validity-bitmap metadata (zero
-    compute); per-table partials ride the combiner tree and the ten
-    tiny results concatenate on the driver.  The deliberately
-    unpruned full-width read is the point of the query."""
+    the audit needs no hand-maintained schema.  Plan: ONE raw Ray task
+    per parquet file, all tables in flight together — per file the
+    null counts come free from Arrow validity bitmaps, and the
+    51-key concat group-sums on the driver.  A Dataset pipeline per
+    table costs a ~0.4s executor spin x 10 sequential tables
+    (measured 4.3s) and Ray's union() defeats stage fusion (measured
+    7.7s); the per-file task shape is also the resumable unit a
+    multi-file 100 TB lake needs.  The deliberately unpruned
+    full-width read is the point of the query."""
+    import glob
+    import os
+
     import numpy as np
-    import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
 
-    from rayslog.stages.aggregate import tree_reduce
+    @ray.remote
+    def audit_file(tbl: str, path: str) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    results = []
+        t = pq.read_table(path)
+        names, nulls = [], []
+        for c in t.column_names:
+            names.append(c)
+            nulls.append(int(t.column(c).null_count))
+        return pa.table(
+            {
+                "table_name": pa.array([tbl] * len(names), pa.string()),
+                "column_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(
+                    np.full(len(names), t.num_rows, np.int64)
+                ),
+                "n_null": pa.array(np.asarray(nulls, np.int64)),
+            }
+        )
+
+    refs = []
     for tbl in _LAKE_TABLES:
-        cols = pq.read_schema(f"{sf_dir}/{tbl}.parquet").names
-
-        def partial(t: pa.Table, _tbl=tbl, _cols=tuple(cols)) -> pa.Table:
-            names, nulls = [], []
-            for c in _cols:
-                col = t.column(c)
-                names.append(c)
-                nulls.append(int(col.null_count))
-            return pa.table(
-                {
-                    "table_name": pa.array(
-                        [_tbl] * len(names), pa.string()
-                    ),
-                    "column_name": pa.array(names, pa.string()),
-                    "n_rows": pa.array(
-                        np.full(len(names), t.num_rows, np.int64)
-                    ),
-                    "n_null": pa.array(
-                        np.asarray(nulls, np.int64), pa.int64()
-                    ),
-                }
-            )
-
-        def reduce_fn(t: pa.Table) -> pa.Table:
-            return (
-                t.group_by(["table_name", "column_name"])
-                .aggregate([("n_rows", "sum"), ("n_null", "sum")])
-                .rename_columns(
-                    ["table_name", "column_name", "n_rows", "n_null"]
-                )
-            )
-
-        out = tree_reduce(
-            _read(sf_dir, tbl, cols).map_batches(
-                partial, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            reduce_fn,
-        ).to_pandas()
-        results.append(pa.Table.from_pandas(out, preserve_index=False))
-    return rd.from_arrow(pa.concat_tables(results))
+        root = f"{sf_dir}/{tbl}.parquet"
+        files = (
+            sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                             recursive=True))
+            if os.path.isdir(root)
+            else [root]
+        )
+        refs.extend(audit_file.remote(tbl, f) for f in files)
+    merged = (
+        pa.concat_tables(ray.get(refs))
+        .group_by(["table_name", "column_name"])
+        .aggregate([("n_rows", "sum"), ("n_null", "sum")])
+        .rename_columns(["table_name", "column_name", "n_rows", "n_null"])
+    )
+    return rd.from_arrow(merged)

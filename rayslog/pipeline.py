@@ -10338,7 +10338,7 @@ def q_time_weighted_value(sf_dir: str):
 
     from rayslog.stages.aggregate import live_block_refs, tree_reduce_refs
 
-    range_parts = 32
+    range_parts = _scaled_parts(_table_rows(sf_dir, "events"))
     SEC_US = np.int64(1_000_000)
 
     def prep(t: pa.Table) -> pa.Table:
@@ -10504,6 +10504,7 @@ def q_value_gini(sf_dir: str):
         ),
         "event_type",
         "c",
+        parts=_scaled_parts(_table_rows(sf_dir, "events")),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -11303,6 +11304,7 @@ def q_token_gini_by_lang(sf_dir: str):
         ),
         "lang",
         "c",
+        parts=_scaled_parts(_table_rows(sf_dir, "documents")),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -11662,7 +11664,7 @@ def q_value_percent_rank_global(sf_dir: str):
         tree_reduce_refs,
     )
 
-    R = 32
+    R = _scaled_parts(_table_rows(sf_dir, "events"))
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("value")))
@@ -12082,7 +12084,7 @@ def q_value_drift_ks(sf_dir: str):
         tree_reduce_refs,
     )
 
-    R = 32
+    R = _scaled_parts(_table_rows(sf_dir, "events"))
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("value")))
@@ -12677,7 +12679,7 @@ def q_value_drift_wasserstein(sf_dir: str):
         tree_reduce_refs,
     )
 
-    R = 32
+    R = _scaled_parts(_table_rows(sf_dir, "events"))
 
     def prep0(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("value")))

@@ -806,6 +806,22 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def _schema_safe(ds):
+    """Ray-quirk guard for queries whose CORRECT result can be 0 rows
+    at some SF: a 0-row Dataset's ``to_pandas()`` is COLUMN-LESS (even
+    when built via ``from_arrow`` on a typed empty table), which reads
+    as a schema mismatch against the oracle's typed empty.  The driver
+    contract accepts ``pyarrow.Table``, so hand it the typed Arrow
+    empty instead.  Cheap: only consulted on tiny final datasets."""
+    sch = ds.schema()
+    if sch is not None and ds.count() == 0:
+        base = sch.base_schema
+        return pa.Table.from_arrays(
+            [pa.nulls(0, f.type) for f in base], schema=base
+        )
+    return ds
+
+
 def _scaled_parts(n_rows: int) -> int:
     """Exchange part count sized to the input (~500k rows/part,
     clamped) — a fixed 64 under-partitions the 100 TB case and
@@ -3082,10 +3098,10 @@ def q_important_parts(sf_dir: str):
     integer arithmetic."""
     from rayslog.stages.relational import important_parts
 
-    return important_parts(
+    return _schema_safe(important_parts(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_extendedprice", "l_discount"])
-    )
+    ))
 
 
 def q_quantity_price_corr(sf_dir: str):
@@ -6474,14 +6490,14 @@ def q_quiet_days(sf_dir: str):
             pa.table({"day": pa.array([], pa.timestamp("us"))})
         )
 
-    return tree_reduce(
+    return _schema_safe(tree_reduce(
         _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
         ),
         reduce_fn,
         empty_fn=empty_fn,
         final_fn=final_fn,
-    )
+    ))
 
 
 def q_host_peak_hour(sf_dir: str):

@@ -263,3 +263,27 @@ def test_w1_range_partition_stitch_matches_direct_fuzz():
             o2 += int(pc2.sum())
             prev = (o1, o2, int(pdv[-1]))
         assert num == direct, (trial, num, direct)
+
+
+def test_schema_safe_empty_dataset(ray_session):
+    """Ray quirk pin: from_arrow(typed 0-row).to_pandas() loses the
+    schema; _schema_safe must hand back the typed Arrow table (what
+    the driver contract accepts), and pass non-empty datasets
+    through untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayslog.pipeline import _schema_safe
+
+    t = pa.table({"day": pa.array([], pa.timestamp("us"))})
+    # the quirk itself (if Ray ever fixes it, this documents the why)
+    assert list(rd.from_arrow(t).to_pandas().columns) == []
+    out = _schema_safe(rd.from_arrow(t))
+    assert isinstance(out, pa.Table)
+    assert out.column_names == ["day"]
+    assert out.num_rows == 0
+
+    t2 = pa.table({"x": pa.array([1, 2], pa.int64())})
+    out2 = _schema_safe(rd.from_arrow(t2))
+    assert not isinstance(out2, pa.Table)
+    assert out2.to_pandas()["x"].tolist() == [1, 2]
